@@ -1,0 +1,310 @@
+"""Distributed DBSCAN as an idiomatic PySpark DataFrame pipeline.
+
+Re-expression of the reference's RDD dataflow (DBSCAN.scala:80-242) in
+DataFrame operators so Catalyst plans every distributed step:
+
+1. grid histogram        — ``groupBy(floor(x/2ε), floor(y/2ε)).count()``
+                           (reference O3-O5, DBSCAN.scala:84-90); only cell
+                           counts ever reach the driver, never points.
+2. spatial BSP           — driver-side pure function over the histogram
+                           (partitioner.find_partitions; reference
+                           EvenSplitPartitioner.scala).
+3. point→partition assign — broadcast containment theta-join against the
+                           ε-grown "outer" rectangles; points in overlap
+                           margins are intentionally duplicated (reference
+                           O8, DBSCAN.scala:108-112). BroadcastNestedLoopJoin
+                           on a table of ≤ thousands of rows.
+4. local clustering      — ``repartition('pid').groupBy('pid')
+                           .applyInPandas(kernel)`` — Arrow-batched numpy
+                           DBSCAN per spatial partition, group size bounded
+                           by ``max_points_per_partition`` (reference O9-O10).
+5. merge                 — margin points re-keyed to their home partition via
+                           a second broadcast rect join (O12-O13); cluster
+                           adjacency from a self-equi-join on (x, y) (O14);
+                           driver union-find assigns global ids over the
+                           (tiny) local-cluster graph (O15,
+                           DBSCANGraph.scala); broadcast-join relabel
+                           (O16) and an order-insensitive margin dedup
+                           (O17 made deterministic, SURVEY.md §2.3 P5).
+6. union                 — inner ∪ deduped margin (O18); disjoint by the
+                           strict/inclusive containment rules (P6).
+
+Scale notes (100 TB thinking):
+* Driver state is O(#grid cells) + O(#local clusters) — identical bound to
+  the reference; raise ``minimum_rectangle_size`` (i.e. eps) or pre-filter
+  if the cell histogram itself would explode.
+* The only shuffles are the histogram aggregate (partial+final combine),
+  the per-partition repartition for the kernel, and the margin self-join;
+  the rectangle and global-id tables are always broadcast.
+* AQE handles residual skew in the kernel shuffle; the BSP bound
+  ``max_points_per_partition`` is the primary skew control, exactly as in
+  the reference (best-effort under unsplittable hot cells, P8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from dbscan_spark.graph import assign_global_ids
+from dbscan_spark.kernel import local_dbscan
+from dbscan_spark.partitioner import Rectangle, find_partitions, margins
+
+_FLAG_RANK = {"noise": 0, "border": 1, "core": 2}
+
+
+def _rects_df(spark, margin_list):
+    """Broadcast-able table of (pid, inner, main, outer) rectangle bounds."""
+    rows = [
+        (
+            pid,
+            inner.x, inner.y, inner.x2, inner.y2,
+            main.x, main.y, main.x2, main.y2,
+            outer.x, outer.y, outer.x2, outer.y2,
+        )
+        for pid, inner, main, outer in margin_list
+    ]
+    schema = (
+        "pid int, ix double, iy double, ix2 double, iy2 double, "
+        "mx double, my double, mx2 double, my2 double, "
+        "ox double, oy double, ox2 double, oy2 double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_points: int,
+    max_points_per_partition: int = 250,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Cluster 2-D points; returns the input columns plus
+    ``cluster`` (long, 0 = noise) and ``flag`` ('core'|'border'|'noise').
+
+    Points are identified by their (x, y) value during the margin merge —
+    duplicate coordinates collapse to one output row in the margin zone,
+    with extra columns resolved by ``max`` (the reference has the same
+    value-identity semantics via its point-keyed dedup map,
+    DBSCAN.scala:204-227).
+    """
+    spark = df.sparkSession
+    size = 2.0 * eps  # minimumRectangleSize (DBSCAN.scala:74, P7)
+    X, Y = F.col(x_col), F.col(y_col)
+
+    # -- 1. grid histogram (only cell counts reach the driver) -------------
+    cell_rows = (
+        df.groupBy(
+            (F.floor(X / size) * size).alias("cx"),
+            (F.floor(Y / size) * size).alias("cy"),
+        )
+        .count()
+        .collect()
+    )
+    hist = {(r["cx"], r["cy"]): r["count"] for r in cell_rows}
+    if not hist:
+        return df.withColumn("cluster", F.lit(0).cast("long")).withColumn(
+            "flag", F.lit("noise")
+        )
+
+    # -- 2. driver-side BSP + ε margins ------------------------------------
+    parts = find_partitions(hist, max_points_per_partition, size)
+    margin_list = margins(parts, eps)
+    rects = _rects_df(spark, margin_list)
+
+    # -- 3. assignment join: outer (ε-grown) containment, border-inclusive
+    #       (P6: >= / <= for outer), duplicating margin points -------------
+    in_outer = (
+        (X >= F.col("ox")) & (X <= F.col("ox2"))
+        & (Y >= F.col("oy")) & (Y <= F.col("oy2"))
+    )
+    assigned = df.join(F.broadcast(rects), in_outer).select("pid", *df.columns)
+
+    # -- 4. per-partition numpy DBSCAN kernel ------------------------------
+    out_schema = T.StructType(
+        assigned.schema.fields
+        + [
+            T.StructField("cluster", T.LongType(), False),
+            T.StructField("flag", T.StringType(), False),
+        ]
+    )
+
+    def _cluster_group(pdf):
+        labels, flags = local_dbscan(
+            pdf[x_col].to_numpy(), pdf[y_col].to_numpy(), eps, min_points
+        )
+        out = pdf.copy()
+        out["cluster"] = labels
+        out["flag"] = flags
+        return out
+
+    clustered = (
+        assigned.repartition(max(len(parts), 1), "pid")
+        .groupBy("pid")
+        .applyInPandas(_cluster_group, out_schema)
+        .persist()
+    )
+
+    # -- 5a. margin candidates: in a partition's main box but not strictly
+    #        inside its ε-shrunk inner box (P6: inclusive main, strict inner)
+    in_main = (
+        (X >= F.col("mx")) & (X <= F.col("mx2"))
+        & (Y >= F.col("my")) & (Y <= F.col("my2"))
+    )
+    strictly_in_inner = (
+        (X > F.col("ix")) & (X < F.col("ix2"))
+        & (Y > F.col("iy")) & (Y < F.col("iy2"))
+    )
+    margin_pts = (
+        clustered.withColumnRenamed("pid", "src_pid")
+        .join(F.broadcast(rects), in_main & ~strictly_in_inner)
+        .select(
+            F.col("pid").alias("dest_pid"),
+            F.col("src_pid"),
+            *df.columns,
+            "cluster",
+            "flag",
+        )
+        .persist()
+    )
+
+    # -- 5b. adjacency: same point under two different (pid, cluster) ids,
+    #        both non-noise ⇒ those local clusters are one global cluster --
+    a, b = margin_pts.alias("a"), margin_pts.alias("b")
+    edge_rows = (
+        a.join(
+            b,
+            (F.col(f"a.{x_col}") == F.col(f"b.{x_col}"))
+            & (F.col(f"a.{y_col}") == F.col(f"b.{y_col}"))
+            & (F.col("a.dest_pid") == F.col("b.dest_pid"))
+            & (F.col("a.src_pid") < F.col("b.src_pid")),
+        )
+        .filter((F.col("a.cluster") > 0) & (F.col("b.cluster") > 0))
+        .select(
+            F.col("a.src_pid").alias("p1"),
+            F.col("a.cluster").alias("c1"),
+            F.col("b.src_pid").alias("p2"),
+            F.col("b.cluster").alias("c2"),
+        )
+        .distinct()
+        .collect()
+    )
+
+    # -- 5c. driver union-find over local-cluster ids (tiny) ---------------
+    local_ids = [
+        (r["pid"], r["cluster"])
+        for r in clustered.filter(F.col("cluster") > 0)
+        .select("pid", "cluster")
+        .distinct()
+        .collect()
+    ]
+    gmap = assign_global_ids(
+        local_ids, [((r.p1, r.c1), (r.p2, r.c2)) for r in edge_rows]
+    )
+    gmap_df = spark.createDataFrame(
+        [(p, c, g) for (p, c), g in gmap.items()],
+        "pid int, cluster long, global_cluster long",
+    )
+
+    # -- 6a. inner points: strictly inside own partition's inner box keep
+    #        exactly one copy; relabel via broadcast map (left join keeps
+    #        noise at 0) ---------------------------------------------------
+    inner_final = (
+        clustered.join(F.broadcast(rects.select("pid", "ix", "iy", "ix2", "iy2")), "pid")
+        .filter(strictly_in_inner)
+        .join(F.broadcast(gmap_df), ["pid", "cluster"], "left")
+        .select(
+            *df.columns,
+            F.coalesce("global_cluster", F.lit(0)).alias("cluster"),
+            "flag",
+        )
+    )
+
+    # -- 6b. margin dedup: order-insensitive replacement for the
+    #        reference's nondeterministic "last non-noise wins" fold (P5):
+    #        take max global id (density-connected duplicates share one id)
+    #        and the strongest flag core > border > noise -------------------
+    flag_rank = (
+        F.when(F.col("flag") == "core", 2)
+        .when(F.col("flag") == "border", 1)
+        .otherwise(0)
+    )
+    extra_cols = [c for c in df.columns if c not in (x_col, y_col)]
+    gmap_src = gmap_df.withColumnRenamed("pid", "src_pid")
+    margin_final = (
+        margin_pts.join(F.broadcast(gmap_src), ["src_pid", "cluster"], "left")
+        .withColumn("gcluster", F.coalesce("global_cluster", F.lit(0)))
+        .groupBy(x_col, y_col)
+        .agg(
+            F.max("gcluster").alias("cluster"),
+            F.max(F.struct(flag_rank.alias("r"), F.col("flag"))).alias("_f"),
+            *[F.max(c).alias(c) for c in extra_cols],
+        )
+        .select(*df.columns, "cluster", F.col("_f.flag").alias("flag"))
+    )
+
+    return inner_final.unionByName(margin_final)
+
+
+def predict(
+    model: DataFrame,
+    new_points: DataFrame,
+    eps: float,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Label new points against a fitted model (the reference declares this
+    but throws NotImplementedError, DBSCAN.scala:244-251 — implemented here
+    for real).
+
+    A new point joins the cluster of its nearest core point within ε, else
+    noise. Scalable formulation: key core points by their ε-grid cell,
+    explode each new point to its 3×3 candidate cell ring, equi-join on the
+    cell key (shuffle hash join — no cross join), exact-filter by distance,
+    then window top-1. ``model`` is the output of :func:`dbscan`.
+    """
+    cores = model.filter(F.col("flag") == "core").select(
+        F.col(x_col).alias("core_x"),
+        F.col(y_col).alias("core_y"),
+        "cluster",
+        F.floor(F.col(x_col) / eps).cast("long").alias("cell_x"),
+        F.floor(F.col(y_col) / eps).cast("long").alias("cell_y"),
+    )
+    offsets = F.expr(
+        "explode(array(-1L, 0L, 1L))"
+    )
+    probes = (
+        new_points.withColumn("_cx", F.floor(F.col(x_col) / eps).cast("long"))
+        .withColumn("_cy", F.floor(F.col(y_col) / eps).cast("long"))
+        .withColumn("_ox", offsets)
+        .withColumn("_oy", F.expr("explode(array(-1L, 0L, 1L))"))
+        .withColumn("cell_x", F.col("_cx") + F.col("_ox"))
+        .withColumn("cell_y", F.col("_cy") + F.col("_oy"))
+    )
+    dx = F.col(x_col) - F.col("core_x")
+    dy = F.col(y_col) - F.col("core_y")
+    dist2 = dx * dx + dy * dy
+    from pyspark.sql.window import Window
+
+    joined = (
+        probes.join(cores, ["cell_x", "cell_y"], "left")
+        .withColumn("_d2", dist2)
+        .filter(F.col("core_x").isNull() | (F.col("_d2") <= eps * eps))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*new_points.columns).orderBy(
+                    F.col("_d2").asc_nulls_last(), F.col("cluster").asc_nulls_last()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return joined.select(
+        *new_points.columns,
+        F.coalesce(F.col("cluster"), F.lit(0)).alias("cluster"),
+        F.when(F.col("core_x").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("flag"),
+    )

@@ -1,0 +1,72 @@
+"""Sources and sinks.
+
+The reference reads ad-hoc CSV text (``sc.textFile`` + ``split(',')``,
+reference README.md:73-75) and writes ``"$x,$y,$cluster"`` lines
+(README.md:85).  Here every source is a DataFrame reader so Catalyst gets
+predicate pushdown + column pruning into the scan, and every sink is a
+DataFrame writer (parquet by default — splittable, columnar, statistics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Schema for reference-style ``x,y[,label]`` CSV point files
+#: (reference DBSCANSuite.scala:32-34 parses exactly this shape).
+POINTS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("x", T.DoubleType(), False),
+        T.StructField("y", T.DoubleType(), False),
+        T.StructField("expected", T.DoubleType(), True),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Plain ``spark.read.parquet`` — pushdown-able."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every table in the star schema as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so ``spark.sql`` can be used."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ``x,y[,label]`` CSV of 2-D points (reference input format)."""
+    return spark.read.csv(path, schema=POINTS_CSV_SCHEMA)
+
+
+def write_clustered_csv(df: DataFrame, path: str) -> None:
+    """Write ``x,y,cluster`` lines — parity with reference README.md:85."""
+    df.select("x", "y", "cluster").write.mode("overwrite").csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink; optional hive-style partitioning for partition pruning."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,155 @@
+"""Local (single-partition) DBSCAN kernel — pure numpy, no Spark.
+
+This is the compute kernel that runs inside ``applyInPandas`` groups in the
+distributed pipeline (one invocation per spatial partition, group size
+bounded by ``max_points_per_partition``), and is independently usable for
+single-node clustering.
+
+Semantics contract (mirrors the reference, SURVEY.md §2.3):
+
+* P1 — the ε-neighborhood is **closed** (``dist² <= eps²``) and
+  **self-inclusive**: a point counts itself toward ``min_points``
+  (reference LocalDBSCANNaive.scala:70-75, LocalDBSCANArchery.scala:114-116;
+  same convention as sklearn).
+* P2 — **border reclamation**: an already-visited noise point that is later
+  found ε-reachable from a core point is relabeled as a border member of
+  that cluster (the reference's Archery variant,
+  LocalDBSCANArchery.scala:103-106 — the check sits outside the
+  ``!visited`` guard; classic DBSCAN / sklearn semantics).
+* P3 — cluster ids are assignment-order-dependent (1..k in discovery
+  order); callers must compare results permutation-invariantly.
+* P9 — noise keeps ``cluster = 0`` and ``flag = 'noise'``.
+
+Complexity: neighbor lists are built via an eps-sized grid index
+(bucket a point, probe its 3×3 cell ring, exact-filter) → O(n · avg
+neighborhood) instead of the reference kernel's O(n²) linear scans
+(LocalDBSCANNaive.scala:70-75). For tiny inputs a dense pairwise matrix is
+cheaper than the index; we switch on size.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+NOISE = 0
+FLAG_NOISE = "noise"
+FLAG_CORE = "core"
+FLAG_BORDER = "border"
+
+_DENSE_CUTOFF = 2048  # below this, an n×n distance matrix is fastest
+
+
+def _neighbor_lists_dense(x: np.ndarray, y: np.ndarray, eps: float) -> list[np.ndarray]:
+    """All-pairs neighborhoods via one vectorized distance matrix."""
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    within = (dx * dx + dy * dy) <= eps * eps  # closed ball, self-inclusive (P1)
+    return [np.flatnonzero(row) for row in within]
+
+
+def _neighbor_lists_grid(x: np.ndarray, y: np.ndarray, eps: float) -> list[np.ndarray]:
+    """All-pairs neighborhoods via an eps-cell grid index.
+
+    Any point within eps of p lies in the 3×3 ring of eps-sized cells
+    around p's cell, so we probe 9 buckets and exact-filter.
+    """
+    n = len(x)
+    cx = np.floor(x / eps).astype(np.int64)
+    cy = np.floor(y / eps).astype(np.int64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        buckets.setdefault((cx[i], cy[i]), []).append(i)
+    eps2 = eps * eps
+    out: list[np.ndarray] = []
+    for i in range(n):
+        cand: list[int] = []
+        bx, by = cx[i], cy[i]
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                got = buckets.get((bx + ox, by + oy))
+                if got:
+                    cand.extend(got)
+        cand_arr = np.asarray(cand, dtype=np.int64)
+        dx = x[cand_arr] - x[i]
+        dy = y[cand_arr] - y[i]
+        out.append(cand_arr[(dx * dx + dy * dy) <= eps2])
+    return out
+
+
+def local_dbscan(
+    x: np.ndarray,
+    y: np.ndarray,
+    eps: float,
+    min_points: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cluster 2-D points; returns ``(cluster, flag)`` arrays.
+
+    ``cluster`` is int64 with 0 = noise and 1..k in discovery order (P3/P9);
+    ``flag`` is an object array of {'core','border','noise'}.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    cluster = np.zeros(n, dtype=np.int64)
+    flag = np.full(n, FLAG_NOISE, dtype=object)
+    if n == 0:
+        return cluster, flag
+
+    if n <= _DENSE_CUTOFF:
+        neighbors = _neighbor_lists_dense(x, y, eps)
+    else:
+        neighbors = _neighbor_lists_grid(x, y, eps)
+
+    visited = np.zeros(n, dtype=bool)
+    next_cluster = 0
+    for seed in range(n):
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        seed_nbrs = neighbors[seed]
+        if len(seed_nbrs) < min_points:
+            continue  # stays noise unless a later cluster adopts it (P2)
+        next_cluster += 1
+        cluster[seed] = next_cluster
+        flag[seed] = FLAG_CORE
+        queue: deque[int] = deque(seed_nbrs.tolist())
+        while queue:
+            j = queue.popleft()
+            if not visited[j]:
+                visited[j] = True
+                j_nbrs = neighbors[j]
+                if len(j_nbrs) >= min_points:
+                    flag[j] = FLAG_CORE
+                    queue.extend(j_nbrs.tolist())
+            if cluster[j] == NOISE:
+                # Outside the !visited guard: reclaims visited noise as
+                # border (P2, LocalDBSCANArchery.scala:103-106).
+                cluster[j] = next_cluster
+                if flag[j] != FLAG_CORE:
+                    flag[j] = FLAG_BORDER
+    return cluster, flag
+
+
+def relabel_to_match(
+    got: np.ndarray, expected: np.ndarray
+) -> tuple[bool, dict[int, int]]:
+    """Permutation-invariant label comparison helper (P3).
+
+    Builds the bijection got-label -> expected-label from co-membership and
+    checks it is consistent both ways; noise (0) must map to noise.
+    Returns (matches, mapping).
+    """
+    mapping: dict[int, int] = {}
+    reverse: dict[int, int] = {}
+    for g, e in zip(got.tolist(), expected.tolist()):
+        if (g == 0) != (e == 0):
+            return False, mapping
+        if g == 0:
+            continue
+        if mapping.setdefault(g, e) != e:
+            return False, mapping
+        if reverse.setdefault(e, g) != g:
+            return False, mapping
+    return True, mapping

@@ -1,0 +1,99 @@
+"""Distributed DBSCAN pipeline: golden-fixture E2E + distributed-equals-local
+property + predict."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dbscan_spark.dbscan import dbscan, predict
+from dbscan_spark.kernel import local_dbscan, relabel_to_match
+
+
+@pytest.fixture(scope="module")
+def golden_df(spark, golden_points):
+    return spark.createDataFrame(
+        [(i, x, y, lbl) for i, (x, y, lbl) in enumerate(golden_points)],
+        "id long, x double, y double, expected long",
+    )
+
+
+def test_golden_distributed_labels(spark, golden_df, golden_points):
+    """DBSCANSuite.scala:30-59: train(eps=0.3, minPoints=10,
+    maxPointsPerPartition=250) on the 749-point fixture reproduces every
+    per-point label up to renaming (P3) with no lost or duplicated points."""
+    result = dbscan(golden_df, eps=0.3, min_points=10, max_points_per_partition=250)
+    rows = result.collect()
+    assert len(rows) == len(golden_points)
+    assert len({r["id"] for r in rows}) == len(golden_points)
+    got = np.array([r["cluster"] for r in sorted(rows, key=lambda r: r["id"])])
+    expected = np.array([p[2] for p in golden_points])
+    ok, mapping = relabel_to_match(got, expected)
+    assert ok, f"distributed labels diverge; partial mapping {mapping}"
+
+
+def test_distributed_equals_local(spark, golden_df, golden_points):
+    """The distributed pipeline must agree with the single-partition kernel
+    on the same data — the merge logic cannot change the clustering."""
+    x = np.array([p[0] for p in golden_points])
+    y = np.array([p[1] for p in golden_points])
+    local_cluster, local_flag = local_dbscan(x, y, 0.3, 10)
+    rows = dbscan(golden_df, 0.3, 10, max_points_per_partition=100).collect()
+    got = np.array([r["cluster"] for r in sorted(rows, key=lambda r: r["id"])])
+    got_flag = np.array([r["flag"] for r in sorted(rows, key=lambda r: r["id"])])
+    ok, _ = relabel_to_match(got, local_cluster)
+    assert ok
+    # flags: core/noise must agree exactly; border-vs-cluster choice can vary
+    assert ((got_flag == "core") == (local_flag == "core")).all()
+    assert ((got_flag == "noise") == (local_flag == "noise")).all()
+
+
+@pytest.mark.parametrize("seed,max_pts", [(0, 60), (1, 120), (2, 40)])
+def test_distributed_equals_local_random(spark, seed, max_pts):
+    """Property: for random blobs and aggressive partitioning, distributed
+    result == local kernel result (permutation-invariant)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-4, 4, size=(4, 2))
+    pts = np.vstack(
+        [c + rng.normal(0, 0.25, size=(60, 2)) for c in centers]
+        + [rng.uniform(-6, 6, size=(30, 2))]
+    )
+    eps, minp = 0.4, 5
+    local_cluster, _ = local_dbscan(pts[:, 0], pts[:, 1], eps, minp)
+    df = spark.createDataFrame(
+        [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)],
+        "id long, x double, y double",
+    )
+    rows = dbscan(df, eps, minp, max_points_per_partition=max_pts).collect()
+    assert len(rows) == len(pts)
+    got = np.array([r["cluster"] for r in sorted(rows, key=lambda r: r["id"])])
+    ok, _ = relabel_to_match(got, local_cluster)
+    assert ok
+
+
+def test_passthrough_columns(spark):
+    df = spark.createDataFrame(
+        [(10, 0.0, 0.0, "a"), (11, 0.1, 0.0, "b"), (12, 5.0, 5.0, "c")],
+        "id long, x double, y double, tag string",
+    )
+    rows = dbscan(df, eps=0.5, min_points=2).collect()
+    assert {r["tag"] for r in rows} == {"a", "b", "c"}
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[10]["cluster"] == by_id[11]["cluster"] > 0
+    assert by_id[12]["cluster"] == 0 and by_id[12]["flag"] == "noise"
+
+
+def test_predict_labels_new_points(spark, golden_df):
+    model = dbscan(golden_df, 0.3, 10, max_points_per_partition=250)
+    new = spark.createDataFrame(
+        [(0, 100.0, 100.0)], "nid long, x double, y double"
+    )
+    far = predict(model, new, eps=0.3).collect()
+    assert far[0]["cluster"] == 0 and far[0]["flag"] == "noise"
+    # a point on top of an existing core point joins its cluster
+    core = model.filter("flag = 'core'").first()
+    near = spark.createDataFrame(
+        [(1, core["x"] + 0.01, core["y"])], "nid long, x double, y double"
+    )
+    got = predict(model, near, eps=0.3).collect()
+    assert got[0]["cluster"] == core["cluster"]
