@@ -3,36 +3,68 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries and oracles are aggregated from the operator modules in
+``dbscan_spark/operators/`` — each module owns its QUERIES/ORACLE pair.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_SF_TINY = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: distributed DBSCAN over the embeddings table
+    (2-D projection, mirroring the reference's 2-D rule,
+    DBSCANPoint.scala:23-24); driver checks rows>0."""
+    from pyspark.sql import functions as F
+
+    from dbscan_spark import dbscan
+
+    emb = spark.read.parquet(f"{_SF_TINY}/embeddings.parquet")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    return dbscan(pts, eps=0.05, min_points=5, max_points_per_partition=250)
+
+
+def _operator_modules():
+    from dbscan_spark.operators import relational
+
+    mods = [relational]
+    for name in ("dedup", "similarity", "text", "multimodal", "ml"):
+        try:
+            mods.append(
+                __import__(f"dbscan_spark.operators.{name}", fromlist=[name])
+            )
+        except ImportError:
+            pass
+    return mods
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _operator_modules():
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL for each SQL-expressible query; keys
+    omitted here get the driver's weaker rows-only check."""
+    out: dict[str, str] = {}
+    for mod in _operator_modules():
+        out.update(getattr(mod, "ORACLE", {}))
+    return out

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 TABLES = (
@@ -39,8 +39,19 @@ POINTS_CSV_SCHEMA = T.StructType(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. Plain ``spark.read.parquet`` — pushdown-able."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one testdata table. Plain ``spark.read.parquet`` — pushdown-able.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark's timestamp
+    type is microseconds, so the session reads nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and we floor-truncate to a
+    microsecond timestamp here. Truncation cannot move an event across any
+    second-aligned window boundary; oracle SQL uses ``epoch_us(ts)`` so both
+    engines compare identical microsecond values.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,731 @@
+"""Relational operator surface over the TPC-H-ish testdata tables.
+
+Everything here is pure DataFrame API — Catalyst gets predicate pushdown,
+column pruning, join selection (broadcast vs sort-merge), partial
+aggregation and whole-stage codegen for free. No UDFs, no collects.
+
+Scale notes per operator family:
+* joins: dimension tables (region/nation/customer/supplier/part) are small
+  relative to the fact tables and sit under the autoBroadcastJoinThreshold,
+  so Catalyst broadcast-hash-joins them; fact-fact joins
+  (orders⋈lineitem) shuffle on the join key — at 100 TB you'd bucket both
+  tables on orderkey to make this a zero-shuffle sort-merge join.
+* aggregations: groupBy().agg() always does partial (map-side) aggregation;
+  count(distinct) compiles to expand+two-phase agg. AQE coalesces the
+  post-shuffle partitions at small SF and splits skewed ones at large SF.
+* windows: partitioned windows shuffle once on the partition key; frames
+  are streaming (running) where possible.
+
+Oracle parity conventions (driver hash-compares values with columns sorted
+by name): every computed column is aliased identically in both dialects;
+double aggregates are rounded (sum→2dp, avg/ratio→4dp) so engine-specific
+float summation order cannot flip the hash; computed integers are cast to
+long because DuckDB widens to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from dbscan_spark.io import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-flavored analytics
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy grouped aggregate with derived expressions."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + grouped agg + deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join (small dims broadcast) + grouped agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + single-row aggregate (pushdown showcase)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal scan: both the filter and the 3-column projection reach the
+    parquet reader (PushedFilters + ReadSchema in .explain)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
+# Join family
+# --------------------------------------------------------------------------
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one open order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(
+        o, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def join_theta_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with an extra range (theta) condition: items shipped more
+    than 90 days after their order date."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation family
+# --------------------------------------------------------------------------
+
+def agg_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (priority, status) → priority → grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag × linestatus."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): big customers only."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+def window_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand (deterministic tie-break)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: days since each customer's previous order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank over supplier balances within nation."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops
+# --------------------------------------------------------------------------
+
+def sort_limit_top_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both finished and pending orders (INTERSECT)."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.intersect(p)
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer keys that never appear in orders (EXCEPT/distinct)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.subtract(o)
+
+
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two entity key spaces with a provenance tag."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("src")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+# --------------------------------------------------------------------------
+# Scalar function families
+# --------------------------------------------------------------------------
+
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_u"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("inflated"),
+        F.abs(F.col("p_size") - F.lit(25)).cast("long").alias("size_dist"),
+        F.round(F.sqrt(F.col("p_retailprice")), 4).alias("price_sqrt"),
+    )
+
+
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+def scalar_array_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed column access over the embeddings table."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.col("embedding")).cast("long").alias("dim"),
+        F.col("embedding")[0].alias("first_val"),
+        F.col("embedding")[63].alias("last_val"),
+        "label",
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props payload column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_val"),
+    )
+
+
+def json_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time windows (batch form of the streaming operators; the streaming
+# module reuses the same expressions over readStream — see
+# dbscan_spark/streaming/events.py)
+# --------------------------------------------------------------------------
+
+def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling event-time windows per event type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event in 2 windows)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "n_events")
+    )
+
+
+def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "scan_filter_project": scan_filter_project,
+    "join_left_outer": join_left_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_theta_late_ship": join_theta_late_ship,
+    "agg_priority_stats": agg_priority_stats,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_having": agg_having,
+    "window_topk_parts": window_topk_parts,
+    "window_order_gaps": window_order_gaps,
+    "window_running_total": window_running_total,
+    "window_rank_dense": window_rank_dense,
+    "sort_limit_top_items": sort_limit_top_items,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "setop_union_all": setop_union_all,
+    "scalar_string_math": scalar_string_math,
+    "scalar_dates": scalar_dates,
+    "scalar_array_access": scalar_array_access,
+    "json_extract_events": json_extract_events,
+    "json_aggregate_events": json_aggregate_events,
+    "window_tumbling_events": window_tumbling_events,
+    "window_sliding_events": window_sliding_events,
+    "window_session_events": window_session_events,
+}
+
+ORACLE = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                    AS sum_qty,
+               round(sum(l_extendedprice), 2)                               AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4)                                    AS avg_qty,
+               round(avg(l_extendedprice), 4)                               AS avg_price,
+               round(avg(l_discount), 4)                                    AS avg_disc,
+               count(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q6_revenue_forecast": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "scan_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 45
+    """,
+    "join_left_outer": """
+        SELECT c_custkey, c_name,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_theta_late_ship": """
+        SELECT o_orderpriority, count(*) AS n_late
+        FROM orders JOIN lineitem
+          ON l_orderkey = o_orderkey
+         AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderpriority
+    """,
+    "agg_priority_stats": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total,
+               round(avg(o_totalprice), 4) AS avg_price,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_count_distinct": """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "agg_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "agg_cube": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_having": """
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+    """,
+    "window_topk_parts": """
+        SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rnk
+            FROM part)
+        WHERE rnk <= 3
+    """,
+    "window_order_gaps": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS days_since_prev
+        FROM orders
+    """,
+    "window_running_total": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_spend
+        FROM orders
+    """,
+    "window_rank_dense": """
+        SELECT s_nationkey, s_suppkey,
+               rank()       OVER w AS bal_rank,
+               dense_rank() OVER w AS bal_dense_rank
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    "sort_limit_top_items": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 20
+    """,
+    "setop_intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "setop_except": """
+        SELECT c_custkey AS key FROM customer
+        EXCEPT
+        SELECT o_custkey AS key FROM orders
+    """,
+    "setop_union_all": """
+        SELECT c_custkey AS key, 'customer' AS src FROM customer
+        UNION ALL
+        SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
+    """,
+    "scalar_string_math": """
+        SELECT p_partkey,
+               upper(p_brand)                    AS brand_u,
+               substring(p_name, 1, 8)           AS name_prefix,
+               length(p_name)                    AS name_len,
+               p_brand || '#' || p_type          AS brand_type,
+               round(p_retailprice * 1.1, 2)     AS inflated,
+               abs(p_size - 25)::BIGINT          AS size_dist,
+               round(sqrt(p_retailprice), 4)     AS price_sqrt
+        FROM part
+    """,
+    "scalar_dates": """
+        SELECT o_orderkey,
+               year(o_orderdate)                      AS order_year,
+               month(o_orderdate)                     AS order_month,
+               date_trunc('month', o_orderdate)       AS month_start,
+               o_orderdate + INTERVAL 30 DAY          AS due_date
+        FROM orders
+    """,
+    "scalar_array_access": """
+        SELECT vec_id,
+               len(embedding)::BIGINT AS dim,
+               embedding[1]  AS first_val,
+               embedding[64] AS last_val,
+               label
+        FROM embeddings
+    """,
+    "json_extract_events": """
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
+    "json_aggregate_events": """
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    # Event-time oracles work in integer microseconds (epoch_us) because the
+    # parquet stores TIMESTAMP(NANOS): Spark sees floor-truncated-to-µs
+    # values, and µs-integer math makes both engines compare identical
+    # quantities. Window boundaries are second-aligned, so truncation can
+    # never flip an event's bucket.
+    "window_tumbling_events": """
+        SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "window_sliding_events": """
+        SELECT make_timestamp(s) AS w_start, count(*) AS n_events
+        FROM (
+            SELECT unnest([(epoch_us(ts) // 300000000) * 300000000,
+                           (epoch_us(ts) // 300000000) * 300000000 - 300000000]) AS s,
+                   epoch_us(ts) AS us
+            FROM events)
+        WHERE us >= s AND us < s + 600000000
+        GROUP BY 1
+    """,
+    "window_session_events": """
+        WITH marked AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ), sess AS (
+            SELECT user_id, us,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id, make_timestamp(min(us)) AS session_start,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
+}

@@ -1,0 +1,86 @@
+"""Every queries() entry must match its DuckDB oracle twin — the same check
+the driver runs (row count + schema + order-insensitive values), exercised
+at sf0.001 in CI so mismatches surface before the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbscan_spark.io import TABLES
+from tests.conftest import SF_TINY
+
+import __spark_entry__ as entry_mod
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_TINY}/{t}.parquet'")
+    return c
+
+
+def canonicalize(df: pd.DataFrame) -> list[tuple]:
+    """Sort columns by name, normalize cell values, return sorted row tuples
+    (order-insensitive comparison, like the driver's value hash)."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        canon = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                canon.append(None)
+            elif isinstance(v, (np.floating, float)):
+                canon.append(round(float(v), 6))
+            elif isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+                canon.append(int(v))
+            elif isinstance(v, pd.Timestamp):
+                canon.append(v.isoformat())
+            else:
+                canon.append(str(v))
+        rows.append(tuple(canon))
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+def test_every_query_has_callable():
+    qs = entry_mod.queries()
+    assert qs, "queries() must not be empty"
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, con, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    got_df = qs[name](spark, SF_TINY).toPandas()
+    if name not in oracles:
+        # rows-only contract: must run and produce a stable schema
+        assert got_df.shape[0] >= 0
+        return
+    want_df = con.sql(oracles[name]).df()
+    assert sorted(got_df.columns) == sorted(want_df.columns), (
+        f"{name}: column names differ: {sorted(got_df.columns)} "
+        f"vs {sorted(want_df.columns)}"
+    )
+    assert got_df.shape[0] == want_df.shape[0], (
+        f"{name}: row count {got_df.shape[0]} != oracle {want_df.shape[0]}"
+    )
+    got_rows, want_rows = canonicalize(got_df), canonicalize(want_df)
+    mismatches = [
+        (g, w) for g, w in zip(got_rows, want_rows) if g != w
+    ]
+    assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
