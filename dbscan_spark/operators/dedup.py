@@ -1,0 +1,349 @@
+"""Deduplication operators over the documents table.
+
+Five dedup strategies a training-data pipeline needs, ordered from exact to
+fuzzy. All hot-path computation is JVM-side (built-in functions — no Python
+in the row path); MinHash/SimHash signatures are computed with array
+folds inside whole-stage codegen.
+
+Scale notes:
+* exact / fingerprint dedup: one shuffle on the hash key; at 100 TB you
+  hash first (64-char digest, not the raw text) so the shuffle carries
+  fixed-width keys.
+* n-gram Jaccard is the oracle-checkable *baseline*: the shingle self-join
+  explodes quadratically inside hot shingles — at scale you run
+  dedup_minhash_lsh (banded LSH prunes candidate pairs to near-linear) and
+  verify only candidates, which is exactly how it is implemented here.
+* embedding cosine dedup: brute-force pair join here; the LSH-bucketed
+  variant for scale lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbscan_spark.functions import as_double_array, cosine, shingles, tokens
+from dbscan_spark.io import load_table
+
+# DuckDB equivalents of the shared normalization/shingling expressions
+# (dbscan_spark/functions/__init__.py) — kept in one place so every oracle
+# below stays in lockstep with the Spark side.
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_SHINGLES = (
+    "list_transform(range(1, greatest(len(t) - 2, 0) + 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+JACCARD_THRESHOLD = 0.8
+COSINE_DEDUP_THRESHOLD = 0.4
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by raw text, keep the lowest doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined fingerprint dedup: md5 of normalized text, so
+    case/punctuation/whitespace variants collapse."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", tokens(F.col("text"))))
+    return (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) distinct pairs where s = xxhash64(3-gram shingle).
+
+    Shingles are hashed to longs immediately: the downstream self-join and
+    aggregations then move fixed-width keys instead of strings — at 100 TB
+    that's the difference between shuffling ~24 B/shingle and hundreds.
+    xxhash64 collisions (~n²/2⁶⁵) are negligible at any realistic corpus
+    size and only perturb a Jaccard estimate marginally if they occur.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    shingles(tokens(F.col("text")), 3),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8.
+
+    Shingle self-join → common counts → |A∩B| / (|A|+|B|-|A∩B|). The
+    threshold is applied to the rounded value so both engines make the
+    identical inclusion decision.
+    """
+    sh = _shingle_table(spark, sf_dir).persist()
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = cnt.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = cnt.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    # floor(x*1e4+0.5)/1e4 instead of round(): pure IEEE arithmetic, so both
+    # engines agree on the exact rational values jaccard produces
+    jac = (
+        F.floor(
+            F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")) * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return (
+        common.join(n1, "doc1")
+        .join(n2, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (the scale path for near-dup)
+# ---------------------------------------------------------------------------
+
+_MINHASH_PERMS = 64
+_LSH_BANDS = 32  # 32 bands × 2 rows: P(catch | j=0.8) ≈ 1 - (1-0.64)^32 ≈ 1
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<long>[64]) — min over permuted shingle hashes.
+
+    All JVM-side: permutation j of shingle s is ``xxhash64(xxhash64(s), j)``
+    (seeded rehash — ANSI-safe, no modular arithmetic), minimum taken per
+    doc with one agg per permutation.
+    """
+    hashed = _shingle_table(spark, sf_dir).withColumnRenamed("s", "h")
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"m{j}")
+            for j in range(_MINHASH_PERMS)
+        ]
+    )
+    return per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"m{j}") for j in range(_MINHASH_PERMS)]).alias("sig"),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified by exact Jaccard.
+
+    Candidate generation: split the 64-long signature into 32 bands of 2,
+    bucket-join docs sharing any band hash (near-linear — no all-pairs
+    scan), then verify candidates with exact shingle Jaccard >= 0.8.
+    Output is a subset of dedup_ngram_jaccard's (recall < 1 in theory,
+    ≈1 at this band count), hence rows-only checked.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for i in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    x, y = bands.alias("x"), bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    exact = dedup_ngram_jaccard(spark, sf_dir)
+    return candidates.join(exact, ["doc1", "doc2"]).select(
+        "doc1", "doc2", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) + pigeonhole banding for hamming<=3 pairs
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash: long) — sign of per-bit weight sums over token
+    hashes, computed entirely with JVM array folds (no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    # weight per bit: +1 if set else -1, summed per doc; then fold the 64
+    # signs back into one long (shiftleft with a column amount needs SQL form)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+                ).alias(f"w{j}")
+                for j in range(64)
+            ]
+        ).alias("w")
+    )
+    sim = F.expr(
+        "aggregate(sequence(0, 63), 0L,"
+        " (acc, j) -> acc + IF(element_at(w, j + 1) > 0, shiftleft(1L, j), 0L))"
+    )
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= 3.
+
+    Pigeonhole: split 64 bits into 4 bands of 16; distance<=3 implies at
+    least one identical band, so an equi-join per band finds all such
+    pairs without an all-pairs scan; exact hamming filter via
+    bit_count(xor)."""
+    sigs = simhash_signatures(spark, sf_dir).persist()
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bh")
+    x, y = bands.alias("x"), bands.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(ham <= 3)
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup vector pairs by cosine >= 0.4 (brute-force pair join;
+    the LSH-bucketed scale path is similarity.ann_topk_lsh)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DEDUP_THRESHOLD)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_fingerprint": f"""
+        SELECT md5(array_to_string({_SQL_TOKS}, ' ')) AS fingerprint,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc1, doc2,
+               floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000 AS jaccard
+        FROM common
+        JOIN cnt x ON doc1 = x.doc_id
+        JOIN cnt y ON doc2 = y.doc_id
+        WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
+              >= {JACCARD_THRESHOLD}
+    """,
+    # dedup_minhash_lsh, dedup_simhash: probabilistic candidate generation —
+    # rows-only check; unit tests pin recall against the exact baseline.
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4)
+              >= {COSINE_DEDUP_THRESHOLD}
+    """,
+}

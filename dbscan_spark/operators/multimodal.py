@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(clearly marked), but the Spark-side plumbing is real and tested: binary
+columns, metadata structs, Arrow-batched ``mapInPandas`` feature
+extraction with a stable output schema, and partition-size control.
+
+In production the blob column comes from `spark.read.format("binaryFile")`
+or a parquet column of encoded bytes; here we derive a deterministic blob
+from documents.text so the pipeline is runnable and oracle-checkable on
+the metadata path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from dbscan_spark.io import load_table
+
+
+def decode_image(blob: bytes) -> "np.ndarray":
+    """STUB: real image decode (PIL/libjpeg) is unavailable in this
+    container. The Spark plumbing around it (schema, batching, partition
+    shape) is real; swap this function for an actual decoder in prod."""
+    raise NotImplementedError(
+        "image codecs not available in this environment; "
+        "use _fake_decode for deterministic testing"
+    )
+
+
+def _fake_decode(blob: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: the blob's bytes as a uint8 array
+    (stands in for decoded pixels)."""
+    return np.frombuffer(blob, dtype=np.uint8)
+
+
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary payload column — byte length and
+    content hash, all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("content_hash"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("byte_std", T.DoubleType(), True),
+        T.StructField("histo16", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` — the pattern for decode/resize/frame-sample at scale:
+    each Arrow batch is decoded in numpy without per-row Python overhead,
+    and the output schema is fixed so downstream operators stay columnar.
+    Uses the deterministic fake decoder (real codec stubbed, see
+    :func:`decode_image`). Rows-only driver check; unit tests pin values.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = [_fake_decode(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": [len(p) for p in pixels],
+                    "byte_mean": [
+                        round(float(p.mean()), 4) if len(p) else None
+                        for p in pixels
+                    ],
+                    "byte_std": [
+                        round(float(p.std()), 4) if len(p) else None
+                        for p in pixels
+                    ],
+                    "histo16": [
+                        np.bincount(p >> 4, minlength=16).astype("int64")
+                        for p in pixels
+                    ],
+                }
+            )
+
+    return d.mapInPandas(extract, _FEATURE_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_blob_meta": multimodal_blob_meta,
+    "multimodal_feature_extract": multimodal_feature_extract,
+}
+
+ORACLE = {
+    "multimodal_blob_meta": """
+        SELECT doc_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               md5(text) AS content_hash,
+               'text/plain' AS mime
+        FROM documents
+    """,
+    # multimodal_feature_extract: numpy kernel inside mapInPandas —
+    # rows-only driver check; unit tests pin the values.
+}

@@ -1,0 +1,152 @@
+"""Similarity search over the embeddings table.
+
+Two paths, as a production ANN stack would have:
+* brute-force cosine top-k — the exact, oracle-checkable baseline; at this
+  SF it's a broadcast nested-loop pair join + per-query window top-k.
+* random-hyperplane LSH top-k — the scale path: sign-bucket every vector,
+  only score candidates sharing a bucket in any hash table (near-linear in
+  data size, probabilistic recall → rows-only checked; a pytest pins
+  recall against the brute-force baseline).
+
+Ranking determinism: both engines order by the *rounded* cosine with
+vec_id tie-breaks, so float last-ulp differences can't flip ranks across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from dbscan_spark.functions import as_double_array, cosine, dot
+from dbscan_spark.io import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+# deterministic Gaussian hyperplanes (fixed seed, generated on the driver,
+# shipped as literals — the standard random-projection LSH construction).
+# 8 tables × 4 planes: these synthetic embeddings are near-orthogonal
+# (top cosine ≈ 0.5 ⇒ P(same side) ≈ 0.67/plane), so shallow tables with
+# more repetitions keep recall high; with genuinely near-duplicate vectors
+# (cos ≥ 0.9) deeper tables get selective again.
+_N_TABLES = 8
+_PLANES_PER_TABLE = 4
+_DIM = 64
+
+
+def _planes() -> "np.ndarray":
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((_N_TABLES, _PLANES_PER_TABLE, _DIM)).round(6)
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each query vector (vec_id < 10)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("v")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def _bucketed(e: DataFrame) -> DataFrame:
+    """(vec_id, v, table, bucket) — sign-pattern bucket per hash table."""
+    planes = _planes()
+    tables = []
+    for t in range(_N_TABLES):
+        bits = []
+        for p in range(_PLANES_PER_TABLE):
+            plane = F.array(
+                *[F.lit(float(planes[t, p, c])) for c in range(_DIM)]
+            )
+            bits.append(
+                F.when(dot(F.col("v"), plane) >= 0, F.lit(1 << p)).otherwise(
+                    F.lit(0)
+                )
+            )
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        tables.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    return e.select(
+        "vec_id", "v", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "v", "tb.table", "tb.bucket")
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 via random-hyperplane LSH.
+
+    Candidates = vectors sharing the query's bucket in any of the 4 hash
+    tables; exact cosine is computed only for candidates. Probabilistic
+    recall → rows-only driver check; tests pin recall ≥ 0.6 vs brute force.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    buckets = _bucketed(e)
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        q.join(buckets, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .distinct()
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("v")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+QUERIES = {
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+}
+
+ORACLE = {
+    "ann_topk_bruteforce": f"""
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT q.vec_id AS query_id,
+                   e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]), 4) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                             e.embedding::DOUBLE[]), 4) DESC,
+                                e.vec_id) AS rnk
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES})
+        WHERE rnk <= {TOP_K}
+    """,
+    # ann_topk_lsh: probabilistic recall — rows-only check.
+}

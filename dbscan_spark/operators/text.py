@@ -1,0 +1,236 @@
+"""Text analysis operators over the documents table.
+
+Language ID (stopword voting), quality scoring, token counting
+(whitespace + BPE-ish regex), word frequency, and order-insensitive
+document fingerprinting. Everything is built-in-function only (JVM-side,
+whole-stage codegen) and every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from dbscan_spark.functions import norm_text, tokens
+from dbscan_spark.io import load_table
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+
+
+def _r4(col):
+    """Round-half-up to 4dp via floor(x*1e4 + 0.5)/1e4 — unlike round(),
+    this is pure IEEE arithmetic, so Spark and DuckDB agree bit-for-bit on
+    the rational ratio values these operators produce (plain round()
+    implementations disagree on exact .5 boundaries).
+    DuckDB twin: ``floor(x * 10000 + 0.5) / 10000``."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+#: Same regex semantics in Java (Spark) and RE2 (DuckDB) for this pattern.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: (lang, stopword) vote table — tiny, broadcast. Disjoint across languages
+#: so the argmax has no cross-language ties on a single word.
+STOPWORDS: list[tuple[str, str]] = [
+    ("en", "the"), ("en", "a"), ("en", "of"), ("en", "and"), ("en", "to"),
+    ("es", "el"), ("es", "los"), ("es", "las"), ("es", "una"), ("es", "por"),
+    ("de", "der"), ("de", "und"), ("de", "das"), ("de", "ein"), ("de", "ist"),
+    ("fr", "le"), ("fr", "les"), ("fr", "une"), ("fr", "des"), ("fr", "est"),
+    ("zh", "de5"), ("zh", "shi4"), ("zh", "le5"), ("zh", "zai4"), ("zh", "he2"),
+]
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts: whitespace tokens, BPE-ish pieces, chars,
+    average token length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    n_toks = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("long").alias(
+            "n_bpe_pieces"
+        ),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        _r4(tok_chars / F.nullif(n_toks.cast("double"), F.lit(0.0))).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: most stopword hits wins (ties → lang asc);
+    docs with zero hits → 'und'."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = d.sparkSession.createDataFrame(STOPWORDS, "lang string, word string")
+    hits = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .join(F.broadcast(sw), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_hits")
+    )
+    return d.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from length / punctuation / digit /
+    stopword signals (the usual pre-training quality gates)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    non_alnum = n_chars - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    ).cast("double")
+    digits = F.length(
+        F.regexp_replace(F.col("text"), "[^0-9]", "")
+    ).cast("double")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks).cast("double")
+    en_words = F.array(*[F.lit(w) for lang, w in STOPWORDS if lang == "en"])
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(en_words, t))
+    ).cast("double")
+    punct_ratio = non_alnum / F.nullif(n_chars, F.lit(0.0))
+    digit_ratio = digits / F.nullif(n_chars, F.lit(0.0))
+    stop_ratio = stop_hits / F.nullif(n_toks, F.lit(0.0))
+    length_score = F.least(n_toks / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (1 - punct_ratio)
+        + F.lit(0.2) * (1 - digit_ratio)
+        + F.lit(0.1) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        _r4(punct_ratio).alias("punct_ratio"),
+        _r4(digit_ratio).alias("digit_ratio"),
+        _r4(stop_ratio).alias("stopword_ratio"),
+        _r4(score).alias("quality_score"),
+    )
+
+
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 words (deterministic tie-break on the word)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (bag-of-words identity, robust to shuffling)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_language_id": text_language_id,
+    "text_quality_score": text_quality_score,
+    "text_word_freq": text_word_freq,
+    "text_fingerprint": text_fingerprint,
+}
+
+_SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
+_SQL_EN_LIST = ", ".join(
+    f"'{w}'" for lang, w in STOPWORDS if lang == "en"
+)
+
+ORACLE = {
+    "text_token_stats": f"""
+        WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(regexp_extract_all(text, '{_BPE_RE}'))::BIGINT AS n_bpe_pieces,
+               length(text)::BIGINT AS n_chars_measured,
+               floor(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                     / nullif(len(toks), 0)::DOUBLE * 10000 + 0.5) / 10000
+                   AS avg_token_len
+        FROM t
+    """,
+    "text_language_id": f"""
+        WITH sw(lang, word) AS (VALUES {_SQL_STOPWORDS}),
+        words AS (SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents),
+        hits AS (
+            SELECT doc_id, lang, count(*) AS n_hits
+            FROM words JOIN sw USING (word) GROUP BY doc_id, lang),
+        best AS (
+            SELECT doc_id, lang, n_hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n_hits DESC, lang) AS rn
+            FROM hits)
+        SELECT d.doc_id,
+               coalesce(b.lang, 'und') AS pred_lang,
+               coalesce(b.n_hits, 0) AS n_hits
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON d.doc_id = b.doc_id
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   length(text)::DOUBLE AS n_chars,
+                   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE AS non_alnum,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
+                   {_SQL_TOKS} AS toks
+            FROM documents),
+        r AS (
+            SELECT doc_id,
+                   non_alnum / nullif(n_chars, 0) AS punct_ratio,
+                   digits / nullif(n_chars, 0) AS digit_ratio,
+                   len(list_filter(toks, x -> list_contains([{_SQL_EN_LIST}], x)))::DOUBLE
+                       / nullif(len(toks), 0) AS stop_ratio,
+                   least(len(toks) / 64.0, 1.0) AS length_score
+            FROM t)
+        SELECT doc_id,
+               floor(punct_ratio * 10000 + 0.5) / 10000 AS punct_ratio,
+               floor(digit_ratio * 10000 + 0.5) / 10000 AS digit_ratio,
+               floor(stop_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
+               floor((0.4 * length_score + 0.3 * (1 - punct_ratio)
+                      + 0.2 * (1 - digit_ratio)
+                      + 0.1 * least(stop_ratio * 5, 1.0)) * 10000 + 0.5) / 10000
+                   AS quality_score
+        FROM r
+    """,
+    "text_word_freq": f"""
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+        WHERE length(word) > 0
+        GROUP BY word
+        ORDER BY freq DESC, word
+        LIMIT 20
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))
+                   AS fingerprint
+        FROM documents
+    """,
+}

@@ -1,0 +1,20 @@
+"""Structured Streaming operators (event-time windows, sessionization,
+custom stateful aggregation)."""
+
+from dbscan_spark.streaming.events import (
+    events_stream_dir,
+    read_events_stream,
+    run_to_memory,
+    streaming_session_counts,
+    streaming_tumbling_counts,
+    streaming_user_totals,
+)
+
+__all__ = [
+    "events_stream_dir",
+    "read_events_stream",
+    "run_to_memory",
+    "streaming_session_counts",
+    "streaming_tumbling_counts",
+    "streaming_user_totals",
+]

@@ -1,0 +1,170 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming at all (SURVEY.md §2.2); this module gives
+the engine the standard event-stream surface: watermarked tumbling/sliding
+windows, session windows, and a custom stateful operator via
+``applyInPandasWithState`` — the same aggregation *expressions* as the
+batch queries in operators/relational.py, so batch results double as the
+streaming oracle (exercised in tests with an availableNow trigger).
+
+Scale notes: streaming state lives in the state store keyed by
+(window/session, key); watermarks bound state size — without one, complete
+mode must hold every window forever. Shuffle partitioning of the stateful
+operators follows spark.sql.shuffle.partitions, same tuning as batch.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: events schema as stored (ts is TIMESTAMP(NANOS) → long under
+#: nanosAsLong; see dbscan_spark.io.load_table for the batch twin)
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files (each
+    newly arriving file becomes a micro-batch; in production this is a
+    kafka/kinesis source with the same downstream plan).
+
+    ``events_dir`` must be a directory (Spark file-source requirement).
+    For the single-file testdata layout, symlink ``events.parquet`` into a
+    scratch dir (see tests/test_streaming.py) — the helper
+    :func:`events_stream_dir` does this.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def events_stream_dir(sf_dir: str) -> str:
+    """Materialize a streamable directory for the testdata's single
+    events.parquet file (symlink into a scratch dir, idempotent)."""
+    import tempfile
+
+    target = os.path.join(sf_dir, "events.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(), "dbscan_spark_events_" + sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(target, link)
+    return link_dir
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked 10-minute tumbling counts per event type — the streaming
+    twin of relational.window_tumbling_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked per-user session windows (inactivity gap) — the
+    streaming twin of relational.window_session_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def streaming_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user event count and value
+    via ``applyInPandasWithState`` (arbitrary state, the escape hatch for
+    semantics window aggregates can't express)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain the stream into an in-memory table with an availableNow
+    trigger (process everything currently available, then stop)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,134 @@
+"""LLM-data-pipeline operators: properties the oracle can't check —
+LSH recall vs exact baselines, simhash behavior, multimodal feature values."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from dbscan_spark.operators import dedup, multimodal, similarity
+from tests.conftest import SF_TINY
+
+
+def pairs(df, c1="doc1", c2="doc2"):
+    return {(r[c1], r[c2]) for r in df.collect()}
+
+
+def test_minhash_lsh_subset_and_recall(spark):
+    """LSH output must be a subset of the exact jaccard pairs; at 32 bands
+    of 2 rows the expected recall at j>=0.8 is ~1 — require 100% here."""
+    exact = pairs(dedup.dedup_ngram_jaccard(spark, SF_TINY))
+    lsh = pairs(dedup.dedup_minhash_lsh(spark, SF_TINY))
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) == 1.0, (len(lsh), len(exact))
+
+
+def test_minhash_signature_shape(spark):
+    row = dedup.minhash_signatures(spark, SF_TINY).first()
+    assert len(row["sig"]) == 64
+
+
+def test_simhash_finds_identical_token_bags(spark):
+    """Docs with identical token *bags* have identical simhash (hamming 0),
+    so every unigram-jaccard==1.0 pair must appear in dedup_simhash output.
+    (Precision vs n-gram jaccard is NOT asserted: simhash encodes unigram
+    bags, and weak-signal collisions are inherent on a tiny vocabulary.)"""
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.functions import tokens
+    from dbscan_spark.io import load_table
+
+    d = load_table(spark, SF_TINY, "documents").select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tokens(F.col("text")))).alias("bag"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    # identical multisets: same sorted distinct bag AND same sorted full list
+    same_bag = {
+        (r["d1"], r["d2"])
+        for r in a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.bag") == F.col("b.bag"))
+            & (
+                F.array_sort(F.col("a.toks")) == F.array_sort(F.col("b.toks"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .collect()
+    }
+    sim = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in dedup.dedup_simhash(spark, SF_TINY).collect()
+    }
+    for p in same_bag:
+        assert p in sim and sim[p] == 0, f"identical-bag pair {p} missed"
+    assert all(0 <= h <= 3 for h in sim.values())
+
+
+def test_simhash_deterministic(spark):
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, SF_TINY).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, SF_TINY).collect()}
+    assert a == b
+
+
+def test_ann_lsh_recall(spark):
+    """LSH ANN must recover a healthy fraction of the true top-5 sets."""
+    bf = similarity.ann_topk_bruteforce(spark, SF_TINY)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    approx = similarity.ann_topk_lsh(spark, SF_TINY)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert truth, "brute force returned nothing"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_features_match_numpy(spark):
+    """mapInPandas features equal a direct numpy computation on the bytes."""
+    import numpy as np
+
+    rows = multimodal.multimodal_feature_extract(spark, SF_TINY).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_TINY}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:20]:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        assert r["n_bytes"] == len(raw)
+        assert r["byte_mean"] == pytest.approx(round(float(arr.mean()), 4))
+        assert list(r["histo16"]) == list(np.bincount(arr >> 4, minlength=16))
+        assert sum(r["histo16"]) == r["n_bytes"]
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff")
+
+
+def test_fingerprint_order_insensitive(spark):
+    """Same token bag in different order → same fingerprint (by construction:
+    md5 over sorted distinct tokens)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_fp_docs")
+    from dbscan_spark.functions import tokens
+    from pyspark.sql import functions as F
+
+    fp = df.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+        ).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fp}
+    assert by_id[1] == by_id[2] != by_id[3]
+    # cross-check against hashlib on the known token bag
+    expected = hashlib.md5(b"alpha beta gamma").hexdigest()
+    assert by_id[1] == expected
