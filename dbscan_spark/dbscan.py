@@ -264,20 +264,19 @@ def predict(
     cell key (shuffle hash join — no cross join), exact-filter by distance,
     then window top-1. ``model`` is the output of :func:`dbscan`.
     """
+    from pyspark.sql.window import Window
+
     cores = model.filter(F.col("flag") == "core").select(
         F.col(x_col).alias("core_x"),
         F.col(y_col).alias("core_y"),
-        "cluster",
+        F.col("cluster").alias("core_cluster"),
         F.floor(F.col(x_col) / eps).cast("long").alias("cell_x"),
         F.floor(F.col(y_col) / eps).cast("long").alias("cell_y"),
-    )
-    offsets = F.expr(
-        "explode(array(-1L, 0L, 1L))"
     )
     probes = (
         new_points.withColumn("_cx", F.floor(F.col(x_col) / eps).cast("long"))
         .withColumn("_cy", F.floor(F.col(y_col) / eps).cast("long"))
-        .withColumn("_ox", offsets)
+        .withColumn("_ox", F.expr("explode(array(-1L, 0L, 1L))"))
         .withColumn("_oy", F.expr("explode(array(-1L, 0L, 1L))"))
         .withColumn("cell_x", F.col("_cx") + F.col("_ox"))
         .withColumn("cell_y", F.col("_cy") + F.col("_oy"))
@@ -285,26 +284,29 @@ def predict(
     dx = F.col(x_col) - F.col("core_x")
     dy = F.col(y_col) - F.col("core_y")
     dist2 = dx * dx + dy * dy
-    from pyspark.sql.window import Window
 
-    joined = (
-        probes.join(cores, ["cell_x", "cell_y"], "left")
+    # inner join + ε filter first, THEN left-join the winners back onto the
+    # probes: a probe whose candidate cells all hold cores beyond ε must
+    # still surface as noise (a pure left-join-then-filter would drop it).
+    best = (
+        probes.join(cores, ["cell_x", "cell_y"])
         .withColumn("_d2", dist2)
-        .filter(F.col("core_x").isNull() | (F.col("_d2") <= eps * eps))
+        .filter(F.col("_d2") <= eps * eps)
         .withColumn(
             "_rn",
             F.row_number().over(
                 Window.partitionBy(*new_points.columns).orderBy(
-                    F.col("_d2").asc_nulls_last(), F.col("cluster").asc_nulls_last()
+                    F.col("_d2").asc(), F.col("core_cluster").asc()
                 )
             ),
         )
         .filter(F.col("_rn") == 1)
+        .select(*new_points.columns, "core_cluster")
     )
-    return joined.select(
+    return new_points.join(best, new_points.columns, "left").select(
         *new_points.columns,
-        F.coalesce(F.col("cluster"), F.lit(0)).alias("cluster"),
-        F.when(F.col("core_x").isNotNull(), F.lit("border"))
+        F.coalesce(F.col("core_cluster"), F.lit(0)).alias("cluster"),
+        F.when(F.col("core_cluster").isNotNull(), F.lit("border"))
         .otherwise(F.lit("noise"))
         .alias("flag"),
     )

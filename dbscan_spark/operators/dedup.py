@@ -67,27 +67,34 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) distinct pairs where s = xxhash64(3-gram shingle).
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs: array<long>) — per-doc DISTINCT xxhash64'd 3-gram
+    shingles, deduped locally with array_distinct (no global shuffle).
 
-    Shingles are hashed to longs immediately: the downstream self-join and
-    aggregations then move fixed-width keys instead of strings — at 100 TB
+    Shingles are hashed to longs immediately: every downstream join and
+    aggregation then moves fixed-width keys instead of strings — at 100 TB
     that's the difference between shuffling ~24 B/shingle and hundreds.
     xxhash64 collisions (~n²/2⁶⁵) are negligible at any realistic corpus
     size and only perturb a Jaccard estimate marginally if they occur.
     """
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    shingles(tokens(F.col("text")), 3),
-                    lambda s: F.xxhash64(s),
-                )
-            ).alias("s"),
-        )
-        .distinct()
+    return d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                shingles(tokens(F.col("text")), 3),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("hs"),
+    )
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) distinct pairs — the exploded form of
+    :func:`_doc_shingle_hashes` (distinctness is per-doc, which is exactly
+    the global (doc_id, s) distinctness, so no shuffle is needed)."""
+    return _doc_shingle_hashes(spark, sf_dir).select(
+        "doc_id", F.explode("hs").alias("s")
     )
 
 
@@ -135,17 +142,25 @@ _MINHASH_PERMS = 64
 _LSH_BANDS = 32  # 32 bands × 2 rows: P(catch | j=0.8) ≈ 1 - (1-0.64)^32 ≈ 1
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, shingle_df: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig: array<long>[64]) — min over permuted shingle hashes.
 
-    All JVM-side: permutation j of shingle s is ``xxhash64(xxhash64(s), j)``
-    (seeded rehash — ANSI-safe, no modular arithmetic), minimum taken per
-    doc with one agg per permutation.
+    All JVM-side: permutation j of shingle s is ``xxhash64(s, j)`` (seeded
+    rehash — ANSI-safe, no modular arithmetic), minimum taken per doc with
+    one hash-aggregate per permutation over the exploded shingle table.
+    Explode + HashAggregate is deliberately chosen over an
+    array_min/transform projection: higher-order array functions are
+    CodegenFallback (interpreted per row), while this shape stays inside
+    whole-stage codegen with map-side partial mins, so the shuffle carries
+    only #docs x 64 longs.
     """
-    hashed = _shingle_table(spark, sf_dir).withColumnRenamed("s", "h")
-    per_doc = hashed.groupBy("doc_id").agg(
+    if shingle_df is None:
+        shingle_df = _shingle_table(spark, sf_dir)
+    per_doc = shingle_df.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"m{j}")
+            F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"m{j}")
             for j in range(_MINHASH_PERMS)
         ]
     )
@@ -160,11 +175,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate generation: split the 64-long signature into 32 bands of 2,
     bucket-join docs sharing any band hash (near-linear — no all-pairs
-    scan), then verify candidates with exact shingle Jaccard >= 0.8.
-    Output is a subset of dedup_ngram_jaccard's (recall < 1 in theory,
-    ≈1 at this band count), hence rows-only checked.
+    scan), then verify candidates with exact shingle Jaccard >= 0.8
+    computed ONLY over the candidate pairs (never the full quadratic
+    shingle self-join dedup_ngram_jaccard pays — that is the whole point
+    of LSH at scale). Output is a subset of dedup_ngram_jaccard's
+    (recall < 1 in theory, ≈1 at this band count), hence rows-only
+    checked; a pytest pins recall against the exact baseline.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    sh = _shingle_table(spark, sf_dir).persist()
+    sigs = minhash_signatures(spark, sf_dir, shingle_df=sh)
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -184,7 +203,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    ).select("doc_id", "b.band", "b.bh").persist()
     x, y = bands.alias("x"), bands.alias("y")
     candidates = (
         x.join(
@@ -198,9 +217,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    exact = dedup_ngram_jaccard(spark, sf_dir)
-    return candidates.join(exact, ["doc1", "doc2"]).select(
-        "doc1", "doc2", "jaccard"
+    # exact-Jaccard verify restricted to candidates: expand each candidate
+    # pair by doc1's shingles (equi-join), then probe doc2's shingle set —
+    # work is O(candidates × shingles/doc), not O(all-pairs)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        candidates.join(sh.select(F.col("doc_id").alias("doc1"), "s"), "doc1")
+        .join(sh.select(F.col("doc_id").alias("doc2"), "s"), ["doc2", "s"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = cnt.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = cnt.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = (
+        F.floor(
+            F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")) * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return (
+        common.join(n1, "doc1")
+        .join(n2, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 

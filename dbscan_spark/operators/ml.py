@@ -10,25 +10,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dbscan_spark.dbscan import dbscan
+from dbscan_spark.dbscan import dbscan, predict
 from dbscan_spark.io import load_table
+
+
+def _points_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
 
 
 def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the embeddings table projected to 2-D (the reference's
     own 2-D rule, DBSCANPoint.scala:23-24): (vec_id, cluster, flag)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    pts = e.select(
-        "vec_id",
-        F.col("embedding")[0].cast("double").alias("x"),
-        F.col("embedding")[1].cast("double").alias("y"),
-    )
+    pts = _points_2d(spark, sf_dir)
     out = dbscan(pts, eps=0.05, min_points=5, max_points_per_partition=250)
     return out.select("vec_id", "cluster", "flag")
 
 
+def dbscan_predict_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based labeling of unseen points — the operator the reference
+    declares but never implements (predict throws NotImplementedError,
+    DBSCAN.scala:244-251). Fit on 90% of the vectors, label the held-out
+    10% against the fitted cores via the cell-ring join in
+    dbscan_spark.dbscan.predict."""
+    pts = _points_2d(spark, sf_dir)
+    train = pts.filter(F.col("vec_id") % 10 != 0)
+    test = pts.filter(F.col("vec_id") % 10 == 0)
+    model = dbscan(train, eps=0.05, min_points=5, max_points_per_partition=250)
+    return predict(model, test, eps=0.05).select("vec_id", "cluster", "flag")
+
+
 QUERIES = {
     "dbscan_embeddings": dbscan_embeddings,
+    "dbscan_predict_holdout": dbscan_predict_holdout,
 }
 
 ORACLE: dict[str, str] = {}

@@ -9,7 +9,6 @@ whole-stage codegen) and every operator has an exact DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from dbscan_spark.functions import norm_text, tokens
 from dbscan_spark.io import load_table
@@ -79,11 +78,23 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    # argmax via one more hash aggregate instead of a window: min of
+    # (-n_hits, lang) is (most hits, ties -> lang asc) — saves the
+    # window's per-partition sort pass, and partials combine map-side
     best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_hits")
+        hits.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_hits")).alias("neg"), F.col("lang").alias("lang")
+                )
+            ).alias("_b")
+        )
+        .select(
+            "doc_id",
+            F.col("_b.lang").alias("lang"),
+            (-F.col("_b.neg")).alias("n_hits"),
+        )
     )
     return d.select("doc_id").join(best, "doc_id", "left").select(
         "doc_id",

@@ -97,3 +97,26 @@ def test_predict_labels_new_points(spark, golden_df):
     )
     got = predict(model, near, eps=0.3).collect()
     assert got[0]["cluster"] == core["cluster"]
+
+
+def test_predict_surrounded_but_out_of_range(spark):
+    """Regression: a probe whose entire 3x3 candidate-cell ring contains
+    core points, every one beyond eps, must still come back as noise (not
+    silently vanish from the output)."""
+    eps = 0.3
+    # probe at (0.02, 0.02) in cell (0,0); one core per ring cell, each
+    # placed > eps from the probe
+    cores = [
+        (0.29, 0.29),    # cell (0,0), dist ~0.382
+        (0.59, 0.02), (0.59, 0.59), (0.59, -0.29),   # cells (1, *)
+        (-0.29, 0.02), (-0.29, 0.59), (-0.29, -0.29),  # cells (-1, *)
+        (0.02, 0.59), (0.02, -0.29),  # cells (0, 1) and (0, -1)
+    ]
+    model = spark.createDataFrame(
+        [(x, y, 1, "core") for x, y in cores],
+        "x double, y double, cluster long, flag string",
+    )
+    probe = spark.createDataFrame([(7, 0.02, 0.02)], "nid long, x double, y double")
+    rows = predict(model, probe, eps=eps).collect()
+    assert len(rows) == 1
+    assert rows[0]["cluster"] == 0 and rows[0]["flag"] == "noise"
