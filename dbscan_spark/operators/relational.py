@@ -455,6 +455,173 @@ def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SQL entry point, grouping sets, pivot, percentiles, subqueries, frames
+# --------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the spark.sql entry point: revenue at
+    (region, nation), (region) and grand-total granularities in one pass
+    (Catalyst compiles it to a single Expand + hash aggregate)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("v_region")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+def pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per market segment x order priority. The pivot
+    value list is pinned so the plan is a single pass (no distinct-values
+    pre-query) — the spelled-out conditional aggregation is exactly what
+    Catalyst lowers pivot to."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renames = dict(zip(_PRIORITIES, _PRIORITY_COLS))
+    return piv.select(
+        "c_mktsegment",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p])
+            for p in _PRIORITIES
+        ],
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per return flag (both
+    engines use linear interpolation: Spark percentile(), DuckDB
+    quantile_cont)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: every customer against the per-customer order
+    rollup of high-value orders — customers with no qualifying order keep
+    a null side, qualifying orders with no customer would too."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.round(F.sum("o_totalprice"), 2).alias("big_total"),
+        )
+    )
+    return c.join(big, c.c_custkey == big.o_custkey, "full_outer").select(
+        "c_custkey", "c_mktsegment", "o_custkey", "n_big", "big_total"
+    )
+
+
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders priced above the global average (the
+    subquery side is a 1-row broadcast)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders)
+        """
+    )
+
+
+def subquery_exists_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers having at least one urgent order
+    (Catalyst rewrites it to a left-semi join)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_customer
+        WHERE EXISTS (
+            SELECT 1 FROM v_orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-frame window: 3-row trailing moving average of order totals per
+    customer (rowsBetween(-2, 0) over a fully deterministic ordering)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg_3"),
+    )
+
+
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nations of customers with >400k orders plus
+    nations of suppliers of expensive parts."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cust_nations = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp_nations = s.filter(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust_nations.union(supp_nations).distinct()
+
+
+def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif / least / greatest over lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none"))
+        .alias("return_kind"),
+        F.round(
+            F.least(F.col("l_extendedprice"), F.lit(20000.0)), 2
+        ).alias("capped_price"),
+        F.greatest(F.col("l_tax"), F.col("l_discount")).alias("max_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
 
@@ -489,6 +656,15 @@ QUERIES = {
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
     "window_session_events": window_session_events,
+    "agg_grouping_sets": agg_grouping_sets,
+    "pivot_segment_priority": pivot_segment_priority,
+    "agg_percentiles": agg_percentiles,
+    "join_full_outer": join_full_outer,
+    "subquery_above_avg": subquery_above_avg,
+    "subquery_exists_urgent": subquery_exists_urgent,
+    "window_moving_avg": window_moving_avg,
+    "setop_union_distinct": setop_union_distinct,
+    "scalar_conditionals": scalar_conditionals,
 }
 
 ORACLE = {
@@ -727,5 +903,86 @@ ORACLE = {
         SELECT user_id, make_timestamp(min(us)) AS session_start,
                count(*) AS n_events
         FROM sess GROUP BY user_id, sid
+    """,
+    "agg_grouping_sets": """
+        SELECT r_name, n_name,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+    "pivot_segment_priority": """
+        SELECT c_mktsegment,
+               count(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+               count(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+               count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+               count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+                   AS p4_not_specified,
+               count(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "agg_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+               round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+               round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "join_full_outer": """
+        SELECT c_custkey, c_mktsegment, o_custkey, n_big, big_total
+        FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+        FULL OUTER JOIN (
+            SELECT o_custkey,
+                   count(*) AS n_big,
+                   round(sum(o_totalprice), 2) AS big_total
+            FROM orders WHERE o_totalprice > 400000
+            GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey
+    """,
+    "subquery_above_avg": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    "subquery_exists_urgent": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+    "window_moving_avg": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(avg(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                   AS moving_avg_3
+        FROM orders
+    """,
+    "setop_union_distinct": """
+        SELECT c_nationkey AS nationkey
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 400000
+        UNION
+        SELECT s_nationkey AS nationkey
+        FROM supplier WHERE s_acctbal > 5000
+    """,
+    "scalar_conditionals": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity >= 40 THEN 'bulk'
+                    WHEN l_quantity >= 10 THEN 'mid'
+                    ELSE 'small' END AS qty_band,
+               coalesce(nullif(l_returnflag, 'N'), 'none') AS return_kind,
+               round(least(l_extendedprice, 20000.0), 2) AS capped_price,
+               greatest(l_tax, l_discount) AS max_rate
+        FROM lineitem
     """,
 }

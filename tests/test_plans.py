@@ -1,0 +1,99 @@
+"""Physical-plan audits: the scale-critical plan properties each operator
+family relies on must actually appear in the optimized plan — a correct
+answer produced by the wrong plan (full scan instead of pushdown, shuffle
+join instead of broadcast) is a bug at 100 TB even when it passes the
+value check at test SF.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_TINY
+
+import __spark_entry__ as entry_mod
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_TINY)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushed_to_parquet(spark):
+    """scan_filter_project must push its predicate and read only the
+    referenced columns (ReadSchema pruned)."""
+    plan = plan_of(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+    # column pruning: the lineitem scan must not materialize all 16 columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and read_schema[0].count(",") < 8
+
+
+def test_dimension_joins_are_broadcast(spark):
+    """q5 joins five dimension tables onto lineitem — every dimension side
+    must be broadcast (no shuffle of the fact table per dimension)."""
+    plan = plan_of(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 2
+
+
+def test_q1_has_partial_aggregation(spark):
+    """q1's groupBy must compile to partial (map-side) + final hash
+    aggregation, and stay inside whole-stage codegen."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.count("Exchange") <= 2  # one shuffle for the agg (+AQE read)
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS must be one Expand + aggregate, not a union of
+    re-scans."""
+    plan = plan_of(spark, "agg_grouping_sets")
+    tree = plan.split("\n\n")[0]  # the plan tree, before the node details
+    assert tree.count("Expand") == 1
+    assert "Union" not in tree
+
+
+def test_exists_subquery_becomes_semi_join(spark):
+    """Correlated EXISTS must be unnested into a semi join, not a
+    per-row subquery."""
+    plan = plan_of(spark, "subquery_exists_urgent")
+    assert "LeftSemi" in plan
+
+
+def test_exact_dedup_no_join(spark):
+    """Exact dedup is a single hash aggregate over the md5 key — any join
+    in the plan means the implementation regressed."""
+    plan = plan_of(spark, "dedup_exact")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    """The query-vector side (10 rows) must broadcast; the corpus side
+    must stream (never be collected or broadcast)."""
+    plan = plan_of(spark, "ann_topk_bruteforce")
+    assert "Broadcast" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "agg_priority_stats",
+        "window_running_total",
+        "dedup_exact",
+        "text_token_stats",
+    ],
+)
+def test_no_python_udfs_in_hot_paths(spark, name):
+    """The relational/dedup/text hot paths must stay JVM-side: no
+    BatchEvalPython (row-at-a-time UDF) or ArrowEvalPython stages."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
