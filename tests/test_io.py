@@ -1,0 +1,52 @@
+"""Sources and sinks: reference-format CSV round-trip (reference O1/O2 —
+textFile + split(',') in, "$x,$y,$cluster" lines out, README.md:73-85) and
+the parquet sink with hive-style partitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbscan_spark.io import (
+    load_table,
+    read_points_csv,
+    write_clustered_csv,
+    write_parquet,
+)
+from tests.conftest import SF_TINY
+
+
+def test_csv_roundtrip_reference_format(spark, tmp_path):
+    pts = spark.createDataFrame(
+        [(1.5, -2.25, 3), (0.0, 4.5, 0)], "x double, y double, cluster long"
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered_csv(pts, out)
+    back = read_points_csv(spark, out)
+    rows = {(r["x"], r["y"]): r["expected"] for r in back.collect()}
+    assert rows == {(1.5, -2.25): 3.0, (0.0, 4.5): 0.0}
+
+
+def test_read_points_csv_two_column(spark, tmp_path):
+    """The label column is optional, as in the reference's usage input."""
+    p = tmp_path / "pts.csv"
+    p.write_text("1.0,2.0\n-3.5,0.25\n")
+    rows = read_points_csv(spark, str(p)).collect()
+    assert {(r["x"], r["y"]) for r in rows} == {(1.0, 2.0), (-3.5, 0.25)}
+    assert all(r["expected"] is None for r in rows)
+
+
+def test_parquet_sink_partitioned_scan_prunes(spark, tmp_path):
+    """Hive-partitioned sink: reading back with a partition predicate must
+    prune to one partition directory."""
+    out = str(tmp_path / "by_flag")
+    lineitem = load_table(spark, SF_TINY, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    write_parquet(lineitem, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    want = lineitem.filter(F.col("l_returnflag") == "R").count()
+    assert back.count() == want
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
