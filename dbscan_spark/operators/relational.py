@@ -621,6 +621,51 @@ def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column construction and access: build a map from scalar
+    columns, read it back with element_at, enumerate its keys."""
+    l = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("tax"), F.col("l_tax"),
+        F.lit("discount"), F.col("l_discount"),
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_val"),
+        F.element_at(m, "tax").alias("tax_val"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+    )
+
+
+def explode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view): the first four embedding
+    components as (vec_id, pos, val) rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding"), 1, 4)).alias("pos", "val_f"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("val_f").cast("double"), 6).alias("val"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch vs exact distinct count per return flag. The sketch is
+    engine-specific (Spark HLL++ vs DuckDB's estimator disagree by design)
+    so this is rows-only checked; tests/test_llm_ops.py pins the sketch
+    within 5% of exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -665,6 +710,9 @@ QUERIES = {
     "window_moving_avg": window_moving_avg,
     "setop_union_distinct": setop_union_distinct,
     "scalar_conditionals": scalar_conditionals,
+    "scalar_map_ops": scalar_map_ops,
+    "explode_embedding_head": explode_embedding_head,
+    "agg_approx_distinct": agg_approx_distinct,
 }
 
 ORACLE = {
@@ -985,4 +1033,23 @@ ORACLE = {
                greatest(l_tax, l_discount) AS max_rate
         FROM lineitem
     """,
+    "scalar_map_ops": """
+        SELECT l_orderkey, l_linenumber,
+               m['qty'][1] AS qty_val,
+               m['tax'][1] AS tax_val,
+               cardinality(m)::BIGINT AS n_keys,
+               array_to_string(list_sort(map_keys(m)), ',') AS keys_csv
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   MAP {'qty': l_quantity, 'tax': l_tax,
+                        'discount': l_discount} AS m
+            FROM lineitem)
+    """,
+    "explode_embedding_head": """
+        SELECT vec_id, i - 1 AS pos,
+               round(embedding[i]::DOUBLE, 6) AS val
+        FROM embeddings, generate_series(1, 4) t(i)
+    """,
+    # agg_approx_distinct: HLL sketch values are engine-specific —
+    # rows-only check; tests pin the estimate within 5% of exact.
 }

@@ -132,3 +132,15 @@ def test_fingerprint_order_insensitive(spark):
     # cross-check against hashlib on the known token bag
     expected = hashlib.md5(b"alpha beta gamma").hexdigest()
     assert by_id[1] == expected
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The HLL++ sketch must track the exact distinct count within 5% on
+    every group (rows-only driver check, so accuracy is pinned here)."""
+    from dbscan_spark.operators.relational import agg_approx_distinct
+    from tests.conftest import SF_TINY
+
+    for r in agg_approx_distinct(spark, SF_TINY).collect():
+        exact = r["exact_orders"]
+        assert exact > 0
+        assert abs(r["approx_orders"] - exact) / exact < 0.05, r
