@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from dbscan_spark.graph import assign_global_ids
-from dbscan_spark.kernel import local_dbscan
+from dbscan_spark.kernel import local_dbscan_matrix
 from dbscan_spark.partitioner import Rectangle, find_partitions, margins
 
 _FLAG_RANK = {"noise": 0, "border": 1, "core": 2}
@@ -79,17 +79,29 @@ def dbscan(
     max_points_per_partition: int = 250,
     x_col: str = "x",
     y_col: str = "y",
+    features_col: str | None = None,
 ) -> DataFrame:
-    """Cluster 2-D points; returns the input columns plus
-    ``cluster`` (long, 0 = noise) and ``flag`` ('core'|'border'|'noise').
+    """Cluster points; returns the input columns plus ``cluster`` (long,
+    0 = noise) and ``flag`` ('core'|'border'|'noise').
 
-    Points are identified by their (x, y) value during the margin merge —
-    duplicate coordinates collapse to one output row in the margin zone,
-    with extra columns resolved by ``max`` (the reference has the same
-    value-identity semantics via its point-keyed dedup map,
-    DBSCAN.scala:204-227).
+    With ``features_col=None`` this is strict 2-D reference parity:
+    distance on (x, y). With ``features_col`` naming an ``array<double>``
+    column, distance is Euclidean over the full vector while spatial
+    partitioning stays on (x, y) — correct for any dimensionality because
+    a projection distance never exceeds the full distance, so the ε-margin
+    duplication in the (x, y) plane is a superset of n-D ε-connectivity
+    across partitions (the same 2-D rule the reference hardwires,
+    DBSCANPoint.scala:23-24, generalized instead of imposed).
+
+    Points are identified by their (x, y[, features]) value during the
+    margin merge — duplicate coordinate vectors collapse to one output row
+    in the margin zone, with extra columns resolved by ``max`` (the
+    reference has the same value-identity semantics via its point-keyed
+    dedup map, DBSCAN.scala:204-227).
     """
     spark = df.sparkSession
+    eps = float(eps)  # numpy scalars would poison createDataFrame below
+    min_points = int(min_points)
     size = 2.0 * eps  # minimumRectangleSize (DBSCAN.scala:74, P7)
     X, Y = F.col(x_col), F.col(y_col)
 
@@ -130,9 +142,21 @@ def dbscan(
         ]
     )
 
+    import numpy as np
+
     def _cluster_group(pdf):
-        labels, flags = local_dbscan(
-            pdf[x_col].to_numpy(), pdf[y_col].to_numpy(), eps, min_points
+        if features_col is not None:
+            X = (
+                np.stack(pdf[features_col].to_numpy())
+                if len(pdf)
+                else np.zeros((0, 2))
+            )
+        else:
+            X = np.column_stack(
+                [pdf[x_col].to_numpy(), pdf[y_col].to_numpy()]
+            )
+        labels, flags = local_dbscan_matrix(
+            np.asarray(X, dtype=np.float64), eps, min_points
         )
         out = pdf.copy()
         out["cluster"] = labels
@@ -172,11 +196,18 @@ def dbscan(
     # -- 5b. adjacency: same point under two different (pid, cluster) ids,
     #        both non-noise ⇒ those local clusters are one global cluster --
     a, b = margin_pts.alias("a"), margin_pts.alias("b")
+    same_point = (
+        (F.col(f"a.{x_col}") == F.col(f"b.{x_col}"))
+        & (F.col(f"a.{y_col}") == F.col(f"b.{y_col}"))
+    )
+    if features_col is not None:
+        same_point = same_point & (
+            F.col(f"a.{features_col}") == F.col(f"b.{features_col}")
+        )
     edge_rows = (
         a.join(
             b,
-            (F.col(f"a.{x_col}") == F.col(f"b.{x_col}"))
-            & (F.col(f"a.{y_col}") == F.col(f"b.{y_col}"))
+            same_point
             & (F.col("a.dest_pid") == F.col("b.dest_pid"))
             & (F.col("a.src_pid") < F.col("b.src_pid")),
         )
@@ -230,12 +261,15 @@ def dbscan(
         .when(F.col("flag") == "border", 1)
         .otherwise(0)
     )
-    extra_cols = [c for c in df.columns if c not in (x_col, y_col)]
+    identity_cols = [x_col, y_col] + (
+        [features_col] if features_col is not None else []
+    )
+    extra_cols = [c for c in df.columns if c not in identity_cols]
     gmap_src = gmap_df.withColumnRenamed("pid", "src_pid")
     margin_final = (
         margin_pts.join(F.broadcast(gmap_src), ["src_pid", "cluster"], "left")
         .withColumn("gcluster", F.coalesce("global_cluster", F.lit(0)))
-        .groupBy(x_col, y_col)
+        .groupBy(*identity_cols)
         .agg(
             F.max("gcluster").alias("cluster"),
             F.max(F.struct(flag_rank.alias("r"), F.col("flag"))).alias("_f"),

@@ -41,23 +41,34 @@ FLAG_BORDER = "border"
 _DENSE_CUTOFF = 2048  # below this, an n×n distance matrix is fastest
 
 
-def _neighbor_lists_dense(x: np.ndarray, y: np.ndarray, eps: float) -> list[np.ndarray]:
-    """All-pairs neighborhoods via one vectorized distance matrix."""
-    dx = x[:, None] - x[None, :]
-    dy = y[:, None] - y[None, :]
-    within = (dx * dx + dy * dy) <= eps * eps  # closed ball, self-inclusive (P1)
+def _neighbor_lists_dense_nd(X: np.ndarray, eps: float) -> list[np.ndarray]:
+    """All-pairs n-D neighborhoods via explicit coordinate differences.
+
+    Deliberately NOT the |a|²+|b|²−2ab dot-product trick: the closed-ball
+    boundary (P1, dist² <= eps²) must not flip on the ~1e-12 rounding that
+    formulation introduces for points exactly at distance eps.
+    """
+    sq = np.zeros((len(X), len(X)), dtype=np.float64)
+    for d in range(X.shape[1]):
+        diff = X[:, d][:, None] - X[:, d][None, :]
+        sq += diff * diff
+    within = sq <= eps * eps
     return [np.flatnonzero(row) for row in within]
 
 
-def _neighbor_lists_grid(x: np.ndarray, y: np.ndarray, eps: float) -> list[np.ndarray]:
-    """All-pairs neighborhoods via an eps-cell grid index.
+def _neighbor_lists_grid_nd(X: np.ndarray, eps: float) -> list[np.ndarray]:
+    """n-D neighborhoods via an eps-cell grid on the FIRST TWO dims.
 
-    Any point within eps of p lies in the 3×3 ring of eps-sized cells
-    around p's cell, so we probe 9 buckets and exact-filter.
+    Correct for any dimensionality because a Euclidean projection distance
+    never exceeds the full distance: every point within full-space eps of p
+    is within eps of p in the (d0, d1) plane, hence inside p's 3×3 cell
+    ring. Candidates are exact-filtered on the full distance. (Selectivity
+    degrades if the first two dims carry no spread — the same trade the
+    reference makes by partitioning on vector(0), vector(1).)
     """
-    n = len(x)
-    cx = np.floor(x / eps).astype(np.int64)
-    cy = np.floor(y / eps).astype(np.int64)
+    n = len(X)
+    cx = np.floor(X[:, 0] / eps).astype(np.int64)
+    cy = np.floor(X[:, 1] / eps).astype(np.int64)
     buckets: dict[tuple[int, int], list[int]] = {}
     for i in range(n):
         buckets.setdefault((cx[i], cy[i]), []).append(i)
@@ -72,35 +83,39 @@ def _neighbor_lists_grid(x: np.ndarray, y: np.ndarray, eps: float) -> list[np.nd
                 if got:
                     cand.extend(got)
         cand_arr = np.asarray(cand, dtype=np.int64)
-        dx = x[cand_arr] - x[i]
-        dy = y[cand_arr] - y[i]
-        out.append(cand_arr[(dx * dx + dy * dy) <= eps2])
+        sq = np.zeros(len(cand_arr), dtype=np.float64)
+        for d in range(X.shape[1]):
+            diff = X[cand_arr, d] - X[i, d]
+            sq += diff * diff
+        out.append(cand_arr[sq <= eps2])
     return out
 
 
-def local_dbscan(
-    x: np.ndarray,
-    y: np.ndarray,
+def local_dbscan_matrix(
+    X: np.ndarray,
     eps: float,
     min_points: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Cluster 2-D points; returns ``(cluster, flag)`` arrays.
+    """Cluster n-D points (rows of ``X``); returns ``(cluster, flag)``.
 
     ``cluster`` is int64 with 0 = noise and 1..k in discovery order (P3/P9);
-    ``flag`` is an object array of {'core','border','noise'}.
+    ``flag`` is an object array of {'core','border','noise'}. 2-D inputs
+    reproduce the reference kernel exactly; higher dimensionality keeps the
+    same semantics with distance over all columns.
     """
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
-    n = len(x)
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim != 2:
+        raise ValueError(f"X must be (n, d), got shape {X.shape}")
+    n = len(X)
     cluster = np.zeros(n, dtype=np.int64)
     flag = np.full(n, FLAG_NOISE, dtype=object)
     if n == 0:
         return cluster, flag
 
     if n <= _DENSE_CUTOFF:
-        neighbors = _neighbor_lists_dense(x, y, eps)
+        neighbors = _neighbor_lists_dense_nd(X, eps)
     else:
-        neighbors = _neighbor_lists_grid(x, y, eps)
+        neighbors = _neighbor_lists_grid_nd(X, eps)
 
     visited = np.zeros(n, dtype=bool)
     next_cluster = 0
@@ -130,6 +145,22 @@ def local_dbscan(
                 if flag[j] != FLAG_CORE:
                     flag[j] = FLAG_BORDER
     return cluster, flag
+
+
+def local_dbscan(
+    x: np.ndarray,
+    y: np.ndarray,
+    eps: float,
+    min_points: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """2-D convenience wrapper over :func:`local_dbscan_matrix`
+    (reference-kernel parity surface)."""
+    X = np.column_stack(
+        [np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)]
+    )
+    if X.size == 0:
+        X = X.reshape(0, 2)
+    return local_dbscan_matrix(X, eps, min_points)
 
 
 def relabel_to_match(

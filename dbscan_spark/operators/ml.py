@@ -44,9 +44,33 @@ def dbscan_predict_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict(model, test, eps=0.05).select("vec_id", "cluster", "flag")
 
 
+def dbscan_embeddings_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-dimensional DBSCAN over the 64-D embedding vectors — the n-D
+    generalization the reference lacks (it hardwires 2-D,
+    DBSCANPoint.scala:33-34). Distance is Euclidean over all 64
+    components; spatial partitioning stays on the first two (projection
+    distance <= full distance keeps the margin merge correct)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("v"),
+    )
+    out = dbscan(
+        pts,
+        eps=1.15,
+        min_points=4,
+        max_points_per_partition=2500,
+        features_col="v",
+    )
+    return out.select("vec_id", "cluster", "flag")
+
+
 QUERIES = {
     "dbscan_embeddings": dbscan_embeddings,
     "dbscan_predict_holdout": dbscan_predict_holdout,
+    "dbscan_embeddings_64d": dbscan_embeddings_64d,
 }
 
 ORACLE: dict[str, str] = {}

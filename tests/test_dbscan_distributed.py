@@ -71,6 +71,54 @@ def test_distributed_equals_local_random(spark, seed, max_pts):
     assert ok
 
 
+@pytest.mark.parametrize("seed,max_pts,dim", [(0, 60, 5), (1, 120, 16)])
+def test_distributed_nd_equals_local(spark, seed, max_pts, dim):
+    """Property (n-D generalization): distance over the full vector with
+    partitioning on the first two dims must equal the single-node n-D
+    kernel — the projection-distance bound keeps the margin merge exact."""
+    from dbscan_spark.kernel import local_dbscan_matrix
+
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-4, 4, size=(4, dim))
+    pts = np.vstack(
+        [c + rng.normal(0, 0.3, size=(50, dim)) for c in centers]
+        + [rng.uniform(-6, 6, size=(25, dim))]
+    )
+    eps, minp = 0.45 * np.sqrt(dim), 5
+    local_cluster, _ = local_dbscan_matrix(pts, eps, minp)
+    df = spark.createDataFrame(
+        [
+            (i, float(p[0]), float(p[1]), [float(v) for v in p])
+            for i, p in enumerate(pts)
+        ],
+        "id long, x double, y double, v array<double>",
+    )
+    rows = dbscan(
+        df, eps, minp, max_points_per_partition=max_pts, features_col="v"
+    ).collect()
+    assert len(rows) == len(pts)
+    got = np.array([r["cluster"] for r in sorted(rows, key=lambda r: r["id"])])
+    ok, _ = relabel_to_match(got, local_cluster)
+    assert ok
+
+
+def test_nd_kernel_separates_separable_blobs():
+    """Two well-separated 8-D blobs -> two clusters, distance genuinely
+    over all dims (the blobs coincide in the first two dims, so a 2-D
+    kernel would merge them)."""
+    from dbscan_spark.kernel import local_dbscan_matrix
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 0.05, size=(30, 8))
+    b = rng.normal(0, 0.05, size=(30, 8))
+    b[:, 2:] += 5.0  # identical (x, y) footprint, far apart in dims 2..7
+    X = np.vstack([a, b])
+    cluster, flag = local_dbscan_matrix(X, eps=1.0, min_points=4)
+    assert set(cluster[:30]) == {cluster[0]} and cluster[0] != 0
+    assert set(cluster[30:]) == {cluster[30]} and cluster[30] != 0
+    assert cluster[0] != cluster[30]
+
+
 def test_passthrough_columns(spark):
     df = spark.createDataFrame(
         [(10, 0.0, 0.0, "a"), (11, 0.1, 0.0, "b"), (12, 5.0, 5.0, "c")],

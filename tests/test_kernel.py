@@ -34,10 +34,9 @@ def test_golden_grid_index_matches_dense(golden_points):
     dense path on the same data."""
     import dbscan_spark.kernel as K
 
-    x = np.array([p[0] for p in golden_points])
-    y = np.array([p[1] for p in golden_points])
-    dense = K._neighbor_lists_dense(x, y, 0.3)
-    grid = K._neighbor_lists_grid(x, y, 0.3)
+    X = np.array([[p[0], p[1]] for p in golden_points])
+    dense = K._neighbor_lists_dense_nd(X, 0.3)
+    grid = K._neighbor_lists_grid_nd(X, 0.3)
     for d, g in zip(dense, grid):
         assert set(d.tolist()) == set(g.tolist())
 
