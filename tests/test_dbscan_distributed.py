@@ -119,6 +119,27 @@ def test_nd_kernel_separates_separable_blobs():
     assert cluster[0] != cluster[30]
 
 
+def test_skewed_hot_cell_end_to_end(spark):
+    """P8 end-to-end: one grid cell holds far more points than
+    max_points_per_partition (unsplittable hot spot). The pipeline must
+    neither fail nor drop points, and must still match the local kernel."""
+    rng = np.random.default_rng(3)
+    eps, minp = 0.5, 5
+    hot = rng.normal(0, 0.08, size=(400, 2))         # all inside one 2eps cell
+    spread = rng.uniform(-8, 8, size=(80, 2))        # background
+    pts = np.vstack([hot, spread])
+    local_cluster, _ = local_dbscan(pts[:, 0], pts[:, 1], eps, minp)
+    df = spark.createDataFrame(
+        [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)],
+        "id long, x double, y double",
+    )
+    rows = dbscan(df, eps, minp, max_points_per_partition=50).collect()
+    assert len(rows) == len(pts)
+    got = np.array([r["cluster"] for r in sorted(rows, key=lambda r: r["id"])])
+    ok, _ = relabel_to_match(got, local_cluster)
+    assert ok
+
+
 def test_passthrough_columns(spark):
     df = spark.createDataFrame(
         [(10, 0.0, 0.0, "a"), (11, 0.1, 0.0, "b"), (12, 5.0, 5.0, "c")],
