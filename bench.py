@@ -27,7 +27,11 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "join_left_outer",
     "agg_rollup",
+    "agg_grouping_sets",
+    "pivot_segment_priority",
+    "subquery_exists_urgent",
     "window_running_total",
+    "window_moving_avg",
     "window_tumbling_events",
     "window_session_events",
     "json_aggregate_events",

@@ -102,9 +102,36 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(extract, _FEATURE_SCHEMA)
 
 
+def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow-batched pandas UDF producing a deterministic stub
+    embedding (8 floats) from each blob — the signature/batch shape a real
+    encoder model would plug into. Completes the engine's Python-UDF
+    taxonomy: scalar pandas_udf here, grouped-map applyInPandas (DBSCAN
+    kernel), mapInPandas (feature extract), applyInPandasWithState
+    (streaming). Rows-only driver check; a unit test pins determinism."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def embed(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            # deterministic 8-bucket byte-histogram "embedding", L2-normed
+            h = np.bincount(arr >> 5, minlength=8).astype(np.float64)
+            n = np.linalg.norm(h)
+            out.append((h / n if n else h).round(6))
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    return d.select("doc_id", embed(F.col("blob")).alias("stub_embedding"))
+
+
 QUERIES = {
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_feature_extract": multimodal_feature_extract,
+    "multimodal_embed_stub": multimodal_embed_stub,
 }
 
 ORACLE = {

@@ -144,3 +144,17 @@ def test_approx_count_distinct_within_tolerance(spark):
         exact = r["exact_orders"]
         assert exact > 0
         assert abs(r["approx_orders"] - exact) / exact < 0.05, r
+
+
+def test_multimodal_embed_stub_deterministic(spark):
+    """The scalar pandas_udf stub encoder must be deterministic and
+    L2-normalized (the plumbing contract a real encoder would inherit)."""
+    import numpy as np
+
+    a = {r["doc_id"]: r["stub_embedding"]
+         for r in multimodal.multimodal_embed_stub(spark, SF_TINY).collect()}
+    b = {r["doc_id"]: r["stub_embedding"]
+         for r in multimodal.multimodal_embed_stub(spark, SF_TINY).collect()}
+    assert a == b and len(a) > 0
+    v = np.array(next(iter(a.values())))
+    assert len(v) == 8 and abs(np.linalg.norm(v) - 1.0) < 1e-4
