@@ -158,3 +158,17 @@ def test_multimodal_embed_stub_deterministic(spark):
     assert a == b and len(a) > 0
     v = np.array(next(iter(a.values())))
     assert len(v) == 8 and abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+
+def test_ann_ivf_recall(spark):
+    """IVF ANN (16-cell coarse quantizer, 4 probes) must recover a healthy
+    fraction of the true top-5 sets and emit exactly 5 rows per query."""
+    bf = similarity.ann_topk_bruteforce(spark, SF_TINY)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    rows = similarity.ann_topk_ivf(spark, SF_TINY).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    from collections import Counter
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(v == 5 for v in per_q.values()), per_q
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
