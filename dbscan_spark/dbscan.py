@@ -204,7 +204,7 @@ def dbscan(
         same_point = same_point & (
             F.col(f"a.{features_col}") == F.col(f"b.{features_col}")
         )
-    edge_rows = (
+    edges_df = (
         a.join(
             b,
             same_point
@@ -219,17 +219,25 @@ def dbscan(
             F.col("b.cluster").alias("c2"),
         )
         .distinct()
-        .collect()
     )
 
-    # -- 5c. driver union-find over local-cluster ids (tiny) ---------------
-    local_ids = [
-        (r["pid"], r["cluster"])
-        for r in clustered.filter(F.col("cluster") > 0)
-        .select("pid", "cluster")
+    # -- 5c. driver union-find over local-cluster ids (tiny). The distinct
+    #        local ids ride along in the SAME job as the adjacency edges
+    #        (union with null right-hand side) — one driver round-trip for
+    #        both, halving the eager-job count of the merge phase ----------
+    ids_df = (
+        clustered.filter(F.col("cluster") > 0)
+        .select(
+            F.col("pid").alias("p1"),
+            F.col("cluster").alias("c1"),
+            F.lit(None).cast("int").alias("p2"),
+            F.lit(None).cast("long").alias("c2"),
+        )
         .distinct()
-        .collect()
-    ]
+    )
+    fused_rows = edges_df.unionByName(ids_df).collect()
+    edge_rows = [r for r in fused_rows if r.p2 is not None]
+    local_ids = [(r.p1, r.c1) for r in fused_rows if r.p2 is None]
     gmap = assign_global_ids(
         local_ids, [((r.p1, r.c1), (r.p2, r.c2)) for r in edge_rows]
     )
