@@ -78,14 +78,21 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     size and only perturb a Jaccard estimate marginally if they occur.
     """
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                shingles(tokens(F.col("text")), 3),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("hs"),
+    # Staged projections, not one nested expression: the shingle tree
+    # references its token input ~7× (size guard + three slices), and
+    # CollapseProject keeps non-cheap multiply-referenced expressions in
+    # their own projection — so the regex tokenization runs once per row
+    # instead of ~7x (measured 2.1 s vs 4.6 s for the sf0.1 shingle build;
+    # HOF projections are interpreted, with no subexpression elimination).
+    return (
+        d.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", shingles(F.col("t"), 3).alias("sh"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
     )
 
 

@@ -47,7 +47,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token counts: whitespace tokens, BPE-ish pieces, chars,
     average token length."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # tokens() is projected into its own stage: the stats below reference
+    # the token array several times, and keeping the (regex-heavy, non-
+    # cheap) expression separate stops CollapseProject from re-evaluating
+    # it per reference inside this interpreted-HOF projection
+    d = d.select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)),
         F.lit(0),
@@ -107,6 +112,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score from length / punctuation / digit /
     stopword signals (the usual pre-training quality gates)."""
     d = load_table(spark, sf_dir, "documents")
+    # same staged-projection rationale as text_token_stats
+    d = d.select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
     n_chars = F.length("text").cast("double")
     non_alnum = n_chars - F.length(
         F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
@@ -114,7 +121,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = F.length(
         F.regexp_replace(F.col("text"), "[^0-9]", "")
     ).cast("double")
-    toks = tokens(F.col("text"))
+    toks = F.col("_toks")
     n_toks = F.size(toks).cast("double")
     en_words = F.array(*[F.lit(w) for lang, w in STOPWORDS if lang == "en"])
     stop_hits = F.size(
