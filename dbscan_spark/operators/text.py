@@ -74,37 +74,31 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID: most stopword hits wins (ties → lang asc);
-    docs with zero hits → 'und'."""
+    docs with zero hits → 'und'.
+
+    Zero-shuffle formulation: per-language hit counts are array filters
+    over the (staged) token column and the argmax is ``array_min`` over
+    (−hits, lang) structs — one narrow projection, no explode, no join,
+    no aggregate. The earlier explode→broadcast-join→two-hash-aggs shape
+    shuffled ~200× the row count twice and measured 2× slower at sf0.1;
+    at 100 TB this version is a pure map over documents."""
     d = load_table(spark, sf_dir, "documents")
-    sw = d.sparkSession.createDataFrame(STOPWORDS, "lang string, word string")
-    hits = (
-        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
-        .join(F.broadcast(sw), "word")
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    # argmax via one more hash aggregate instead of a window: min of
-    # (-n_hits, lang) is (most hits, ties -> lang asc) — saves the
-    # window's per-partition sort pass, and partials combine map-side
-    best = (
-        hits.groupBy("doc_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("n_hits")).alias("neg"), F.col("lang").alias("lang")
-                )
-            ).alias("_b")
+    d = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    per_lang = []
+    for lang in sorted({lg for lg, _ in STOPWORDS}):
+        words = F.array(*[F.lit(w) for lg, w in STOPWORDS if lg == lang])
+        n = F.size(
+            F.filter(F.col("_toks"), lambda t: F.array_contains(words, t))
         )
-        .select(
-            "doc_id",
-            F.col("_b.lang").alias("lang"),
-            (-F.col("_b.neg")).alias("n_hits"),
-        )
-    )
-    return d.select("doc_id").join(best, "doc_id", "left").select(
+        per_lang.append(F.struct((-n).alias("neg"), F.lit(lang).alias("lang")))
+    best = F.array_min(F.array(*per_lang))
+    return d.select("doc_id", best.alias("_b")).select(
         "doc_id",
-        F.coalesce("lang", F.lit("und")).alias("pred_lang"),
-        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.when(-F.col("_b.neg") > 0, F.col("_b.lang"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        F.greatest((-F.col("_b.neg")).cast("long"), F.lit(0).cast("long"))
+        .alias("n_hits"),
     )
 
 
