@@ -112,8 +112,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is applied to the rounded value so both engines make the
     identical inclusion decision.
     """
-    sh = _shingle_table(spark, sf_dir).persist()
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hs = _doc_shingle_hashes(spark, sf_dir).persist()
+    sh = hs.select("doc_id", F.explode("hs").alias("s"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -122,6 +122,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # per-doc shingle-set sizes come free as array lengths — no count
+    # aggregate (and its shuffle) over the exploded table
+    cnt = hs.select("doc_id", F.size("hs").alias("n"))
     n1 = cnt.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
     n2 = cnt.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
     # floor(x*1e4+0.5)/1e4 instead of round(): pure IEEE arithmetic, so both
@@ -189,7 +192,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall < 1 in theory, ≈1 at this band count), hence rows-only
     checked; a pytest pins recall against the exact baseline.
     """
-    sh = _shingle_table(spark, sf_dir).persist()
+    hs = _doc_shingle_hashes(spark, sf_dir).persist()
+    sh = hs.select("doc_id", F.explode("hs").alias("s"))
     sigs = minhash_signatures(spark, sf_dir, shingle_df=sh)
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     bands = sigs.select(
@@ -224,28 +228,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact-Jaccard verify restricted to candidates: expand each candidate
-    # pair by doc1's shingles (equi-join), then probe doc2's shingle set —
-    # work is O(candidates × shingles/doc), not O(all-pairs)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        candidates.join(sh.select(F.col("doc_id").alias("doc1"), "s"), "doc1")
-        .join(sh.select(F.col("doc_id").alias("doc2"), "s"), ["doc2", "s"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    n1 = cnt.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
-    n2 = cnt.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    # exact-Jaccard verify restricted to candidates: the per-doc DISTINCT
+    # shingle-hash arrays make |A∩B| a row-local ``array_intersect`` after
+    # joining the (tiny, near-linear) candidate list back to the compact
+    # (doc_id, hs) table twice — the exploded shingle table is never
+    # shuffled for verification, and set sizes are array lengths. Work is
+    # O(candidates × shingles/doc), and the joins move one ~8B/shingle
+    # array per doc instead of one row per shingle.
+    h1 = hs.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("hs1"))
+    h2 = hs.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("hs2"))
+    c = F.size(F.array_intersect("hs1", "hs2"))
     jac = (
         F.floor(
-            F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")) * 10000
-            + F.lit(0.5)
+            c / (F.size("hs1") + F.size("hs2") - c) * 10000 + F.lit(0.5)
         )
         / 10000
     )
     return (
-        common.join(n1, "doc1")
-        .join(n2, "doc2")
+        candidates.join(h1, "doc1")
+        .join(h2, "doc2")
         .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
