@@ -80,6 +80,32 @@ def test_ann_bruteforce_broadcasts_queries(spark):
     assert "Broadcast" in plan
 
 
+def test_language_id_is_zero_shuffle(spark):
+    """Language ID is a pure projection argmax — any Exchange (explode +
+    join + aggregate shape) is a regression; at 100 TB it must stay a
+    narrow map over documents."""
+    plan = plan_of(spark, "text_language_id")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_minhash_verify_never_shuffles_exploded_shingles(spark):
+    """The LSH verify phase joins the tiny candidate list against the
+    compact (doc_id, hs-array) table and intersects arrays row-locally.
+    Exactly one aggregation pair may shuffle exploded shingle rows (the
+    64-way signature min); a second one means the verify regressed to
+    re-aggregating the exploded table."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "array_intersect" in plan
+    # signature agg = partial+final HashAggregate; candidates .distinct()
+    # adds one more pair; anything beyond that is a regression. Count
+    # distinct node ids — cached subtrees render repeatedly in the string.
+    import re
+
+    agg_ids = set(re.findall(r"HashAggregate \((\d+)\)", plan))
+    assert len(agg_ids) <= 4
+
+
 @pytest.mark.parametrize(
     "name",
     [
