@@ -196,6 +196,55 @@ def join_theta_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: for each 'error' event, the most recent
+    'click' by the same user at or before the error's timestamp.
+
+    Spark has no native ASOF JOIN (the reference has no joins at all), so
+    this is the scale-correct composition: union both sides with a marker,
+    one shuffle on the key, one sort on (ts, marker), and a running
+    ``max(click_ts)`` window — O(n log n) per key group, never the
+    quadratic key-equi + time-range join a naive formulation pays. At
+    100 TB both sides co-partition by user_id in the single exchange.
+    Oracle: DuckDB's native ``ASOF LEFT JOIN`` (e.ts >= c.ts), which makes
+    this a cross-engine semantic check of the as-of contract. Ties on
+    (user_id, ts) are deterministic: ``max`` sees the same click set either
+    way, and ordering clicks before errors at equal ts implements the
+    inclusive bound.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(0).alias("is_click"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("is_click") == 1, F.col("ts"))
+    ).over(w)
+    return (
+        clicks.unionByName(errors)
+        .withColumn("last_click_ts", last_click)
+        .filter(F.col("is_click") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "last_click_ts",
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+            ).alias("micros_since_click"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation family
 # --------------------------------------------------------------------------
@@ -680,6 +729,7 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_theta_late_ship": join_theta_late_ship,
+    "join_asof_last_click": join_asof_last_click,
     "agg_priority_stats": agg_priority_stats,
     "agg_count_distinct": agg_count_distinct,
     "agg_rollup": agg_rollup,
@@ -790,6 +840,15 @@ ORACLE = {
           ON l_orderkey = o_orderkey
          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
         GROUP BY o_orderpriority
+    """,
+    "join_asof_last_click": """
+        SELECT e.event_id,
+               e.user_id,
+               c.ts AS last_click_ts,
+               epoch_us(e.ts) - epoch_us(c.ts) AS micros_since_click
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
     """,
     "agg_priority_stats": """
         SELECT o_orderpriority,
