@@ -6,6 +6,7 @@ from dbscan_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     streaming_session_counts,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
     streaming_user_totals,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "run_to_memory",
     "streaming_session_counts",
+    "streaming_sliding_counts",
     "streaming_tumbling_counts",
     "streaming_user_totals",
 ]

@@ -38,7 +38,11 @@ _EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over a directory of events parquet files (each
     newly arriving file becomes a micro-batch; in production this is a
     kafka/kinesis source with the same downstream plan).
@@ -52,7 +56,10 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(events_dir)
+    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
@@ -90,6 +97,24 @@ def streaming_tumbling_counts(
             "n_events",
             "total_value",
         )
+    )
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked 10-minute windows sliding every 5 — the streaming twin
+    of relational.window_sliding_events. Each event lands in window/slide
+    overlapping windows; state per window is bounded by the watermark
+    exactly as in the tumbling case."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "n_events")
     )
 
 

@@ -11,6 +11,7 @@ from dbscan_spark.streaming import (
     read_events_stream,
     run_to_memory,
     streaming_session_counts,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
     streaming_user_totals,
 )
@@ -31,6 +32,84 @@ def test_streaming_tumbling_equals_batch(spark):
     cols = ["w_start", "event_type", "n_events", "total_value"]
     assert rows_set(got, cols) == rows_set(want, cols)
     assert len(got) == len(want)
+
+
+def test_streaming_sliding_equals_batch(spark):
+    stream = read_events_stream(spark, events_stream_dir(SF_TINY))
+    run_to_memory(
+        streaming_sliding_counts(stream), "t_sliding", output_mode="complete"
+    )
+    got = spark.sql("SELECT * FROM t_sliding").collect()
+    want = relational.window_sliding_events(spark, SF_TINY).collect()
+    cols = ["w_start", "n_events"]
+    assert rows_set(got, cols) == rows_set(want, cols)
+    assert len(got) == len(want)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data contract: in append mode an event arriving after the
+    watermark passed its window must NOT be counted, and only finalized
+    windows (window.end <= watermark) are ever emitted.
+
+    Three single-row-group files processed as three micro-batches
+    (maxFilesPerTrigger=1): batch 1 seeds minutes 0, 2, 60 (watermark → 50
+    afterwards); batch 2 (minute 90) finalizes and EVICTS the [0,10)
+    window at n=2 (watermark → 80); batch 3 then delivers a LATE minute-1
+    event — its window is gone, so the row must be dropped, not resurrect
+    a second [0,10) output — plus minute 120 so [60,70) and [90,100)
+    finalize under the last watermark (110). A row that is late but whose
+    window is still live would instead be merged; that is watermark-
+    correct too, which is why the eviction must happen a batch earlier."""
+    import pandas as pd
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+
+    def mk(path, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [base_ns + r[1] * 60 * 1_000_000_000 for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path)
+
+    import os
+
+    mk(tmp_path / "f1.parquet", [(1, 0), (2, 2), (3, 60)])
+    mk(tmp_path / "f2.parquet", [(5, 90)])
+    mk(tmp_path / "f3.parquet", [(4, 1), (6, 120)])  # id 4 is LATE
+    # the file source processes oldest-mtime first — pin the intended order
+    for i, name in enumerate(("f1", "f2", "f3")):
+        os.utime(tmp_path / f"{name}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    counts = streaming_tumbling_counts(stream, watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    starts = sorted(
+        r["w_start"] for r in spark.sql("SELECT * FROM t_late").collect()
+    )
+    # three finalized windows ([0,10) [60,70) [90,100)); the late
+    # minute-1 event did NOT inflate the first window (2, not 3)
+    assert len(starts) == 3
+    assert all(s.minute % 10 == 0 for s in starts)
+    n_by_order = [
+        r["n_events"]
+        for r in spark.sql(
+            "SELECT * FROM t_late ORDER BY w_start"
+        ).collect()
+    ]
+    assert n_by_order == [2, 1, 1]
 
 
 def test_streaming_sessions_equal_batch(spark):
