@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "agg_grouping_sets",
     "pivot_segment_priority",
     "subquery_exists_urgent",
+    "join_asof_last_click",
     "window_running_total",
     "window_moving_avg",
     "window_tumbling_events",
