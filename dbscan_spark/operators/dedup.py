@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dbscan_spark.functions import as_double_array, cosine, shingles, tokens
+from dbscan_spark.functions import as_double_array, dot, l2_norm, shingles, tokens
 from dbscan_spark.io import load_table
 
 # DuckDB equivalents of the shared normalization/shingling expressions
@@ -329,11 +329,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup vector pairs by cosine >= 0.4 (brute-force pair join;
     the LSH-bucketed scale path is similarity.ann_topk_lsh)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
     )
     a, b = e.alias("a"), e.alias("b")
-    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    # precomputed norms: one interpreted fold per vector instead of two
+    # per pair (same staged-projection rationale as the shingle build)
+    cos = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (F.col("a.nv") * F.col("b.nv")),
+        4,
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

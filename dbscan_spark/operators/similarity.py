@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from dbscan_spark.functions import as_double_array, cosine, dot
+from dbscan_spark.functions import as_double_array, dot, l2_norm
 from dbscan_spark.io import load_table
 
 TOP_K = 5
@@ -42,15 +42,29 @@ def _planes() -> "np.ndarray":
     return rng.standard_normal((_N_TABLES, _PLANES_PER_TABLE, _DIM)).round(6)
 
 
+def _embeddings_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<double>, nv: double) — staged projections so the
+    array cast runs once per row and every pairwise cosine downstream
+    divides by PREcomputed norms: the interpreted fold for a norm then
+    runs once per vector, not once per pair (3 folds/pair → 1)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
+    )
+
+
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for each query vector (vec_id < 10)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
-    )
+    e = _embeddings_with_norms(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    cos = F.round(cosine(F.col("qv"), F.col("v")), 4)
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -89,8 +103,8 @@ def _bucketed(e: DataFrame) -> DataFrame:
             F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
         )
     return e.select(
-        "vec_id", "v", F.explode(F.array(*tables)).alias("tb")
-    ).select("vec_id", "v", "tb.table", "tb.bucket")
+        "vec_id", "v", "nv", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "v", "nv", "tb.table", "tb.bucket")
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,23 +114,31 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables; exact cosine is computed only for candidates. Probabilistic
     recall → rows-only driver check; tests pin recall ≥ 0.6 vs brute force.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
-    )
+    e = _embeddings_with_norms(spark, sf_dir)
     buckets = _bucketed(e)
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
         "table",
         "bucket",
     )
     cand = (
         q.join(buckets, ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .select(
+            "query_id",
+            "qv",
+            "nq",
+            F.col("vec_id").alias("neighbor_id"),
+            "v",
+            "nv",
+        )
         .distinct()
     )
-    cos = F.round(cosine(F.col("qv"), F.col("v")), 4)
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -199,14 +221,13 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 4 nearest cells and scores only their members. Probabilistic
     recall → rows-only driver check; tests pin recall vs brute force.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
-    )
+    e = _embeddings_with_norms(spark, sf_dir)
     cent = _ivf_centroids(e)
     # corpus side: exactly one cell per vector
     corpus = e.select(
         "vec_id",
         "v",
+        "nv",
         F.element_at(_nearest_cells(F.col("v"), cent, 1), 1)["cell"].alias(
             "cell"
         ),
@@ -217,13 +238,16 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
             F.explode(
                 _nearest_cells(F.col("v"), cent, _IVF_PROBES)
             ).alias("p"),
         )
-        .select("query_id", "qv", F.col("p.cell").alias("cell"))
+        .select("query_id", "qv", "nq", F.col("p.cell").alias("cell"))
     )
-    cos = F.round(cosine(F.col("qv"), F.col("v")), 4)
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
