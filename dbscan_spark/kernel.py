@@ -69,25 +69,60 @@ def _neighbor_lists_grid_nd(X: np.ndarray, eps: float) -> list[np.ndarray]:
     n = len(X)
     cx = np.floor(X[:, 0] / eps).astype(np.int64)
     cy = np.floor(X[:, 1] / eps).astype(np.int64)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        buckets.setdefault((cx[i], cy[i]), []).append(i)
+    # Group point indices by cell: lexsort is stable, so each cell's
+    # member array is in ascending original-index order (same candidate
+    # ordering the per-point dict build produced).
+    order = np.lexsort((cy, cx))
+    sx, sy = cx[order], cy[order]
+    if n:
+        change = np.flatnonzero((np.diff(sx) != 0) | (np.diff(sy) != 0)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+    else:
+        starts = ends = np.empty(0, dtype=np.int64)
+    cells = {
+        (sx[s], sy[s]): order[s:e] for s, e in zip(starts, ends)
+    }
     eps2 = eps * eps
-    out: list[np.ndarray] = []
-    for i in range(n):
-        cand: list[int] = []
-        bx, by = cx[i], cy[i]
-        for ox in (-1, 0, 1):
-            for oy in (-1, 0, 1):
-                got = buckets.get((bx + ox, by + oy))
-                if got:
-                    cand.extend(got)
-        cand_arr = np.asarray(cand, dtype=np.int64)
-        sq = np.zeros(len(cand_arr), dtype=np.float64)
-        for d in range(X.shape[1]):
-            diff = X[cand_arr, d] - X[i, d]
-            sq += diff * diff
-        out.append(cand_arr[sq <= eps2])
+    out: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    for (bx, by), members in cells.items():
+        # Every member of a cell shares the same 3×3 candidate ring, so
+        # the ring is gathered once per CELL and distances computed as a
+        # blocked members × candidates matrix — the Python interpreter
+        # runs per cell, not per point (the round-1 hot-cell cost).
+        ring = [
+            cells.get((bx + ox, by + oy))
+            for ox in (-1, 0, 1)
+            for oy in (-1, 0, 1)
+        ]
+        cand = np.concatenate([c for c in ring if c is not None])
+        Xc = X[cand]
+        if len(members) == 1:
+            # Sparse layout (~1 point/cell): skip the blocked-matrix
+            # machinery; same explicit coordinate-difference arithmetic.
+            i = members[0]
+            sq1 = ((Xc - X[i]) ** 2).sum(axis=1)
+            out[i] = cand[sq1 <= eps2]
+            continue
+        # Block the member rows so the matrix stays ~32M doubles even when
+        # an unsplittable hot cell holds the whole partition (P8).
+        block = max(1, (1 << 22) // max(len(cand), 1))
+        for s in range(0, len(members), block):
+            mb = members[s : s + block]
+            Xm = X[mb]
+            sq = np.zeros((len(mb), len(cand)), dtype=np.float64)
+            for d in range(X.shape[1]):
+                diff = Xm[:, d][:, None] - Xc[:, d][None, :]
+                sq += diff * diff
+            within = sq <= eps2
+            # One row-major nonzero + split instead of a boolean mask per
+            # row: np.nonzero groups hits by row in order, so splitting the
+            # gathered candidate ids at the per-row counts yields each
+            # member's neighbor list without per-point interpreter work.
+            flat = cand[np.nonzero(within)[1]]
+            offsets = np.cumsum(within.sum(axis=1))[:-1]
+            for i, part in zip(mb, np.split(flat, offsets)):
+                out[i] = part
     return out
 
 
