@@ -72,6 +72,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+#: Explicit schema for the JSON mirror of ``events`` — passing a schema to
+#: ``spark.read.json`` skips the inference pass (which would scan the whole
+#: dataset a second time; at 100 TB that matters more than anywhere else).
+EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_json_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) a JSON-lines mirror of ``events`` and
+    return its path.
+
+    The testdata ships parquet only; the JSON *source* surface (SURVEY §2.2
+    scans) needs real ``spark.read.json`` traffic, so we derive a mirror
+    next to the repo (testdata is read-only). ``ts`` is intentionally
+    omitted: JSON has no timestamp type and this source exercises scan
+    semantics, not timestamp codecs. Doubles round-trip exactly (Spark
+    writes shortest-round-trip reprs).
+    """
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(repo_root, ".json_mirror", key, "events")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value", "props")
+            .write.mode("overwrite")
+            .json(out)
+        )
+    return out
+
+
+def read_events_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines source for events with an explicit schema (no inference)."""
+    return spark.read.json(path, schema=EVENTS_JSON_SCHEMA)
+
+
 def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
     """Read an ``x,y[,label]`` CSV of 2-D points (reference input format)."""
     return spark.read.csv(path, schema=POINTS_CSV_SCHEMA)

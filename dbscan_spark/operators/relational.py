@@ -460,6 +460,28 @@ def json_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON file *source* (SURVEY §2.2 scans): read a JSON-lines mirror of
+    events with an explicit schema (no inference pass), filter, aggregate.
+
+    The mirror is value-identical to the parquet table, so the oracle runs
+    the same aggregate over parquet — proving the JSON scan reproduces the
+    parquet scan's data.
+    """
+    from dbscan_spark.io import events_json_dir, read_events_json
+
+    e = read_events_json(spark, events_json_dir(spark, sf_dir))
+    return (
+        e.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Event-time windows (batch form of the streaming operators; the streaming
 # module reuses the same expressions over readStream — see
@@ -715,6 +737,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles beside the exact ones (agg_percentiles).
+
+    Spark's approx_percentile keeps a bounded Greenwald-Khanna-style sketch
+    per group with map-side partial merge, so at 100 TB the state is
+    O(1/accuracy) per group instead of percentile()'s full per-group value
+    buffer. Sketch results are engine-specific → rows-only checked;
+    tests/test_llm_ops.py pins every sketch quantile within 1% relative
+    rank error of the exact interpolated value."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.25, 10000)").alias("q25"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("median_qty"),
+        F.expr("approx_percentile(l_quantity, 0.75, 10000)").alias("q75"),
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4
+        ).alias("p90_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -748,12 +790,14 @@ QUERIES = {
     "scalar_array_access": scalar_array_access,
     "json_extract_events": json_extract_events,
     "json_aggregate_events": json_aggregate_events,
+    "json_source_events": json_source_events,
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
     "window_session_events": window_session_events,
     "agg_grouping_sets": agg_grouping_sets,
     "pivot_segment_priority": pivot_segment_priority,
     "agg_percentiles": agg_percentiles,
+    "agg_approx_percentiles": agg_approx_percentiles,
     "join_full_outer": join_full_outer,
     "subquery_above_avg": subquery_above_avg,
     "subquery_exists_urgent": subquery_exists_urgent,
@@ -969,6 +1013,17 @@ ORACLE = {
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    # json_source_events reads the JSON-lines mirror; the mirror is value-
+    # identical to parquet, so the oracle aggregates the parquet view.
+    "json_source_events": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE value > 0
+        GROUP BY event_type
     """,
     # Event-time oracles work in integer microseconds (epoch_us) because the
     # parquet stores TIMESTAMP(NANOS): Spark sees floor-truncated-to-µs

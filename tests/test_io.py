@@ -7,7 +7,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dbscan_spark.io import (
+    EVENTS_JSON_SCHEMA,
+    events_json_dir,
     load_table,
+    read_events_json,
     read_points_csv,
     write_clustered_csv,
     write_parquet,
@@ -33,6 +36,22 @@ def test_read_points_csv_two_column(spark, tmp_path):
     rows = read_points_csv(spark, str(p)).collect()
     assert {(r["x"], r["y"]) for r in rows} == {(1.0, 2.0), (-3.5, 0.25)}
     assert all(r["expected"] is None for r in rows)
+
+
+def test_json_source_mirrors_parquet_values(spark):
+    """The JSON-lines source must reproduce the parquet table's values
+    exactly (longs, doubles, strings) under its explicit schema."""
+    path = events_json_dir(spark, SF_TINY)
+    back = read_events_json(spark, path)
+    assert back.schema == EVENTS_JSON_SCHEMA
+    want = (
+        load_table(spark, SF_TINY, "events")
+        .select("event_id", "user_id", "event_type", "value", "props")
+    )
+    assert back.count() == want.count()
+    # exact value round-trip: anti-join both ways is empty
+    assert back.exceptAll(want).count() == 0
+    assert want.exceptAll(back).count() == 0
 
 
 def test_parquet_sink_partitioned_scan_prunes(spark, tmp_path):

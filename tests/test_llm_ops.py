@@ -146,6 +146,32 @@ def test_approx_count_distinct_within_tolerance(spark):
         assert abs(r["approx_orders"] - exact) / exact < 0.05, r
 
 
+def test_approx_percentiles_track_exact(spark):
+    """Sketch quantiles must land within 1% relative rank error of the
+    exact interpolated quantiles on every group (rows-only driver check,
+    so accuracy is pinned here)."""
+    from dbscan_spark.operators.relational import (
+        agg_approx_percentiles,
+        agg_percentiles,
+    )
+    from tests.conftest import SF_TINY
+
+    exact = {r["l_returnflag"]: r for r in agg_percentiles(spark, SF_TINY).collect()}
+    approx = {
+        r["l_returnflag"]: r for r in agg_approx_percentiles(spark, SF_TINY).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("q25", "median_qty", "q75", "p90_price"):
+            assert abs(a[col] - e[col]) <= 0.01 * max(abs(e[col]), 1.0), (
+                flag,
+                col,
+                a[col],
+                e[col],
+            )
+
+
 def test_multimodal_embed_stub_deterministic(spark):
     """The scalar pandas_udf stub encoder must be deterministic and
     L2-normalized (the plumbing contract a real encoder would inherit)."""
