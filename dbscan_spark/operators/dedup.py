@@ -353,6 +353,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup vector pairs (cosine >= 0.4) via LSH candidate generation —
+    the scale path whose exact anchor is :func:`dedup_embedding_cosine`.
+
+    Candidates are pairs sharing a random-hyperplane sign bucket in any of
+    the 8 hash tables (reusing the ANN bucketer,
+    operators/similarity.py:_bucketed); the exact rounded cosine >= 0.4
+    verify runs ONLY over candidates, so no all-pairs join ever happens.
+    Per-plane collision probability at the 0.4 boundary is ~0.63 → ~0.75
+    worst-case recall per pair, higher for more-similar pairs (recall is
+    pinned against the exact baseline in tests/test_llm_ops.py).
+    Probabilistic recall → rows-only driver check; output is a verified
+    subset of dedup_embedding_cosine by construction.
+    """
+    from dbscan_spark.operators.similarity import (
+        _bucketed,
+        _embeddings_with_norms,
+    )
+
+    e = _embeddings_with_norms(spark, sf_dir)
+    b = _bucketed(e).select("vec_id", "table", "bucket")
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_id_1"),
+            F.col("y.vec_id").alias("vec_id_2"),
+        )
+        .distinct()
+    )
+    e1 = e.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("v").alias("v1"),
+        F.col("nv").alias("nv1"),
+    )
+    e2 = e.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("v").alias("v2"),
+        F.col("nv").alias("nv2"),
+    )
+    cos = F.round(
+        dot(F.col("v1"), F.col("v2")) / (F.col("nv1") * F.col("nv2")), 4
+    )
+    return (
+        cand.join(e1, "vec_id_1")
+        .join(e2, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DEDUP_THRESHOLD)
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -360,6 +416,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 ORACLE = {

@@ -25,6 +25,18 @@ def test_minhash_lsh_subset_and_recall(spark):
         assert len(lsh) / len(exact) == 1.0, (len(lsh), len(exact))
 
 
+def test_embedding_lsh_subset_and_recall(spark):
+    """The LSH-bucketed near-dup path must emit a verified subset of the
+    exact all-pairs baseline; worst-case per-pair catch probability at the
+    0.4 cosine boundary is ~0.75 with 8 tables x 4 planes (measured 0.82
+    at sf0.001) — pin well below at 0.6."""
+    exact = pairs(dedup.dedup_embedding_cosine(spark, SF_TINY), "vec_id_1", "vec_id_2")
+    lsh = pairs(dedup.dedup_embedding_lsh(spark, SF_TINY), "vec_id_1", "vec_id_2")
+    assert lsh <= exact
+    assert exact, "baseline found no pairs — fixture drifted"
+    assert len(lsh) / len(exact) >= 0.6, (len(lsh), len(exact))
+
+
 def test_minhash_signature_shape(spark):
     row = dedup.minhash_signatures(spark, SF_TINY).first()
     assert len(row["sig"]) == 64
