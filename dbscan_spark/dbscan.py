@@ -98,6 +98,17 @@ def dbscan(
     in the margin zone, with extra columns resolved by ``max`` (the
     reference has the same value-identity semantics via its point-keyed
     dedup map, DBSCAN.scala:204-227).
+
+    Precondition when ``features_col`` is set: ``x_col``/``y_col`` MUST be
+    the first two components of the feature vector (the projection the
+    spatial partitioning runs on). Unrelated (x, y) columns would silently
+    corrupt the cross-partition merge, so the kernel validates the
+    equality per group and fails the job with a clear error otherwise.
+
+    The returned DataFrame is persisted and already materialized (the
+    merge phase is inherently eager — same as the reference); internal
+    caches are released before returning, so repeated calls don't
+    accumulate executor storage.
     """
     spark = df.sparkSession
     eps = float(eps)  # numpy scalars would poison createDataFrame below
@@ -134,33 +145,59 @@ def dbscan(
     assigned = df.join(F.broadcast(rects), in_outer).select("pid", *df.columns)
 
     # -- 4. per-partition numpy DBSCAN kernel ------------------------------
+    #    The kernel also tags each row's margin candidacy against its OWN
+    #    partition's ε-shrunk inner box (a vectorized bound check on data
+    #    already in memory): downstream, inner points are then a plain
+    #    filter instead of a broadcast rect join, and the dest-pid margin
+    #    join only sees the (small) tagged slice instead of every point.
     out_schema = T.StructType(
         assigned.schema.fields
         + [
             T.StructField("cluster", T.LongType(), False),
             T.StructField("flag", T.StringType(), False),
+            T.StructField("in_margin", T.BooleanType(), False),
         ]
     )
+
+    inner_bounds = {
+        pid: (inner.x, inner.y, inner.x2, inner.y2)
+        for pid, inner, _main, _outer in margin_list
+    }
 
     import numpy as np
 
     def _cluster_group(pdf):
+        xs = pdf[x_col].to_numpy(dtype=np.float64)
+        ys = pdf[y_col].to_numpy(dtype=np.float64)
         if features_col is not None:
             X = (
                 np.stack(pdf[features_col].to_numpy())
                 if len(pdf)
                 else np.zeros((0, 2))
             )
+            X = np.asarray(X, dtype=np.float64)
+            if len(X) and not (
+                np.array_equal(X[:, 0], xs) and np.array_equal(X[:, 1], ys)
+            ):
+                raise ValueError(
+                    f"dbscan: ({x_col!r}, {y_col!r}) must equal the first "
+                    f"two components of {features_col!r} — the spatial "
+                    "partitioning runs on that projection and unrelated "
+                    "columns would corrupt the cross-partition merge"
+                )
         else:
-            X = np.column_stack(
-                [pdf[x_col].to_numpy(), pdf[y_col].to_numpy()]
-            )
-        labels, flags = local_dbscan_matrix(
-            np.asarray(X, dtype=np.float64), eps, min_points
-        )
+            X = np.column_stack([xs, ys])
+        labels, flags = local_dbscan_matrix(X, eps, min_points)
         out = pdf.copy()
         out["cluster"] = labels
         out["flag"] = flags
+        if len(pdf):
+            ix, iy, ix2, iy2 = inner_bounds[int(pdf["pid"].iloc[0])]
+            out["in_margin"] = ~(
+                (xs > ix) & (xs < ix2) & (ys > iy) & (ys < iy2)
+            )
+        else:
+            out["in_margin"] = np.zeros(0, dtype=bool)
         return out
 
     clustered = (
@@ -181,7 +218,8 @@ def dbscan(
         & (Y > F.col("iy")) & (Y < F.col("iy2"))
     )
     margin_pts = (
-        clustered.withColumnRenamed("pid", "src_pid")
+        clustered.filter(F.col("in_margin"))
+        .withColumnRenamed("pid", "src_pid")
         .join(F.broadcast(rects), in_main & ~strictly_in_inner)
         .select(
             F.col("pid").alias("dest_pid"),
@@ -247,11 +285,11 @@ def dbscan(
     )
 
     # -- 6a. inner points: strictly inside own partition's inner box keep
-    #        exactly one copy; relabel via broadcast map (left join keeps
-    #        noise at 0) ---------------------------------------------------
+    #        exactly one copy — the kernel's in_margin tag makes this a
+    #        plain cached-scan filter (no rect join); relabel via broadcast
+    #        map (left join keeps noise at 0) ------------------------------
     inner_final = (
-        clustered.join(F.broadcast(rects.select("pid", "ix", "iy", "ix2", "iy2")), "pid")
-        .filter(strictly_in_inner)
+        clustered.filter(~F.col("in_margin"))
         .join(F.broadcast(gmap_df), ["pid", "cluster"], "left")
         .select(
             *df.columns,
@@ -286,7 +324,15 @@ def dbscan(
         .select(*df.columns, "cluster", F.col("_f.flag").alias("flag"))
     )
 
-    return inner_final.unionByName(margin_final)
+    # -- 7. materialize the result, then release the internal caches (they
+    #       were only ever needed once more after the merge collect; the
+    #       result keeps full lineage, so fault recovery recomputes rather
+    #       than relying on unreliable checkpoint storage) -----------------
+    result = inner_final.unionByName(margin_final).persist()
+    result.count()
+    clustered.unpersist()
+    margin_pts.unpersist()
+    return result
 
 
 def predict(
