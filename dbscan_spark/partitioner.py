@@ -82,13 +82,47 @@ def _points_in(box: _IBox, cells: dict[tuple[int, int], int]) -> int:
     )
 
 
-def _split_halves(box: _IBox) -> list[_IBox]:
-    """Lower halves for every grid split line, x-splits then y-splits
-    (EvenSplitPartitioner.scala:139-152)."""
+def _marginals(
+    box: _IBox, cells: dict[tuple[int, int], int]
+) -> tuple[dict[int, int], dict[int, int]]:
+    """Per-column / per-row point counts of the cells wholly inside ``box``
+    — one pass over the histogram, from which every candidate half-count
+    follows as a running prefix sum (instead of re-scanning all cells per
+    candidate split, which made the BSP O(#cells × #splits) per box)."""
     x, y, x2, y2 = box
-    return [(x, y, sx, y2) for sx in range(x + 1, x2)] + [
-        (x, y, x2, sy) for sy in range(y + 1, y2)
-    ]
+    by_x: dict[int, int] = {}
+    by_y: dict[int, int] = {}
+    for (cx, cy), c in cells.items():
+        if x <= cx < x2 and y <= cy < y2:
+            by_x[cx] = by_x.get(cx, 0) + c
+            by_y[cy] = by_y.get(cy, 0) + c
+    return by_x, by_y
+
+
+def _best_half(
+    box: _IBox, target: int, by_x: dict[int, int], by_y: dict[int, int]
+) -> _IBox:
+    """Lower half minimizing ``|target - count(half)|`` over every grid
+    split line, x-splits then y-splits (EvenSplitPartitioner.scala:139-152);
+    strict improvement keeps the first minimum, preserving the documented
+    lowest-x-then-lowest-y tie-break."""
+    x, y, x2, y2 = box
+    best_cost = None
+    best: _IBox | None = None
+    acc = 0
+    for sx in range(x + 1, x2):
+        acc += by_x.get(sx - 1, 0)
+        cost = abs(target - acc)
+        if best_cost is None or cost < best_cost:
+            best_cost, best = cost, (x, y, sx, y2)
+    acc = 0
+    for sy in range(y + 1, y2):
+        acc += by_y.get(sy - 1, 0)
+        cost = abs(target - acc)
+        if best_cost is None or cost < best_cost:
+            best_cost, best = cost, (x, y, x2, sy)
+    assert best is not None  # _can_split guarantees ≥1 candidate
+    return best
 
 
 def _complement(half: _IBox, box: _IBox) -> _IBox:
@@ -133,7 +167,8 @@ def find_partitions(
     done: list[_IBox] = []
     while remaining:
         box = remaining.popleft()
-        count = _points_in(box, icells)
+        by_x, by_y = _marginals(box, icells)
+        count = sum(by_x.values())
         if count == 0:
             continue  # drop empty partitions
         if count <= max_points_per_partition:
@@ -147,7 +182,7 @@ def find_partitions(
             done.append(box)
             continue
         target = count // 2  # integer division, EvenSplitPartitioner.scala:73
-        half = min(_split_halves(box), key=lambda h: abs(target - _points_in(h, icells)))
+        half = _best_half(box, target, by_x, by_y)
         comp = _complement(half, box)
         remaining.appendleft(comp)
         remaining.appendleft(half)  # half processed first (reference :78)

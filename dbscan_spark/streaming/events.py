@@ -74,7 +74,13 @@ def events_stream_dir(sf_dir: str) -> str:
     )
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: a dangling symlink (target moved/deleted) must be
+    # repaired, not tripped over with FileExistsError.
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(target):
+            os.remove(link)
+            os.symlink(target, link)
+    else:
         os.symlink(target, link)
     return link_dir
 

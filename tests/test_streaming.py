@@ -123,6 +123,68 @@ def test_streaming_sessions_equal_batch(spark):
     assert rows_set(got, cols) == rows_set(want, cols)
 
 
+def test_session_state_accumulates_across_micro_batches(spark, tmp_path):
+    """maxFilesPerTrigger=2 over six files → exactly 3 micro-batches; a
+    session whose events arrive in DIFFERENT batches must still merge into
+    one session window (incremental session state), and a later-batch event
+    past the gap must open a new session instead."""
+    import os
+
+    import pandas as pd
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+
+    def mk(path, rows):  # rows: (event_id, minute, user_id)
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [base_ns + r[1] * 60 * 1_000_000_000 for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path)
+
+    # user 1: minutes 0,3 | 8,12 | 20 — all within the 10-min gap chain →
+    # ONE session of 5 events, assembled across all three batches.
+    # user 2: minute 1 | (nothing) | 40 — gap exceeded → TWO sessions.
+    mk(tmp_path / "f1.parquet", [(1, 0, 1), (2, 3, 1)])
+    mk(tmp_path / "f2.parquet", [(3, 1, 2)])
+    mk(tmp_path / "f3.parquet", [(4, 8, 1)])
+    mk(tmp_path / "f4.parquet", [(5, 12, 1)])
+    mk(tmp_path / "f5.parquet", [(6, 20, 1)])
+    mk(tmp_path / "f6.parquet", [(7, 40, 2)])
+    for i in range(1, 7):
+        os.utime(
+            tmp_path / f"f{i}.parquet",
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=2)
+    q = (
+        streaming_session_counts(stream, gap="10 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("t_multi_batch_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [
+        p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(batches) == 3, f"expected 3 data micro-batches, got {batches}"
+
+    base = pd.Timestamp(1_700_000_000, unit="s")
+    got = {
+        (r["user_id"], int((r["session_start"] - base).total_seconds()) // 60):
+            r["n_events"]
+        for r in spark.sql("SELECT * FROM t_multi_batch_sessions").collect()
+    }
+    assert got == {(1, 0): 5, (2, 1): 1, (2, 40): 1}, got
+
+
 def test_streaming_stateful_user_totals(spark):
     from pyspark.sql import functions as F
 
