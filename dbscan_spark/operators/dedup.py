@@ -373,8 +373,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _embeddings_with_norms(spark, sf_dir)
+    # bucket join moves only scalars (vec_id, table, bucket) — never the
+    # vectors; vectors are re-attached per side afterwards
     b = _bucketed(e).select("vec_id", "table", "bucket")
     x, y = b.alias("x"), b.alias("y")
+    # distinct BEFORE the verify: dedupes multi-table collisions so each
+    # pair pays exactly one dot, and its exchange also spreads the verify
+    # stage across the cluster (the bucket join's output inherits the
+    # tiny corpus scan's partitioning — without a shuffle the million-row
+    # dot stage would run at the scan's parallelism)
     cand = (
         x.join(
             y,

@@ -123,27 +123,24 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table",
         "bucket",
     )
-    cand = (
-        q.join(buckets, ["table", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "qv",
-            "nq",
-            F.col("vec_id").alias("neighbor_id"),
-            "v",
-            "nv",
-        )
-        .distinct()
-    )
     cos = F.round(
         dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
+    # Score straight off the bucket join and dedupe the (id, id, cos)
+    # scalars afterwards: a pair colliding in k tables costs k cheap dots
+    # instead of a distinct that shuffles the vector payloads themselves.
     return (
-        cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        q.join(buckets, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .distinct()
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
