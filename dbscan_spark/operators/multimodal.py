@@ -128,10 +128,71 @@ def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", embed(F.col("blob")).alias("stub_embedding"))
 
 
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_mean", T.DoubleType(), True),
+    ]
+)
+
+_FRAME_SIZE = 256  # bytes per "frame" of the fake video payload
+_MAX_FRAMES = 4  # uniform sample cap per document
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a video-like binary payload — ``mapInPandas``
+    with a VARIABLE number of output rows per input row (each sampled
+    frame becomes its own row), the plumbing shape a real
+    decode-and-sample-frames stage has at scale: rows explode inside the
+    Arrow batch, never through a Python-row path, and the fixed output
+    schema keeps downstream operators columnar.
+
+    The "video" is the blob segmented into 256-byte frames; up to 4 frames
+    are sampled uniformly (deterministic — no codec in this container, see
+    :func:`decode_image`). Rows-only driver check; unit tests pin the
+    sampled offsets and per-frame stats.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "byte_offset": [],
+                "n_bytes": [],
+                "byte_mean": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                pixels = _fake_decode(blob)
+                n_frames = max(1, -(-len(pixels) // _FRAME_SIZE))
+                take = min(n_frames, _MAX_FRAMES)
+                # uniform deterministic sample: evenly spaced frame ids
+                idxs = sorted({(i * n_frames) // take for i in range(take)})
+                for fi in idxs:
+                    fr = pixels[fi * _FRAME_SIZE : (fi + 1) * _FRAME_SIZE]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["byte_offset"].append(fi * _FRAME_SIZE)
+                    out["n_bytes"].append(len(fr))
+                    out["byte_mean"].append(
+                        round(float(fr.mean()), 4) if len(fr) else None
+                    )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(sample, _FRAME_SCHEMA)
+
+
 QUERIES = {
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_embed_stub": multimodal_embed_stub,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {

@@ -460,6 +460,46 @@ def json_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: for every purchase event, count the same
+    user's clicks in the preceding 30 minutes.
+
+    Spark shape: equi-join on user_id with the time range as a join-time
+    predicate — a shuffle hash join keyed on user_id, the scalable
+    interval-join form (per-user event lists are bounded; at 100 TB you
+    would additionally bucket both sides by (user_id, time-bucket) so the
+    range predicate prunes co-partitioned buckets). Left join keeps
+    zero-click purchases at count 0.
+    """
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts")),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.col("c_ts")).alias("n_recent_clicks"),
+            F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 2).alias(
+                "recent_click_value"
+            ),
+        )
+    )
+
+
 def json_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON file *source* (SURVEY §2.2 scans): read a JSON-lines mirror of
     events with an explicit schema (no inference pass), filter, aggregate.
@@ -791,6 +831,7 @@ QUERIES = {
     "json_extract_events": json_extract_events,
     "json_aggregate_events": json_aggregate_events,
     "json_source_events": json_source_events,
+    "join_range_clicks_before_purchase": join_range_clicks_before_purchase,
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
     "window_session_events": window_session_events,
@@ -1013,6 +1054,22 @@ ORACLE = {
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    # Both engines see identical floor-truncated-to-µs timestamps (see the
+    # event-time note below), so plain interval arithmetic agrees.
+    "join_range_clicks_before_purchase": """
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               count(c.ts) AS n_recent_clicks,
+               round(coalesce(sum(c.value), 0), 2) AS recent_click_value
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2
     """,
     # json_source_events reads the JSON-lines mirror; the mirror is value-
     # identical to parquet, so the oracle aggregates the parquet view.

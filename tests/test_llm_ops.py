@@ -117,6 +117,36 @@ def test_multimodal_features_match_numpy(spark):
         assert sum(r["histo16"]) == r["n_bytes"]
 
 
+def test_multimodal_frame_sample_matches_numpy(spark):
+    """Sampled frames equal a direct numpy segmentation of the bytes: ≤4
+    evenly spaced frames per doc, correct offsets/sizes/means, frames
+    cover the first and reach into the tail of long payloads."""
+    import numpy as np
+
+    rows = multimodal.multimodal_frame_sample(spark, SF_TINY).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_TINY}/documents.parquet").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, frames in list(by_doc.items())[:20]:
+        raw = np.frombuffer(docs[doc_id].encode("utf-8"), dtype=np.uint8)
+        n_frames = max(1, -(-len(raw) // 256))
+        assert 1 <= len(frames) <= 4
+        assert frames[0]["frame_idx"] == 0  # first frame always sampled
+        for fr in frames:
+            assert fr["byte_offset"] == fr["frame_idx"] * 256
+            seg = raw[fr["byte_offset"] : fr["byte_offset"] + 256]
+            assert fr["n_bytes"] == len(seg)
+            assert fr["byte_mean"] == pytest.approx(round(float(seg.mean()), 4))
+        if n_frames > 4:
+            # uniform sampling must reach past the midpoint of the payload
+            assert max(f["frame_idx"] for f in frames) >= n_frames // 2
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff")
