@@ -5,6 +5,7 @@ from dbscan_spark.streaming.events import (
     events_stream_dir,
     read_events_stream,
     run_to_memory,
+    streaming_range_join_clicks_purchases,
     streaming_session_counts,
     streaming_sliding_counts,
     streaming_tumbling_counts,
@@ -15,6 +16,7 @@ __all__ = [
     "events_stream_dir",
     "read_events_stream",
     "run_to_memory",
+    "streaming_range_join_clicks_purchases",
     "streaming_session_counts",
     "streaming_sliding_counts",
     "streaming_tumbling_counts",

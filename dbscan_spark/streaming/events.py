@@ -154,6 +154,45 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def streaming_range_join_clicks_purchases(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    relational.join_range_clicks_before_purchase's inner-pair core: each
+    purchase joins the same user's clicks from the preceding 30 minutes.
+
+    Both sides are watermarked and the join condition carries the time
+    range, so the state store can evict: a buffered click older than
+    (purchase watermark − 30 min) can never match again and is dropped —
+    the standard bounded-state stream-stream join construction. Inner
+    join → append output.
+    """
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "user_id", "click_id", "c_ts")
+
+
 def streaming_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: cumulative per-user event count and value
     via ``applyInPandasWithState`` (arbitrary state, the escape hatch for

@@ -10,6 +10,7 @@ from dbscan_spark.streaming import (
     events_stream_dir,
     read_events_stream,
     run_to_memory,
+    streaming_range_join_clicks_purchases,
     streaming_session_counts,
     streaming_sliding_counts,
     streaming_tumbling_counts,
@@ -121,6 +122,45 @@ def test_streaming_sessions_equal_batch(spark):
     want = relational.window_session_events(spark, SF_TINY).collect()
     cols = ["user_id", "session_start", "n_events"]
     assert rows_set(got, cols) == rows_set(want, cols)
+
+
+def test_streaming_range_join_equals_batch(spark):
+    """Stream-stream interval join (watermarked both sides, range in the
+    join condition) must produce exactly the batch inner join's pairs."""
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.io import load_table
+
+    stream = read_events_stream(spark, events_stream_dir(SF_TINY))
+    run_to_memory(
+        streaming_range_join_clicks_purchases(stream),
+        "t_range_join",
+        output_mode="append",
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_range_join").collect()
+    }
+    e = load_table(spark, SF_TINY, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no in-range pairs — widen the interval"
 
 
 def test_session_state_accumulates_across_micro_batches(spark, tmp_path):
