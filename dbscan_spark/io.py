@@ -115,6 +115,44 @@ def read_events_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path, schema=EVENTS_JSON_SCHEMA)
 
 
+def events_csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) a headered CSV mirror of ``events``
+    (sans free-text props — CSV is the wrong place for embedded JSON) and
+    return its path. Same rationale as :func:`events_json_dir`."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(repo_root, ".json_mirror", key, "events_csv")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(out)
+        )
+    return out
+
+
+#: Explicit schema for the CSV mirror — like JSON, schema inference over
+#: CSV costs an extra full scan and guesses types; production scans always
+#: declare the schema.
+EVENTS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Headered-CSV source for events with an explicit schema."""
+    return spark.read.option("header", "true").csv(
+        path, schema=EVENTS_CSV_SCHEMA
+    )
+
+
 def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
     """Read an ``x,y[,label]`` CSV of 2-D points (reference input format)."""
     return spark.read.csv(path, schema=POINTS_CSV_SCHEMA)

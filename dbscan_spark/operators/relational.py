@@ -460,6 +460,25 @@ def json_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def csv_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV file *source*: read a headered CSV mirror of events with an
+    explicit schema, aggregate per user decile. Completes the
+    parquet/JSON/CSV source triple; the oracle runs the same aggregate
+    over parquet, proving the CSV scan reproduces the data (doubles
+    round-trip via Spark's shortest-round-trip CSV repr)."""
+    from dbscan_spark.io import events_csv_dir, read_events_csv
+
+    e = read_events_csv(spark, events_csv_dir(spark, sf_dir))
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("user_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
+
+
 def join_range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join: for every purchase event, count the same
     user's clicks in the preceding 30 minutes.
@@ -831,6 +850,7 @@ QUERIES = {
     "json_extract_events": json_extract_events,
     "json_aggregate_events": json_aggregate_events,
     "json_source_events": json_source_events,
+    "csv_source_events": csv_source_events,
     "join_range_clicks_before_purchase": join_range_clicks_before_purchase,
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
@@ -1054,6 +1074,14 @@ ORACLE = {
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    "csv_source_events": """
+        SELECT user_id % 10 AS user_decile,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY 1
     """,
     # Both engines see identical floor-truncated-to-µs timestamps (see the
     # event-time note below), so plain interval arithmetic agrees.

@@ -7,9 +7,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dbscan_spark.io import (
+    EVENTS_CSV_SCHEMA,
     EVENTS_JSON_SCHEMA,
+    events_csv_dir,
     events_json_dir,
     load_table,
+    read_events_csv,
     read_events_json,
     read_points_csv,
     write_clustered_csv,
@@ -50,6 +53,20 @@ def test_json_source_mirrors_parquet_values(spark):
     )
     assert back.count() == want.count()
     # exact value round-trip: anti-join both ways is empty
+    assert back.exceptAll(want).count() == 0
+    assert want.exceptAll(back).count() == 0
+
+
+def test_csv_source_mirrors_parquet_values(spark):
+    """The headered-CSV source must reproduce the parquet values exactly
+    under its explicit schema (longs, doubles, strings)."""
+    path = events_csv_dir(spark, SF_TINY)
+    back = read_events_csv(spark, path)
+    assert back.schema == EVENTS_CSV_SCHEMA
+    want = load_table(spark, SF_TINY, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    assert back.count() == want.count()
     assert back.exceptAll(want).count() == 0
     assert want.exceptAll(back).count() == 0
 
