@@ -416,6 +416,38 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup *resolution*: within each fingerprint group keep the best
+    representative — longest text, ties to the lowest doc_id (the
+    keep-one-survivor step that follows candidate detection in a real
+    pipeline). One window over the fingerprint shuffle; every group emits
+    its survivor with the group size (singleton groups pass through — the
+    synthetic corpus has no exact-fingerprint dups, and a dup-only filter
+    would make the query vacuous).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", tokens(F.col("text"))))
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "n_chars", fp.alias("fingerprint"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "n_copies",
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -424,6 +456,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLE = {
@@ -457,6 +490,24 @@ ORACLE = {
     """,
     # dedup_minhash_lsh, dedup_simhash: probabilistic candidate generation —
     # rows-only check; unit tests pin recall against the exact baseline.
+    "dedup_keep_best": f"""
+        WITH fp AS (
+            SELECT doc_id, n_chars,
+                   md5(array_to_string({_SQL_TOKS}, ' ')) AS fingerprint
+            FROM documents),
+        ranked AS (
+            SELECT fingerprint, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY fingerprint
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY fingerprint) AS n_copies
+            FROM fp)
+        SELECT fingerprint,
+               doc_id AS keep_id,
+               n_chars AS keep_n_chars,
+               n_copies
+        FROM ranked WHERE rn = 1
+    """,
     "dedup_embedding_cosine": f"""
         SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
                round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -460,6 +460,27 @@ def json_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in ONE aggregate pass — the data-quality sweep a
+    pipeline runs before training: row/null/distinct counts, numeric
+    ranges, date bounds. Every statistic partial-aggregates map-side, so
+    at 100 TB this is a single scan + one tiny shuffle; the exact
+    distinct is on a 3-value column (fine at any scale) — for
+    high-cardinality columns you profile with the HLL sketch instead
+    (agg_approx_distinct shows that pairing)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("n_null_qty"),
+        F.count_distinct("l_returnflag").alias("n_flags"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
 def csv_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV file *source*: read a headered CSV mirror of events with an
     explicit schema, aggregate per user decile. Completes the
@@ -851,6 +872,7 @@ QUERIES = {
     "json_aggregate_events": json_aggregate_events,
     "json_source_events": json_source_events,
     "csv_source_events": csv_source_events,
+    "profile_lineitem": profile_lineitem,
     "join_range_clicks_before_purchase": join_range_clicks_before_purchase,
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
@@ -1074,6 +1096,17 @@ ORACLE = {
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    "profile_lineitem": """
+        SELECT count(*) AS n_rows,
+               count(*) - count(l_quantity) AS n_null_qty,
+               count(DISTINCT l_returnflag) AS n_flags,
+               round(min(l_quantity), 2) AS min_qty,
+               round(max(l_quantity), 2) AS max_qty,
+               round(avg(l_quantity), 4) AS avg_qty,
+               min(l_shipdate) AS first_ship,
+               max(l_shipdate) AS last_ship
+        FROM lineitem
     """,
     "csv_source_events": """
         SELECT user_id % 10 AS user_decile,
