@@ -126,3 +126,40 @@ def test_no_python_udfs_in_hot_paths(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark):
+    """Python in a plan is allowed ONLY in Arrow-batched form
+    (ArrowEvalPython / mapInPandas / applyInPandas); a BatchEvalPython
+    (row-at-a-time pickle UDF) anywhere is a regression."""
+    for name in entry_mod.queries():
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_profile_is_single_pass_no_join(spark):
+    """Table profiling must be one aggregate over one scan — a join or a
+    second scan means a statistic escaped the single-pass form."""
+    plan = plan_of(spark, "profile_lineitem")
+    assert "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_range_join_is_keyed_not_nested_loop(spark):
+    """The interval join must hash on user_id with the time range as a
+    join predicate — BroadcastNestedLoopJoin/CartesianProduct would scan
+    every purchase against every click at 100 TB."""
+    plan = plan_of(spark, "join_range_clicks_before_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_json_csv_sources_have_no_inference_scan(spark):
+    """File-source queries declare explicit schemas; their plans must
+    contain exactly one scan of the mirror (schema inference would add a
+    hidden extra pass at read time)."""
+    for name, fmt in (("json_source_events", "Scan json"),
+                      ("csv_source_events", "Scan csv")):
+        tree = plan_of(spark, name).split("\n\n")[0]
+        assert tree.count(fmt) == 1, name
