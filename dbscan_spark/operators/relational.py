@@ -460,6 +460,29 @@ def json_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: day → hour subtotals +
+    grand total in one pass (the continuous-aggregate shape time-series
+    stores maintain). ROLLUP compiles to a single Expand + one partial-
+    aggregated shuffle — not one scan per grain."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            # string day key: engines canonicalize date scalars differently
+            # (date vs midnight-timestamp); the yyyy-MM-dd string is
+            # bijective with the date and compares identically
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+            "value",
+        )
+        .rollup("day", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling in ONE aggregate pass — the data-quality sweep a
     pipeline runs before training: row/null/distinct counts, numeric
@@ -873,6 +896,7 @@ QUERIES = {
     "json_source_events": json_source_events,
     "csv_source_events": csv_source_events,
     "profile_lineitem": profile_lineitem,
+    "events_hypertable_rollup": events_hypertable_rollup,
     "join_range_clicks_before_purchase": join_range_clicks_before_purchase,
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
@@ -1096,6 +1120,14 @@ ORACLE = {
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    "events_hypertable_rollup": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               hour(ts)::BIGINT AS hr,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), hour(ts)::BIGINT)
     """,
     "profile_lineitem": """
         SELECT count(*) AS n_rows,
