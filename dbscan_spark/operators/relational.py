@@ -860,6 +860,63 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via key salting: each error/purchase event is
+    joined to its event-type's global average to score the deviation.
+
+    ``events`` is power-law-skewed on ``event_type`` (a handful of types
+    over the whole fact table), so a plain shuffle join on ``event_type``
+    sends each hot key to ONE reducer. The salting pattern: the fact side
+    gets a deterministic salt ``pmod(hash(event_id), 8)``; the build side
+    is replicated once per salt value via ``explode(sequence(...))``; the
+    join key becomes (event_type, salt), spreading every hot key over 8
+    partitions. Salting changes row *placement* only, never the join
+    result — the oracle is the plain unsalted join.
+
+    At this build-side size you'd simply ``broadcast()`` (and Catalyst
+    would); the ``shuffle_hash`` hint forces the shuffle path so the plan
+    genuinely exercises — and tests/test_plans.py asserts — the salted
+    exchange. At 100 TB this is the portable fix when the skewed build
+    side is too big to broadcast and AQE's sort-merge skew split doesn't
+    apply (e.g. two power-law event streams joined by id).
+    """
+    e = _t(spark, sf_dir, "events")
+    n_salt = 8
+    stats = (
+        e.groupBy("event_type")
+        .agg(F.avg("value").alias("type_avg"))
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+    )
+    fact = e.filter(F.col("event_type").isin("error", "purchase")).withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(n_salt)).cast("int")
+    )
+    return fact.join(stats.hint("shuffle_hash"), ["event_type", "salt"]).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.col("type_avg"), 4).alias("value_dev"),
+    )
+
+
+def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible way to cut a ~1/16
+    sample from a 100 TB table: filter on a hash of the key instead of
+    ``rand()``. The sample is stable across runs, engines, partitionings
+    and retries (no seed bookkeeping, no resampling on task retry — a
+    real correctness hazard with rand()-sampling at scale), and it is a
+    narrow per-row predicate: no shuffle, no sort, no driver state. md5
+    is bit-identical everywhere, so DuckDB selects the same rows exactly.
+    """
+    o = _t(spark, sf_dir, "orders")
+    key_hash = F.md5(F.col("o_orderkey").cast("string"))
+    return o.filter(F.substring(key_hash, 1, 2) < "10").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -914,6 +971,8 @@ QUERIES = {
     "scalar_map_ops": scalar_map_ops,
     "explode_embedding_head": explode_embedding_head,
     "agg_approx_distinct": agg_approx_distinct,
+    "join_salted_skew": join_salted_skew,
+    "sample_hash_orders": sample_hash_orders,
 }
 
 ORACLE = {
@@ -1316,4 +1375,18 @@ ORACLE = {
     """,
     # agg_approx_distinct: HLL sketch values are engine-specific —
     # rows-only check; tests pin the estimate within 5% of exact.
+    "join_salted_skew": """
+        SELECT e.event_id, e.event_type,
+               round(e.value - s.type_avg, 4) AS value_dev
+        FROM events e
+        JOIN (SELECT event_type, avg(value) AS type_avg
+              FROM events GROUP BY event_type) s
+          USING (event_type)
+        WHERE e.event_type IN ('error', 'purchase')
+    """,
+    "sample_hash_orders": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE substring(md5(cast(o_orderkey AS VARCHAR)), 1, 2) < '10'
+    """,
 }

@@ -163,3 +163,28 @@ def test_json_csv_sources_have_no_inference_scan(spark):
                       ("csv_source_events", "Scan csv")):
         tree = plan_of(spark, name).split("\n\n")[0]
         assert tree.count(fmt) == 1, name
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    """The salted join must exchange on (event_type, salt) — salt present
+    in the partitioning key is the whole point (it spreads each hot key
+    over n_salt reducers) — and must NOT degrade to broadcast (the hint
+    keeps the shuffle path under test)."""
+    plan = plan_of(spark, "join_salted_skew")
+    tree = plan.split("\n\n")[0]
+    assert "ShuffledHashJoin" in tree or "SortMergeJoin" in tree, tree
+    part_lines = [
+        l for l in plan.splitlines()
+        if "hashpartitioning" in l and "salt" in l
+    ]
+    assert part_lines, "no exchange partitioned by salt:\n" + plan
+
+
+def test_hash_sample_is_narrow(spark):
+    """Deterministic hash sampling must stay a per-row predicate: no
+    shuffle, no join, single scan."""
+    plan = plan_of(spark, "sample_hash_orders")
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Scan parquet") == 1
