@@ -193,6 +193,25 @@ def streaming_range_join_clicks_purchases(
     ).select("purchase_id", "user_id", "click_id", "c_ts")
 
 
+def streaming_dedup_events(
+    events: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming ingestion dedup — the streaming twin of
+    operators/dedup.dedup_exact for at-least-once sources that re-deliver
+    records (kafka rebalances, file-source restarts).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes the key's first sighting + ``delay``, so
+    state is bounded by (arrival rate x delay) instead of growing with the
+    whole stream — the only shape that survives 100 TB/day ingestion. A
+    plain ``dropDuplicates`` on a stream would pin every event_id ever
+    seen in the state store forever.
+    """
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def streaming_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: cumulative per-user event count and value
     via ``applyInPandasWithState`` (arbitrary state, the escape hatch for

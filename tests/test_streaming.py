@@ -253,3 +253,59 @@ def test_streaming_stateful_user_totals(spark):
     for uid, (n, total) in want.items():
         assert got[uid][0] == n
         assert got[uid][1] == pytest.approx(total, abs=0.05)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Ingestion dedup: a re-delivered event_id within the watermark delay
+    is dropped; once the watermark passes (state evicted), the same id is
+    admitted again — proving state is watermark-bounded, not forever."""
+    import os
+
+    import pandas as pd
+
+    from dbscan_spark.streaming.events import streaming_dedup_events
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+
+    def mk(path, rows):  # rows: (event_id, minute)
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [base_ns + r[1] * 60 * 1_000_000_000 for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path)
+
+    # batch 1: ids 1, 2; batch 2: id 1 again 2 min later (dup → dropped).
+    # batch 3 (id 4 @ min 60) advances the watermark to min 50, which takes
+    # effect in batch 4 — batch 4's end-of-batch eviction then drops the
+    # state for ids 1-3. batch 5: id 2 again → re-admitted (state gone).
+    mk(tmp_path / "f1.parquet", [(1, 0), (2, 1)])
+    mk(tmp_path / "f2.parquet", [(1, 2), (3, 5)])
+    mk(tmp_path / "f3.parquet", [(4, 60)])
+    mk(tmp_path / "f4.parquet", [(5, 61)])
+    mk(tmp_path / "f5.parquet", [(2, 62)])
+    for i in range(1, 6):
+        os.utime(
+            tmp_path / f"f{i}.parquet",
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    q = (
+        streaming_dedup_events(stream, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], int(r["ts"].timestamp() - 1_700_000_000) // 60)
+        for r in spark.sql("SELECT event_id, ts FROM t_stream_dedup").collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 5), (4, 60), (5, 61), (2, 62)}, got
