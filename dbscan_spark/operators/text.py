@@ -72,6 +72,48 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_vote(toks):
+    """Zero-shuffle language argmax: struct(neg_hits, lang) minimum over
+    per-language stopword-hit counts computed as array filters on the
+    token column — one narrow projection, no explode, no join, no
+    aggregate (see text_language_id for the scale rationale)."""
+    per_lang = []
+    for lang in sorted({lg for lg, _ in STOPWORDS}):
+        words = F.array(*[F.lit(w) for lg, w in STOPWORDS if lg == lang])
+        n = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+        per_lang.append(F.struct((-n).alias("neg"), F.lit(lang).alias("lang")))
+    return F.array_min(F.array(*per_lang))
+
+
+def _quality_score(text_col, toks):
+    """Heuristic quality score expression from length / punctuation /
+    digit / stopword signals (shared by text_quality_score and the
+    corpus_clean_pipeline composition)."""
+    n_chars = F.length(text_col).cast("double")
+    non_alnum = n_chars - F.length(
+        F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", "")
+    ).cast("double")
+    digits = F.length(
+        F.regexp_replace(text_col, "[^0-9]", "")
+    ).cast("double")
+    n_toks = F.size(toks).cast("double")
+    en_words = F.array(*[F.lit(w) for lang, w in STOPWORDS if lang == "en"])
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(en_words, t))
+    ).cast("double")
+    punct_ratio = non_alnum / F.nullif(n_chars, F.lit(0.0))
+    digit_ratio = digits / F.nullif(n_chars, F.lit(0.0))
+    stop_ratio = stop_hits / F.nullif(n_toks, F.lit(0.0))
+    length_score = F.least(n_toks / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (1 - punct_ratio)
+        + F.lit(0.2) * (1 - digit_ratio)
+        + F.lit(0.1) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return punct_ratio, digit_ratio, stop_ratio, score
+
+
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID: most stopword hits wins (ties → lang asc);
     docs with zero hits → 'und'.
@@ -84,14 +126,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this version is a pure map over documents."""
     d = load_table(spark, sf_dir, "documents")
     d = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
-    per_lang = []
-    for lang in sorted({lg for lg, _ in STOPWORDS}):
-        words = F.array(*[F.lit(w) for lg, w in STOPWORDS if lg == lang])
-        n = F.size(
-            F.filter(F.col("_toks"), lambda t: F.array_contains(words, t))
-        )
-        per_lang.append(F.struct((-n).alias("neg"), F.lit(lang).alias("lang")))
-    best = F.array_min(F.array(*per_lang))
+    best = _lang_vote(F.col("_toks"))
     return d.select("doc_id", best.alias("_b")).select(
         "doc_id",
         F.when(-F.col("_b.neg") > 0, F.col("_b.lang"))
@@ -108,28 +143,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # same staged-projection rationale as text_token_stats
     d = d.select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
-    n_chars = F.length("text").cast("double")
-    non_alnum = n_chars - F.length(
-        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
-    ).cast("double")
-    digits = F.length(
-        F.regexp_replace(F.col("text"), "[^0-9]", "")
-    ).cast("double")
-    toks = F.col("_toks")
-    n_toks = F.size(toks).cast("double")
-    en_words = F.array(*[F.lit(w) for lang, w in STOPWORDS if lang == "en"])
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(en_words, t))
-    ).cast("double")
-    punct_ratio = non_alnum / F.nullif(n_chars, F.lit(0.0))
-    digit_ratio = digits / F.nullif(n_chars, F.lit(0.0))
-    stop_ratio = stop_hits / F.nullif(n_toks, F.lit(0.0))
-    length_score = F.least(n_toks / F.lit(64.0), F.lit(1.0))
-    score = (
-        F.lit(0.4) * length_score
-        + F.lit(0.3) * (1 - punct_ratio)
-        + F.lit(0.2) * (1 - digit_ratio)
-        + F.lit(0.1) * F.least(stop_ratio * 5, F.lit(1.0))
+    punct_ratio, digit_ratio, stop_ratio, score = _quality_score(
+        F.col("text"), F.col("_toks")
     )
     return d.select(
         "doc_id",
@@ -163,12 +178,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus-cleaning composition — the standard pre-training
+    data pipeline (language gate → quality gate → exact content dedup)
+    built from this module's shared expressions in ONE scan + ONE shuffle.
+
+    A naive composition (joining the standalone language/quality/
+    fingerprint operator outputs on doc_id) would scan documents three
+    times and shuffle twice for the joins. All three stages are per-row
+    projections, so they fuse into a single projection over a single
+    scan; the only shuffle is the fingerprint-keyed dedup window. At
+    100 TB: one pass over the corpus, one content-keyed exchange, and
+    both gates run BEFORE the exchange so only surviving rows shuffle.
+
+    Gates: predicted language 'en' and quality_score ≥ 0.8 (the rounded
+    score is compared, so the threshold is engine-stable); dedup keeps
+    the smallest doc_id per bag-of-words fingerprint.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
+    best = _lang_vote(F.col("_toks"))
+    _punct, _digit, _stop, score = _quality_score(
+        F.col("text"), F.col("_toks")
+    )
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("_toks"))))
+    )
+    scored = d.select(
+        "doc_id",
+        F.when(-best.getField("neg") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        _r4(score).alias("quality_score"),
+        fp.alias("fingerprint"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.8))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality_score", "fingerprint")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
     "text_word_freq": text_word_freq,
     "text_fingerprint": text_fingerprint,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -244,5 +304,46 @@ ORACLE = {
                md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))
                    AS fingerprint
         FROM documents
+    """,
+    "corpus_clean_pipeline": f"""
+        WITH sw(lang, word) AS (VALUES {_SQL_STOPWORDS}),
+        t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+        words AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        hits AS (
+            SELECT doc_id, lang, count(*) AS n_hits
+            FROM words JOIN sw USING (word) GROUP BY doc_id, lang),
+        best AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n_hits DESC, lang) AS rn
+            FROM hits),
+        q AS (
+            SELECT doc_id,
+                   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                       / nullif(length(text), 0) AS punct_ratio,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                       / nullif(length(text), 0) AS digit_ratio,
+                   len(list_filter(toks, x -> list_contains([{_SQL_EN_LIST}], x)))::DOUBLE
+                       / nullif(len(toks), 0) AS stop_ratio,
+                   least(len(toks) / 64.0, 1.0) AS length_score,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                       AS fingerprint
+            FROM t),
+        scored AS (
+            SELECT q.doc_id,
+                   coalesce(b.lang, 'und') AS pred_lang,
+                   floor((0.4 * length_score + 0.3 * (1 - punct_ratio)
+                          + 0.2 * (1 - digit_ratio)
+                          + 0.1 * least(stop_ratio * 5, 1.0)) * 10000 + 0.5)
+                       / 10000 AS quality_score,
+                   fingerprint
+            FROM q LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON q.doc_id = b.doc_id)
+        SELECT doc_id, quality_score, fingerprint
+        FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                           ORDER BY doc_id) AS rn2
+              FROM scored
+              WHERE pred_lang = 'en' AND quality_score >= 0.8)
+        WHERE rn2 = 1
     """,
 }

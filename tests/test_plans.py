@@ -188,3 +188,15 @@ def test_hash_sample_is_narrow(spark):
     assert "Exchange" not in tree, tree
     assert "Join" not in tree, tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_corpus_pipeline_is_one_scan_one_exchange(spark):
+    """The cleaning pipeline composes three per-row stages + a dedup: it
+    must fuse to ONE documents scan and exactly ONE exchange (the
+    fingerprint dedup window), with no joins — a second scan or a join
+    means a stage escaped projection fusion."""
+    plan = plan_of(spark, "corpus_clean_pipeline")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
