@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "text_token_stats",
     "text_language_id",
+    "corpus_clean_pipeline",
+    "join_salted_skew",
+    "sample_hash_orders",
     "dbscan_embeddings",
 ]
 
