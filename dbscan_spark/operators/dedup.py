@@ -106,11 +106,14 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8.
+    """EXACT-BASELINE ONLY — deliberately quadratic (shingle self-join);
+    at corpus scale use :func:`dedup_minhash_lsh`, the banded scale path
+    this query anchors (its recall is pinned against this output in CI).
 
-    Shingle self-join → common counts → |A∩B| / (|A|+|B|-|A∩B|). The
-    threshold is applied to the rounded value so both engines make the
-    identical inclusion decision.
+    Near-dup pairs by exact word-3-gram Jaccard >= 0.8: shingle self-join
+    → common counts → |A∩B| / (|A|+|B|-|A∩B|). The threshold is applied
+    to the rounded value so both engines make the identical inclusion
+    decision.
     """
     hs = _doc_shingle_hashes(spark, sf_dir).persist()
     sh = hs.select("doc_id", F.explode("hs").alias("s"))
@@ -327,8 +330,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup vector pairs by cosine >= 0.4 (brute-force pair join;
-    the LSH-bucketed scale path is similarity.ann_topk_lsh)."""
+    """EXACT-BASELINE ONLY — deliberately all-pairs; at corpus scale use
+    :func:`dedup_embedding_lsh`, the bucketed scale path this query
+    anchors (its recall is pinned against this output in CI).
+
+    Near-dup vector pairs by cosine >= 0.4 via brute-force pair join."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_array(F.col("embedding")).alias("v"))

@@ -86,3 +86,32 @@ def test_parquet_sink_partitioned_scan_prunes(spark, tmp_path):
         back._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink: values round-trip exactly, and the ORC scan takes
+    predicate pushdown + column pruning like parquet."""
+    from dbscan_spark.io import read_orc, write_orc
+
+    out = str(tmp_path / "orders_orc")
+    orders = load_table(spark, SF_TINY, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    write_orc(orders, out)
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    want = {
+        (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in orders.filter(F.col("o_totalprice") > 400000).collect()
+    }
+    got_df = back.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = {(r.o_orderkey, round(r.o_totalprice, 2)) for r in got_df.collect()}
+    assert got == want
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan and "GreaterThan" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "o_orderpriority" not in read_schema[0]
