@@ -232,48 +232,50 @@ def dbscan(
     )
 
     # -- 5b. adjacency: same point under two different (pid, cluster) ids,
-    #        both non-noise ⇒ those local clusters are one global cluster --
-    a, b = margin_pts.alias("a"), margin_pts.alias("b")
-    same_point = (
-        (F.col(f"a.{x_col}") == F.col(f"b.{x_col}"))
-        & (F.col(f"a.{y_col}") == F.col(f"b.{y_col}"))
+    #        both non-noise ⇒ those local clusters are one global cluster.
+    #        One collect_set aggregate groups each margin point's
+    #        (src_pid, cluster) sightings per dest partition; the pair
+    #        expansion is a per-row HOF over sets bounded by the number of
+    #        rectangles overlapping one point (≤4 in the BSP grid). This
+    #        replaces a sort-merge SELF-join that shuffled margin_pts
+    #        twice and sorted both sides — one exchange instead of two,
+    #        no sorts, at any scale --------------------------------------
+    ident_cols = [x_col, y_col] + (
+        [features_col] if features_col is not None else []
     )
-    if features_col is not None:
-        same_point = same_point & (
-            F.col(f"a.{features_col}") == F.col(f"b.{features_col}")
+    per_point = (
+        margin_pts.filter(F.col("cluster") > 0)
+        .groupBy("dest_pid", *ident_cols)
+        .agg(
+            F.collect_set(
+                F.struct(
+                    F.col("src_pid").alias("p"), F.col("cluster").alias("c")
+                )
+            ).alias("ids")
         )
-    edges_df = (
-        a.join(
-            b,
-            same_point
-            & (F.col("a.dest_pid") == F.col("b.dest_pid"))
-            & (F.col("a.src_pid") < F.col("b.src_pid")),
-        )
-        .filter((F.col("a.cluster") > 0) & (F.col("b.cluster") > 0))
-        .select(
-            F.col("a.src_pid").alias("p1"),
-            F.col("a.cluster").alias("c1"),
-            F.col("b.src_pid").alias("p2"),
-            F.col("b.cluster").alias("c2"),
-        )
-        .distinct()
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> "
+        "struct(a.p AS p1, a.c AS c1, b.p AS p2, b.c AS c2)))), "
+        "x -> x.p1 < x.p2)"
+    )
+    edges_df = per_point.select(F.explode(pairs).alias("e")).select(
+        "e.p1", "e.c1", "e.p2", "e.c2"
     )
 
     # -- 5c. driver union-find over local-cluster ids (tiny). The distinct
     #        local ids ride along in the SAME job as the adjacency edges
-    #        (union with null right-hand side) — one driver round-trip for
-    #        both, halving the eager-job count of the merge phase ----------
-    ids_df = (
-        clustered.filter(F.col("cluster") > 0)
-        .select(
-            F.col("pid").alias("p1"),
-            F.col("cluster").alias("c1"),
-            F.lit(None).cast("int").alias("p2"),
-            F.lit(None).cast("long").alias("c2"),
-        )
-        .distinct()
+    #        (union with null right-hand side), and ONE distinct over the
+    #        fused union dedupes both row kinds (they can't collide: id
+    #        rows have null p2) — one driver round-trip, one dedup
+    #        exchange for the whole merge phase ---------------------------
+    ids_df = clustered.filter(F.col("cluster") > 0).select(
+        F.col("pid").alias("p1"),
+        F.col("cluster").alias("c1"),
+        F.lit(None).cast("int").alias("p2"),
+        F.lit(None).cast("long").alias("c2"),
     )
-    fused_rows = edges_df.unionByName(ids_df).collect()
+    fused_rows = edges_df.unionByName(ids_df).distinct().collect()
     edge_rows = [r for r in fused_rows if r.p2 is not None]
     local_ids = [(r.p1, r.c1) for r in fused_rows if r.p2 is None]
     gmap = assign_global_ids(
