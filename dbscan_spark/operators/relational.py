@@ -357,6 +357,37 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: decile bucket, percent_rank and
+    cume_dist of each order's price within its priority class. One
+    partitioned sort serves all three functions (single Window node)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of per-part numeric measures — the inverse of
+    pivot_segment_priority. Spark's native unpivot compiles to a single
+    Expand over one scan: no join, no shuffle, rows scale linearly with
+    input × #measures."""
+    p = _t(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ["p_partkey"], ["size", "retailprice"], "measure", "value"
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / limit / set ops
 # --------------------------------------------------------------------------
@@ -941,6 +972,8 @@ QUERIES = {
     "window_order_gaps": window_order_gaps,
     "window_running_total": window_running_total,
     "window_rank_dense": window_rank_dense,
+    "window_ntile_deciles": window_ntile_deciles,
+    "unpivot_part_measures": unpivot_part_measures,
     "sort_limit_top_items": sort_limit_top_items,
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
@@ -1388,5 +1421,22 @@ ORACLE = {
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders
         WHERE substring(md5(cast(o_orderkey AS VARCHAR)), 1, 2) < '10'
+    """,
+    "window_ntile_deciles": """
+        SELECT o_orderkey, o_orderpriority,
+               ntile(10) OVER w AS decile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    "unpivot_part_measures": """
+        SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS measure,
+               CAST(p_retailprice AS DOUBLE) AS value
+        FROM part
     """,
 }
