@@ -376,6 +376,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbscan_spark.operators.similarity import (
         _bucketed,
         _embeddings_with_norms,
+        pair_cosine,
     )
 
     e = _embeddings_with_norms(spark, sf_dir)
@@ -401,19 +402,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1 = e.select(
-        F.col("vec_id").alias("vec_id_1"),
-        F.col("v").alias("v1"),
-        F.col("nv").alias("nv1"),
-    )
-    e2 = e.select(
-        F.col("vec_id").alias("vec_id_2"),
-        F.col("v").alias("v2"),
-        F.col("nv").alias("nv2"),
-    )
-    cos = F.round(
-        dot(F.col("v1"), F.col("v2")) / (F.col("nv1") * F.col("nv2")), 4
-    )
+    e1 = e.select(F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"))
+    e2 = e.select(F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"))
+    # Arrow-batched einsum verify: the candidate stream is the one place
+    # that pays a per-pair dot at full volume, so it gets the vectorized
+    # kernel (norms fold into the same batch — no nv columns in the join)
+    cos = F.round(pair_cosine(F.col("v1"), F.col("v2")), 4)
     return (
         cand.join(e1, "vec_id_1")
         .join(e2, "vec_id_2")
