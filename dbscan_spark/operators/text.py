@@ -178,6 +178,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE content fingerprint: Karp–Rabin polynomial rolling
+    hash over the token stream (base 31, mod 1e9+7). Token values are the
+    first 32 md5 bits so both engines agree bit-for-bit; all intermediates
+    stay < 2^63 (acc < 1e9+7, acc*31 + v < 3.6e10), so the modular
+    arithmetic is exact in int64. Complements text_fingerprint's
+    order-insensitive bag identity — reordering content changes THIS hash.
+    Pure narrow projection: no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def step(acc, t):
+        tok_val = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        return (acc * 31 + tok_val) % F.lit(1000000007).cast("long")
+
+    rh = F.aggregate(
+        tokens(F.col("text")), F.lit(0).cast("long"), step
+    )
+    return d.select("doc_id", rh.alias("rolling_hash"))
+
+
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship corpus-cleaning composition — the standard pre-training
     data pipeline (language gate → quality gate → exact content dedup)
@@ -228,6 +248,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_word_freq": text_word_freq,
     "text_fingerprint": text_fingerprint,
+    "text_rolling_hash": text_rolling_hash,
     "corpus_clean_pipeline": corpus_clean_pipeline,
 }
 
@@ -303,6 +324,15 @@ ORACLE = {
         SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))
                    AS fingerprint
+        FROM documents
+    """,
+    "text_rolling_hash": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform({_SQL_TOKS},
+                           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+                   (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_hash
         FROM documents
     """,
     "corpus_clean_pipeline": f"""
