@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "join_asof_last_click",
     "window_running_total",
     "window_moving_avg",
+    "window_ntile_deciles",
     "window_tumbling_events",
     "window_session_events",
     "json_aggregate_events",
@@ -44,6 +45,7 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "text_token_stats",
     "text_language_id",
+    "text_rolling_hash",
     "corpus_clean_pipeline",
     "join_salted_skew",
     "sample_hash_orders",

@@ -37,6 +37,35 @@ def test_embedding_lsh_subset_and_recall(spark):
     assert len(lsh) / len(exact) >= 0.6, (len(lsh), len(exact))
 
 
+def test_pair_cosine_matches_jvm_fold(spark):
+    """The Arrow pair-cosine kernel must agree with the JVM aggregate()
+    fold to float64 tolerance on arbitrary vector pairs (summation order
+    differs — einsum vs sequential fold — so exact bit equality is not
+    guaranteed, but any real divergence means a broken kernel)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.functions import cosine
+    from dbscan_spark.operators.similarity import pair_cosine
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, rng.normal(size=64).tolist(), rng.normal(size=64).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>"
+    )
+    got = (
+        df.select(
+            pair_cosine(F.col("a"), F.col("b")).alias("arrow"),
+            cosine(F.col("a"), F.col("b")).alias("jvm"),
+        )
+        .toPandas()
+    )
+    assert np.allclose(got["arrow"], got["jvm"], atol=1e-12, rtol=1e-12)
+
+
 def test_minhash_signature_shape(spark):
     row = dedup.minhash_signatures(spark, SF_TINY).first()
     assert len(row["sig"]) == 64
