@@ -448,15 +448,19 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registration order = driver grading order (cheapest first): the two
+# deliberately-quadratic exact baselines go LAST so a driver wall-clock
+# truncation can only cost rows for the heavy anchors, never the cheap
+# bucketed scale paths.
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_keep_best": dedup_keep_best,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
-    "dedup_embedding_lsh": dedup_embedding_lsh,
-    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLE = {
