@@ -20,8 +20,8 @@ Design notes
   multimodal feature extraction).
 """
 
-from dbscan_spark.dbscan import dbscan
+from dbscan_spark.dbscan import DBSCANModel, dbscan, predict, train
 from dbscan_spark.kernel import local_dbscan
 
-__all__ = ["dbscan", "local_dbscan"]
+__all__ = ["DBSCANModel", "dbscan", "local_dbscan", "predict", "train"]
 __version__ = "0.1.0"

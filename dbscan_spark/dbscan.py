@@ -400,3 +400,68 @@ def predict(
         .otherwise(F.lit("noise"))
         .alias("flag"),
     )
+
+
+class DBSCANModel:
+    """Fitted-model wrapper mirroring the reference's public surface so a
+    reference user can switch 1:1: ``DBSCAN.train(...)`` →
+    :func:`train`, ``model.labeledPoints`` → :attr:`labeled_points`,
+    ``model.predict(v)`` → :meth:`predict` (the reference *declares*
+    predict but throws, DBSCAN.scala:249-251 — implemented here).
+
+    ``labeled_points`` is the already-materialized clustering result (the
+    input columns plus ``cluster``/``flag``), exactly what
+    ``model.labeledPoints`` exposes in the reference (DBSCAN.scala:253-256).
+    """
+
+    def __init__(
+        self,
+        labeled_points: DataFrame,
+        eps: float,
+        min_points: int,
+        max_points_per_partition: int,
+        x_col: str = "x",
+        y_col: str = "y",
+    ) -> None:
+        self.labeled_points = labeled_points
+        self.eps = float(eps)
+        self.min_points = int(min_points)
+        self.max_points_per_partition = int(max_points_per_partition)
+        self._x_col = x_col
+        self._y_col = y_col
+
+    def predict(self, new_points: DataFrame) -> DataFrame:
+        """Label new points against the fitted model: nearest core point
+        within ε wins, else noise (see module-level :func:`predict`)."""
+        return predict(
+            self.labeled_points,
+            new_points,
+            self.eps,
+            x_col=self._x_col,
+            y_col=self._y_col,
+        )
+
+
+def train(
+    df: DataFrame,
+    eps: float,
+    min_points: int,
+    max_points_per_partition: int = 250,
+    x_col: str = "x",
+    y_col: str = "y",
+    features_col: str | None = None,
+) -> DBSCANModel:
+    """Reference-parity entry point (DBSCAN.train, DBSCAN.scala:40-48):
+    runs :func:`dbscan` and wraps the result in a :class:`DBSCANModel`."""
+    labeled = dbscan(
+        df,
+        eps=eps,
+        min_points=min_points,
+        max_points_per_partition=max_points_per_partition,
+        x_col=x_col,
+        y_col=y_col,
+        features_col=features_col,
+    )
+    return DBSCANModel(
+        labeled, eps, min_points, max_points_per_partition, x_col, y_col
+    )

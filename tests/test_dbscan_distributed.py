@@ -168,6 +168,33 @@ def test_predict_labels_new_points(spark, golden_df):
     assert got[0]["cluster"] == core["cluster"]
 
 
+def test_train_model_api_mirrors_reference(spark, golden_df):
+    """Reference-parity surface: train() -> model.labeled_points +
+    model.predict() must produce exactly what the underlying dbscan() and
+    predict() functions produce (DBSCAN.scala:40-48, :253-256)."""
+    from dbscan_spark import train
+
+    model = train(golden_df, eps=0.3, min_points=10)
+    direct = dbscan(golden_df, 0.3, 10, max_points_per_partition=250)
+    lp = {
+        (r["x"], r["y"]): (r["cluster"], r["flag"])
+        for r in model.labeled_points.collect()
+    }
+    want = {
+        (r["x"], r["y"]): (r["cluster"], r["flag"])
+        for r in direct.collect()
+    }
+    assert lp == want
+    core = model.labeled_points.filter("flag = 'core'").first()
+    probe = spark.createDataFrame(
+        [(1, core["x"], core["y"] + 0.01), (2, -50.0, -50.0)],
+        "nid long, x double, y double",
+    )
+    got = {r["nid"]: r for r in model.predict(probe).collect()}
+    assert got[1]["cluster"] == core["cluster"]
+    assert got[2]["cluster"] == 0 and got[2]["flag"] == "noise"
+
+
 def test_predict_surrounded_but_out_of_range(spark):
     """Regression: a probe whose entire 3x3 candidate-cell ring contains
     core points, every one beyond eps, must still come back as noise (not
