@@ -136,3 +136,51 @@ def test_rectangle_containment_borders():
     assert not r.almost_contains_point(0.0, 0.5)
     assert not r.almost_contains_point(1.0, 1.0)
     assert r.almost_contains_point(0.5, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis): the fixed-seed tile-and-bound test
+# generalized to arbitrary histograms, cell sizes and caps.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cells=st.dictionaries(
+        st.tuples(
+            st.integers(min_value=-8, max_value=8),
+            st.integers(min_value=-8, max_value=8),
+        ),
+        st.integers(min_value=1, max_value=30),
+        min_size=1,
+        max_size=60,
+    ),
+    size=st.sampled_from([0.5, 1.0, 2.5]),
+    maxp=st.integers(min_value=1, max_value=120),
+)
+def test_bsp_invariants_property(cells, size, maxp):
+    """For ANY histogram: partitions tile the occupied space (interior-
+    disjoint, every cell counted exactly once) and respect the cap unless
+    the rectangle is already at the minimum (un-splittable) size."""
+    hist = {(i * size, j * size): n for (i, j), n in cells.items()}
+    parts = find_partitions(hist, maxp, size)
+    total = sum(hist.values())
+    covered = 0
+    for r in parts:
+        c = sum(
+            n
+            for (cx, cy), n in hist.items()
+            if r.x <= cx and cx + size <= r.x2
+            and r.y <= cy and cy + size <= r.y2
+        )
+        unsplittable = (r.x2 - r.x <= 2 * size) and (r.y2 - r.y <= 2 * size)
+        assert c <= maxp or unsplittable, (r, c, maxp)
+        covered += c
+    assert covered == total
+    for i, a in enumerate(parts):
+        for b in parts[i + 1 :]:
+            assert (
+                a.x2 <= b.x or b.x2 <= a.x or a.y2 <= b.y or b.y2 <= a.y
+            ), f"overlap {a} {b}"
