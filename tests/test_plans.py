@@ -200,3 +200,33 @@ def test_corpus_pipeline_is_one_scan_one_exchange(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("Exchange") == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_rolling_hash_is_narrow(spark):
+    """The Karp–Rabin rolling hash is a pure per-row projection: no
+    shuffle, no join, one documents scan."""
+    plan = plan_of(spark, "text_rolling_hash")
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_unpivot_is_single_expand_no_shuffle(spark):
+    """Native unpivot must compile to ONE Expand over ONE scan with no
+    exchange — the wide→long melt is a narrow map at any scale."""
+    plan = plan_of(spark, "unpivot_part_measures")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Expand") == 1, tree
+    assert "Exchange" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_ntile_family_single_window(spark):
+    """ntile/percent_rank/cume_dist share one partitioned sort: exactly
+    one Window node and one Exchange (the partitionBy shuffle) — a second
+    of either means the three functions stopped sharing a frame."""
+    plan = plan_of(spark, "window_ntile_deciles")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Exchange") == 1, tree
