@@ -230,3 +230,16 @@ def test_ntile_family_single_window(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Window") == 1, tree
     assert tree.count("Exchange") == 1, tree
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_embedding_lsh", "ann_topk_lsh", "ann_topk_ivf"]
+)
+def test_bucketed_paths_never_nested_loop(spark, name):
+    """The bucketed scale paths exist to avoid the all-pairs plan; every
+    join in them must be an equi (hash) join on bucket/cell/id keys. A
+    CartesianProduct or BroadcastNestedLoopJoin anywhere means the
+    candidate generation silently degraded to all-pairs."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
