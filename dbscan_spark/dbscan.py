@@ -106,9 +106,11 @@ def dbscan(
     equality per group and fails the job with a clear error otherwise.
 
     The returned DataFrame is persisted and already materialized (the
-    merge phase is inherently eager — same as the reference); internal
-    caches are released before returning, so repeated calls don't
-    accumulate executor storage.
+    merge phase is inherently eager — same as the reference); the two
+    internal intermediates are released before returning. The RESULT's
+    cache belongs to the caller: call ``.unpersist()`` (or
+    ``DBSCANModel.unpersist()``) when done, or a loop of dbscan() calls
+    accumulates one cached result per call until LRU eviction.
     """
     spark = df.sparkSession
     eps = float(eps)  # numpy scalars would poison createDataFrame below
@@ -343,6 +345,7 @@ def predict(
     eps: float,
     x_col: str = "x",
     y_col: str = "y",
+    features_col: str | None = None,
 ) -> DataFrame:
     """Label new points against a fitted model (the reference declares this
     but throws NotImplementedError, DBSCAN.scala:244-251 — implemented here
@@ -353,16 +356,25 @@ def predict(
     explode each new point to its 3×3 candidate cell ring, equi-join on the
     cell key (shuffle hash join — no cross join), exact-filter by distance,
     then window top-1. ``model`` is the output of :func:`dbscan`.
+
+    With ``features_col`` (same contract as :func:`dbscan`: x/y are the
+    first two vector components), the exact distance filter runs over the
+    FULL vector while candidate generation stays on the (x, y) cell ring —
+    correct because a projection distance never exceeds the full distance,
+    so the ring is a superset of the true n-D ε-neighborhood.
     """
     from pyspark.sql.window import Window
 
-    cores = model.filter(F.col("flag") == "core").select(
+    core_cols = [
         F.col(x_col).alias("core_x"),
         F.col(y_col).alias("core_y"),
         F.col("cluster").alias("core_cluster"),
         F.floor(F.col(x_col) / eps).cast("long").alias("cell_x"),
         F.floor(F.col(y_col) / eps).cast("long").alias("cell_y"),
-    )
+    ]
+    if features_col is not None:
+        core_cols.append(F.col(features_col).alias("core_feats"))
+    cores = model.filter(F.col("flag") == "core").select(*core_cols)
     probes = (
         new_points.withColumn("_cx", F.floor(F.col(x_col) / eps).cast("long"))
         .withColumn("_cy", F.floor(F.col(y_col) / eps).cast("long"))
@@ -371,9 +383,20 @@ def predict(
         .withColumn("cell_x", F.col("_cx") + F.col("_ox"))
         .withColumn("cell_y", F.col("_cy") + F.col("_oy"))
     )
-    dx = F.col(x_col) - F.col("core_x")
-    dy = F.col(y_col) - F.col("core_y")
-    dist2 = dx * dx + dy * dy
+    if features_col is not None:
+        dist2 = F.aggregate(
+            F.zip_with(
+                F.col(features_col),
+                F.col("core_feats"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    else:
+        dx = F.col(x_col) - F.col("core_x")
+        dy = F.col(y_col) - F.col("core_y")
+        dist2 = dx * dx + dy * dy
 
     # inner join + ε filter first, THEN left-join the winners back onto the
     # probes: a probe whose candidate cells all hold cores beyond ε must
@@ -422,6 +445,7 @@ class DBSCANModel:
         max_points_per_partition: int,
         x_col: str = "x",
         y_col: str = "y",
+        features_col: str | None = None,
     ) -> None:
         self.labeled_points = labeled_points
         self.eps = float(eps)
@@ -429,17 +453,26 @@ class DBSCANModel:
         self.max_points_per_partition = int(max_points_per_partition)
         self._x_col = x_col
         self._y_col = y_col
+        self._features_col = features_col
 
     def predict(self, new_points: DataFrame) -> DataFrame:
         """Label new points against the fitted model: nearest core point
-        within ε wins, else noise (see module-level :func:`predict`)."""
+        within ε wins, else noise (see module-level :func:`predict`). A
+        model fitted with ``features_col`` measures the full n-D distance;
+        ``new_points`` must then carry the same column."""
         return predict(
             self.labeled_points,
             new_points,
             self.eps,
             x_col=self._x_col,
             y_col=self._y_col,
+            features_col=self._features_col,
         )
+
+    def unpersist(self) -> None:
+        """Release the cached labeled_points (the result stays usable —
+        full lineage is kept, so later actions recompute)."""
+        self.labeled_points.unpersist()
 
 
 def train(
@@ -463,5 +496,11 @@ def train(
         features_col=features_col,
     )
     return DBSCANModel(
-        labeled, eps, min_points, max_points_per_partition, x_col, y_col
+        labeled,
+        eps,
+        min_points,
+        max_points_per_partition,
+        x_col,
+        y_col,
+        features_col,
     )

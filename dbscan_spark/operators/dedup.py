@@ -371,7 +371,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst-case recall per pair, higher for more-similar pairs (recall is
     pinned against the exact baseline in tests/test_llm_ops.py).
     Probabilistic recall → rows-only driver check; output is a verified
-    subset of dedup_embedding_cosine by construction.
+    subset of dedup_embedding_cosine (both round the exact float64 cosine
+    to 4 decimals before the ≥0.4 test; the two paths sum in different
+    orders — einsum vs sequential fold — so agreement at the rounding
+    boundary is an ~ulp/5e-5 probability event per pair, not a structural
+    guarantee; the subset property is pinned on fixed data in CI).
     """
     from dbscan_spark.operators.similarity import (
         _bucketed,

@@ -74,14 +74,6 @@ CellHistogram = dict[tuple[float, float], int]
 _IBox = tuple[int, int, int, int]  # ix, iy, ix2, iy2 in cell units
 
 
-def _points_in(box: _IBox, cells: dict[tuple[int, int], int]) -> int:
-    """Points in cells wholly contained by ``box`` (cell units)."""
-    x, y, x2, y2 = box
-    return sum(
-        c for (cx, cy), c in cells.items() if x <= cx and cx + 1 <= x2 and y <= cy and cy + 1 <= y2
-    )
-
-
 def _marginals(
     box: _IBox, cells: dict[tuple[int, int], int]
 ) -> tuple[dict[int, int], dict[int, int]]:

@@ -195,6 +195,34 @@ def test_train_model_api_mirrors_reference(spark, golden_df):
     assert got[2]["cluster"] == 0 and got[2]["flag"] == "noise"
 
 
+def test_predict_uses_full_vector_when_features_col_set(spark):
+    """Regression: a model trained with features_col must predict with the
+    FULL n-D distance. A probe on top of a core point in the (x, y)
+    projection but far away in the remaining dimensions must come back
+    noise, not inherit the core's cluster."""
+    from dbscan_spark import train
+
+    rows = [
+        (i, 0.1 * (i % 5), 0.1 * (i // 5), [0.1 * (i % 5), 0.1 * (i // 5), 0.0, 0.0])
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, x double, y double, f array<double>"
+    )
+    model = train(df, eps=0.3, min_points=4, features_col="f")
+    core = model.labeled_points.filter("flag = 'core'").first()
+    probes = spark.createDataFrame(
+        [
+            (1, core["x"], core["y"], [core["x"], core["y"], 9.0, 9.0]),
+            (2, core["x"], core["y"], list(core["f"])),
+        ],
+        "nid long, x double, y double, f array<double>",
+    )
+    got = {r["nid"]: r for r in model.predict(probes).collect()}
+    assert got[1]["cluster"] == 0 and got[1]["flag"] == "noise"
+    assert got[2]["cluster"] == core["cluster"]
+
+
 def test_predict_surrounded_but_out_of_range(spark):
     """Regression: a probe whose entire 3x3 candidate-cell ring contains
     core points, every one beyond eps, must still come back as noise (not
