@@ -67,10 +67,38 @@ def dbscan_embeddings_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cluster", "flag")
 
 
+def dbscan_predict_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-D holdout labeling: fit the 64-D model on 90% of the vectors,
+    label the held-out 10% with the FULL-vector distance (candidates from
+    the (x, y) cell ring — a superset of the n-D ε-neighborhood by the
+    projection bound). Exercises the features_col predict path the 2-D
+    reference can't express."""
+    from dbscan_spark.dbscan import train as _train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("v"),
+    )
+    fit = pts.filter(F.col("vec_id") % 10 != 0)
+    held = pts.filter(F.col("vec_id") % 10 == 0)
+    model = _train(
+        fit,
+        eps=1.15,
+        min_points=4,
+        max_points_per_partition=2500,
+        features_col="v",
+    )
+    return model.predict(held).select("vec_id", "cluster", "flag")
+
+
 QUERIES = {
     "dbscan_embeddings": dbscan_embeddings,
     "dbscan_predict_holdout": dbscan_predict_holdout,
     "dbscan_embeddings_64d": dbscan_embeddings_64d,
+    "dbscan_predict_64d": dbscan_predict_64d,
 }
 
 ORACLE: dict[str, str] = {}
