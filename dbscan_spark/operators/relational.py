@@ -491,6 +491,46 @@ def json_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense (event_type × hour) spine via
+    ``sequence()`` + explode, left-joined against the hourly rollup with
+    zero-fill — the resample/asfreq operation every monitoring pipeline
+    needs. Scale shape: the only real shuffle is the partial-aggregated
+    hourly rollup; the spine is O(types × hours) rows (tiny at any corpus
+    size, built from a broadcast 1-row bounds subquery), so the gap-fill
+    join is broadcast-sized no matter how large the raw events table is.
+    The hour key is emitted as a string (engines canonicalize timestamp
+    scalars differently; the yyyy-MM-dd HH:00 form is bijective)."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    bounds = e.select(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    return spine.join(agg, ["event_type", "hr"], "left").select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical time rollup: day → hour subtotals +
     grand total in one pass (the continuous-aggregate shape time-series
@@ -987,6 +1027,7 @@ QUERIES = {
     "csv_source_events": csv_source_events,
     "profile_lineitem": profile_lineitem,
     "events_hypertable_rollup": events_hypertable_rollup,
+    "events_gapfill_hourly": events_gapfill_hourly,
     "join_range_clicks_before_purchase": join_range_clicks_before_purchase,
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
@@ -1421,6 +1462,23 @@ ORACLE = {
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders
         WHERE substring(md5(cast(o_orderkey AS VARCHAR)), 1, 2) < '10'
+    """,
+    "events_gapfill_hourly": """
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                          date_trunc('hour', max(ts)) AS h1 FROM events),
+        types AS (SELECT DISTINCT event_type FROM events),
+        spine AS (SELECT event_type,
+                         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+                  FROM types, b),
+        agg AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                       count(*) AS n_events, round(sum(value), 2) AS sv
+                FROM events GROUP BY 1, 2)
+        SELECT s.event_type,
+               strftime(s.hr, '%Y-%m-%d %H:00') AS hour,
+               coalesce(a.n_events, 0) AS n_events,
+               coalesce(a.sv, 0.0) AS sum_value
+        FROM spine s
+        LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr
     """,
     "window_ntile_deciles": """
         SELECT o_orderkey, o_orderpriority,
