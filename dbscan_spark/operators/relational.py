@@ -501,7 +501,18 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is broadcast-sized no matter how large the raw events table is.
     The hour key is emitted as a string (engines canonicalize timestamp
     scalars differently; the yyyy-MM-dd HH:00 form is bijective)."""
-    e = _t(spark, sf_dir, "events")
+    joined = _hourly_spine_joined(_t(spark, sf_dir, "events"))
+    return joined.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+def _hourly_spine_joined(e: DataFrame) -> DataFrame:
+    """Dense (event_type, hr) spine left-joined to the hourly rollup;
+    gap hours keep NULL aggregates (callers choose zero-fill vs LOCF)."""
     agg = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(
@@ -523,11 +534,29 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hr"),
         )
     )
-    return spine.join(agg, ["event_type", "hr"], "left").select(
+    return spine.join(agg, ["event_type", "hr"], "left")
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward interpolation
+    (the locf() pairing time-series stores ship next to zero-fill): gap
+    hours inherit the type's last observed hourly sum, hours before the
+    first observation fall back to 0. The LOCF window runs over the
+    spine-sized frame (types × hours — tiny at any corpus scale), not the
+    raw events."""
+    joined = _hourly_spine_joined(_t(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
         "event_type",
         F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.coalesce(
+            F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("sum_value_locf"),
     )
 
 
@@ -1028,6 +1057,7 @@ QUERIES = {
     "profile_lineitem": profile_lineitem,
     "events_hypertable_rollup": events_hypertable_rollup,
     "events_gapfill_hourly": events_gapfill_hourly,
+    "events_gapfill_locf": events_gapfill_locf,
     "join_range_clicks_before_purchase": join_range_clicks_before_purchase,
     "window_tumbling_events": window_tumbling_events,
     "window_sliding_events": window_sliding_events,
@@ -1479,6 +1509,28 @@ ORACLE = {
                coalesce(a.sv, 0.0) AS sum_value
         FROM spine s
         LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr
+    """,
+    "events_gapfill_locf": """
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                          date_trunc('hour', max(ts)) AS h1 FROM events),
+        types AS (SELECT DISTINCT event_type FROM events),
+        spine AS (SELECT event_type,
+                         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+                  FROM types, b),
+        agg AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                       count(*) AS n_events, round(sum(value), 2) AS sv
+                FROM events GROUP BY 1, 2),
+        j AS (SELECT s.event_type, s.hr, a.n_events, a.sv
+              FROM spine s
+              LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr)
+        SELECT event_type,
+               strftime(hr, '%Y-%m-%d %H:00') AS hour,
+               coalesce(n_events, 0) AS n_events,
+               coalesce(last_value(sv IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+                   AS sum_value_locf
+        FROM j
     """,
     "window_ntile_deciles": """
         SELECT o_orderkey, o_orderpriority,
