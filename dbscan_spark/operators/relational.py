@@ -445,6 +445,61 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: group extraction, global replace, boolean
+    match — all JVM-side (Java regex; patterns chosen to behave
+    identically under DuckDB's RE2). Narrow projection, no shuffle."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_type"), "[AEIOUaeiou]", "").alias(
+            "type_novowels"
+        ),
+        F.col("p_type").rlike("PROMO|ECONOMY").alias("is_discount_class"),
+    )
+
+
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the FILTER clause pattern): several
+    differently-predicated aggregates in ONE grouped pass over orders —
+    no self-joins, no repeated scans."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O", F.col("o_totalprice")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("open_value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full partition frame:
+    each customer's first, latest, and second order price side by side."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias(
+            "second_price"
+        ),
+    )
+
+
 def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.select(
@@ -1048,6 +1103,9 @@ QUERIES = {
     "setop_except": setop_except,
     "setop_union_all": setop_union_all,
     "scalar_string_math": scalar_string_math,
+    "scalar_regex": scalar_regex,
+    "agg_filtered_counts": agg_filtered_counts,
+    "window_first_last": window_first_last,
     "scalar_dates": scalar_dates,
     "scalar_array_access": scalar_array_access,
     "json_extract_events": json_extract_events,
@@ -1492,6 +1550,34 @@ ORACLE = {
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders
         WHERE substring(md5(cast(o_orderkey AS VARCHAR)), 1, 2) < '10'
+    """,
+    "scalar_regex": """
+        SELECT p_partkey,
+               regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+               regexp_replace(p_type, '[AEIOUaeiou]', '', 'g') AS type_novowels,
+               regexp_matches(p_type, 'PROMO|ECONOMY') AS is_discount_class
+        FROM part
+    """,
+    "agg_filtered_counts": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               round(coalesce(sum(o_totalprice)
+                     FILTER (WHERE o_orderstatus = 'O'), 0.0), 2)
+                   AS open_value,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "window_first_last": """
+        SELECT o_custkey, o_orderkey,
+               round(first_value(o_totalprice) OVER w, 2) AS first_price,
+               round(last_value(o_totalprice) OVER w, 2) AS last_price,
+               round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
     """,
     "events_gapfill_hourly": """
         WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
