@@ -4,6 +4,7 @@ custom stateful aggregation)."""
 from dbscan_spark.streaming.events import (
     events_stream_dir,
     read_events_stream,
+    run_foreach_batch_parquet,
     run_to_memory,
     streaming_range_join_clicks_purchases,
     streaming_session_counts,
@@ -15,6 +16,7 @@ from dbscan_spark.streaming.events import (
 __all__ = [
     "events_stream_dir",
     "read_events_stream",
+    "run_foreach_batch_parquet",
     "run_to_memory",
     "streaming_range_join_clicks_purchases",
     "streaming_session_counts",

@@ -257,3 +257,35 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_parquet(
+    df: DataFrame, out_dir: str, max_batch_wait: int | None = None
+):
+    """Drain a stream through a ``foreachBatch`` parquet sink — the
+    transactional-sink recipe for stores with no native streaming writer.
+
+    Each micro-batch lands in a deterministic ``batch_id=N`` subdirectory
+    with ``mode("overwrite")``: a replayed batch (failure between the
+    write and the checkpoint commit) overwrites its OWN previous output
+    instead of appending duplicates, making the sink idempotent and the
+    pipeline effectively exactly-once downstream. At scale this is how
+    Structured Streaming feeds warehouses/object stores; the per-batch
+    directory doubles as the unit of downstream atomic visibility.
+
+    Returns the started-and-drained StreamingQuery (inspect
+    ``recentProgress`` for batch accounting).
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(max_batch_wait)
+    return q

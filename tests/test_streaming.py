@@ -309,3 +309,61 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in spark.sql("SELECT event_id, ts FROM t_stream_dedup").collect()
     }
     assert got == {(1, 0), (2, 1), (3, 5), (4, 60), (5, 61), (2, 62)}, got
+
+
+def test_foreach_batch_sink_delivers_and_replays_idempotently(
+    spark, tmp_path
+):
+    """foreachBatch parquet sink: four source files at maxFilesPerTrigger=2
+    → 2 micro-batches, each in its own batch_id=N dir; the union of all
+    batch dirs equals the source exactly, and re-writing a batch (the
+    failure-replay case) overwrites its own output instead of duplicating
+    rows."""
+    import os
+
+    import pandas as pd
+
+    from dbscan_spark.streaming import run_foreach_batch_parquet
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+
+    def mk(path, ids):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": [base_ns + i * 60_000_000_000 for i in ids],
+                "user_id": [1] * len(ids),
+                "event_type": ["click"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(path)
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    os.makedirs(src)
+    for i, ids in enumerate([[1, 2], [3], [4, 5], [6]]):
+        mk(src / f"f{i}.parquet", ids)
+        os.utime(src / f"f{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=2)
+    q = run_foreach_batch_parquet(stream, str(out))
+    data_batches = [
+        p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) == 2, data_batches
+    batch_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert len(batch_dirs) == 2, batch_dirs
+
+    got = spark.read.parquet(str(out))
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3, 4, 5, 6]
+
+    # replay: re-write batch 0's own rows into its own dir — the overwrite
+    # must leave the union unchanged (idempotent), not append duplicates
+    b0 = os.path.join(str(out), batch_dirs[0])
+    replay = spark.read.parquet(b0)
+    replay.cache().count()  # materialize before overwriting the source dir
+    replay.write.mode("overwrite").parquet(b0)
+    replay.unpersist()
+    again = spark.read.parquet(str(out)).select("event_id")
+    assert sorted(r["event_id"] for r in again.collect()) == [1, 2, 3, 4, 5, 6]
