@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dbscan_spark.functions import norm_text, tokens
+from dbscan_spark.functions import norm_text, shingles, tokens
 from dbscan_spark.io import load_table
 
 _SQL_NORM = (
@@ -178,6 +178,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (the duplicate-n-gram-fraction
+    family of pre-training quality filters, e.g. Gopher's repetition
+    rules): fraction of a doc's word 3-gram shingles that are repeats of
+    an earlier shingle — 0 for non-repetitive prose, →1 for looping/
+    boilerplate text; NULL for docs shorter than one shingle. Narrow
+    per-row projection: no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id", shingles(tokens(F.col("text")), 3).alias("_sh")
+    )
+    n = F.size(F.col("_sh"))
+    nd = F.size(F.array_distinct(F.col("_sh")))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
+        nd.cast("long").alias("n_distinct"),
+        _r4(
+            1 - nd / F.nullif(n.cast("double"), F.lit(0.0))
+        ).alias("dup_frac"),
+    )
+
+
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-SENSITIVE content fingerprint: Karp–Rabin polynomial rolling
     hash over the token stream (base 31, mod 1e9+7). Token values are the
@@ -196,6 +219,52 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(F.col("text")), F.lit(0).cast("long"), step
     )
     return d.select("doc_id", rh.alias("rolling_hash"))
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF
+    (``tf × ln((N+1)/(df+1))``), deterministic tie-break on the word.
+
+    Scale shape: ONE explode of the token stream feeds both aggregates
+    (per-doc term counts; per-term document frequency), the IDF join is a
+    plain equi shuffle join on the word key (vocabulary-sized — no
+    broadcast assumption), the corpus size N rides in as a broadcast
+    1-row subquery, and the final top-3 is a bounded per-doc window."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        words.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            _r4(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", "rn")
+    )
 
 
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,7 +317,9 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_word_freq": text_word_freq,
     "text_fingerprint": text_fingerprint,
+    "text_repetition_score": text_repetition_score,
     "text_rolling_hash": text_rolling_hash,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_clean_pipeline": corpus_clean_pipeline,
 }
 
@@ -325,6 +396,40 @@ ORACLE = {
                md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))
                    AS fingerprint
         FROM documents
+    """,
+    "text_tfidf_top_terms": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents),
+        w AS (SELECT doc_id, word FROM words WHERE length(word) > 0),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        dfreq AS (SELECT word, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, word,
+                   floor(tf * ln((n_docs + 1) * 1.0 / (df + 1))
+                         * 10000 + 0.5) / 10000 AS tfidf
+            FROM tf JOIN dfreq USING (word), n),
+        ranked AS (
+            SELECT doc_id, word, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, word) AS rn
+            FROM scored)
+        SELECT doc_id, word, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+    "text_repetition_score": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+               FROM toks)
+        SELECT doc_id,
+               len(s)::BIGINT AS n_shingles,
+               len(list_distinct(s))::BIGINT AS n_distinct,
+               floor((1 - len(list_distinct(s))
+                      / nullif(len(s), 0)::DOUBLE) * 10000 + 0.5) / 10000
+                   AS dup_frac
+        FROM sh
     """,
     "text_rolling_hash": f"""
         SELECT doc_id,
