@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "window_session_events",
     "json_aggregate_events",
     "json_source_events",
+    "events_gapfill_hourly",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -46,6 +47,7 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_language_id",
     "text_rolling_hash",
+    "text_tfidf_top_terms",
     "corpus_clean_pipeline",
     "join_salted_skew",
     "sample_hash_orders",
