@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dbscan_spark.dbscan import dbscan, predict
+from dbscan_spark.dbscan import dbscan, predict, train
+from dbscan_spark.functions import as_double_array
 from dbscan_spark.io import load_table
 
 
@@ -20,6 +21,17 @@ def _points_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding")[0].cast("double").alias("x"),
         F.col("embedding")[1].cast("double").alias("y"),
+    )
+
+
+def _points_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, x, y, v): 2-D partitioning projection + full 64-D vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+        as_double_array(F.col("embedding")).alias("v"),
     )
 
 
@@ -50,15 +62,8 @@ def dbscan_embeddings_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
     DBSCANPoint.scala:33-34). Distance is Euclidean over all 64
     components; spatial partitioning stays on the first two (projection
     distance <= full distance keeps the margin merge correct)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    pts = e.select(
-        "vec_id",
-        F.col("embedding")[0].cast("double").alias("x"),
-        F.col("embedding")[1].cast("double").alias("y"),
-        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("v"),
-    )
     out = dbscan(
-        pts,
+        _points_64d(spark, sf_dir),
         eps=1.15,
         min_points=4,
         max_points_per_partition=2500,
@@ -73,18 +78,10 @@ def dbscan_predict_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (x, y) cell ring — a superset of the n-D ε-neighborhood by the
     projection bound). Exercises the features_col predict path the 2-D
     reference can't express."""
-    from dbscan_spark.dbscan import train as _train
-
-    e = load_table(spark, sf_dir, "embeddings")
-    pts = e.select(
-        "vec_id",
-        F.col("embedding")[0].cast("double").alias("x"),
-        F.col("embedding")[1].cast("double").alias("y"),
-        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("v"),
-    )
+    pts = _points_64d(spark, sf_dir)
     fit = pts.filter(F.col("vec_id") % 10 != 0)
     held = pts.filter(F.col("vec_id") % 10 == 0)
-    model = _train(
+    model = train(
         fit,
         eps=1.15,
         min_points=4,

@@ -567,21 +567,27 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hourly_spine_joined(e: DataFrame) -> DataFrame:
     """Dense (event_type, hr) spine left-joined to the hourly rollup;
-    gap hours keep NULL aggregates (callers choose zero-fill vs LOCF)."""
+    gap hours keep NULL aggregates (callers choose zero-fill vs LOCF).
+
+    Two scans total: one for the rollup, and ONE single-row metadata
+    aggregate that carries bounds AND the type set together (min/max hour
+    + collect_set of types, all map-side partial) — not a scan per spine
+    ingredient. The metadata row is broadcast and exploded into the
+    (type × hour) spine."""
     agg = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    bounds = e.select(
+    meta = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
+        F.collect_set("event_type").alias("types"),
     )
     spine = (
-        e.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
+        F.broadcast(meta)
+        .select(F.explode("types").alias("event_type"), "h0", "h1")
         .select(
             "event_type",
             F.explode(

@@ -259,9 +259,7 @@ def run_to_memory(
     q.awaitTermination()
 
 
-def run_foreach_batch_parquet(
-    df: DataFrame, out_dir: str, max_batch_wait: int | None = None
-):
+def run_foreach_batch_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str):
     """Drain a stream through a ``foreachBatch`` parquet sink — the
     transactional-sink recipe for stores with no native streaming writer.
 
@@ -269,12 +267,17 @@ def run_foreach_batch_parquet(
     with ``mode("overwrite")``: a replayed batch (failure between the
     write and the checkpoint commit) overwrites its OWN previous output
     instead of appending duplicates, making the sink idempotent and the
-    pipeline effectively exactly-once downstream. At scale this is how
-    Structured Streaming feeds warehouses/object stores; the per-batch
-    directory doubles as the unit of downstream atomic visibility.
+    pipeline effectively exactly-once downstream. The DURABLE checkpoint
+    is what makes that claim real — batch ids and source offsets survive
+    a driver restart, so the replayed batch re-reads the same file slice
+    under the same id (a temporary checkpoint would renumber batches from
+    0 over a shifted file set and corrupt the dir layout) — hence the
+    parameter is required, not optional. At scale this is how Structured
+    Streaming feeds warehouses/object stores; the per-batch directory
+    doubles as the unit of downstream atomic visibility.
 
-    Returns the started-and-drained StreamingQuery (inspect
-    ``recentProgress`` for batch accounting).
+    Blocks until the availableNow drain completes; returns the terminated
+    StreamingQuery (inspect ``recentProgress`` for batch accounting).
     """
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -284,8 +287,9 @@ def run_foreach_batch_parquet(
 
     q = (
         df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(max_batch_wait)
+    q.awaitTermination()
     return q

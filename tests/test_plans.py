@@ -243,3 +243,12 @@ def test_bucketed_paths_never_nested_loop(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_gapfill_spine_needs_only_two_scans(spark):
+    """The gap-fill spine must derive from ONE single-row metadata
+    aggregate (bounds + type set together), not a scan per ingredient:
+    exactly two events scans — the hourly rollup and the metadata pass."""
+    plan = plan_of(spark, "events_gapfill_hourly")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, tree

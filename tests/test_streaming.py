@@ -347,7 +347,9 @@ def test_foreach_batch_sink_delivers_and_replays_idempotently(
         os.utime(src / f"f{i}.parquet", (1_700_000_000 + i,) * 2)
 
     stream = read_events_stream(spark, str(src), max_files_per_trigger=2)
-    q = run_foreach_batch_parquet(stream, str(out))
+    q = run_foreach_batch_parquet(
+        stream, str(out), checkpoint_dir=str(tmp_path / "ckpt")
+    )
     data_batches = [
         p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0
     ]
@@ -367,3 +369,17 @@ def test_foreach_batch_sink_delivers_and_replays_idempotently(
     replay.unpersist()
     again = spark.read.parquet(str(out)).select("event_id")
     assert sorted(r["event_id"] for r in again.collect()) == [1, 2, 3, 4, 5, 6]
+
+    # restart against the SAME durable checkpoint: a newly arrived file
+    # continues the batch numbering (no renumbering-from-0 over the full
+    # file set, which would corrupt the existing batch_id dirs)
+    mk(src / "f4.parquet", [7])
+    os.utime(src / "f4.parquet", (1_700_000_010,) * 2)
+    stream2 = read_events_stream(spark, str(src), max_files_per_trigger=2)
+    run_foreach_batch_parquet(
+        stream2, str(out), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    dirs2 = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert len(dirs2) == 3 and dirs2[:2] == batch_dirs, dirs2
+    final = spark.read.parquet(str(out)).select("event_id")
+    assert sorted(r["event_id"] for r in final.collect()) == list(range(1, 8))
