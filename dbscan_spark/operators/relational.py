@@ -539,6 +539,46 @@ def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each order's trailing-30-day spend for its
+    customer — a value-range window (peers by time distance), not a row
+    count. Spark expresses interval ranges as rangeBetween over epoch
+    seconds; DuckDB as RANGE BETWEEN INTERVAL — identical frames because
+    both bound by (current_ts - 30 days <= peer_ts <= current_ts)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_30d"),
+    )
+
+
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total the scalable way: the grand total rides in as a
+    broadcast 1-row aggregate joined to the per-group rollup. The naive
+    formulation — ``sum() OVER ()`` with no partition key — funnels every
+    row through ONE task at 100 TB; this shape keeps both aggregates
+    partial+parallel and moves one scalar."""
+    o = _t(spark, sf_dir, "orders")
+    per_prio = o.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("prio_total")
+    )
+    total = o.agg(F.sum("o_totalprice").alias("grand_total"))
+    return per_prio.crossJoin(F.broadcast(total)).select(
+        "o_orderpriority",
+        F.round("prio_total", 2).alias("prio_total"),
+        F.round(
+            F.col("prio_total") / F.col("grand_total") * 100, 4
+        ).alias("pct_of_total"),
+    )
+
+
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value over the full partition frame:
     each customer's first, latest, and second order price side by side."""
@@ -1173,6 +1213,8 @@ QUERIES = {
     "scalar_regex": scalar_regex,
     "agg_filtered_counts": agg_filtered_counts,
     "window_first_last": window_first_last,
+    "window_range_30d_spend": window_range_30d_spend,
+    "agg_share_of_total": agg_share_of_total,
     "scalar_dates": scalar_dates,
     "scalar_array_access": scalar_array_access,
     "json_extract_events": json_extract_events,
@@ -1660,6 +1702,24 @@ ORACLE = {
                      FILTER (WHERE o_orderstatus = 'O'), 0.0), 2)
                    AS open_value,
                count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "window_range_30d_spend": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+               count(*) OVER w AS n_orders_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                               AND CURRENT ROW)
+    """,
+    "agg_share_of_total": """
+        SELECT o_orderpriority,
+               round(sum(o_totalprice), 2) AS prio_total,
+               round(sum(o_totalprice)
+                     / (SELECT sum(o_totalprice) FROM orders) * 100, 4)
+                   AS pct_of_total
         FROM orders
         GROUP BY o_orderpriority
     """,
