@@ -155,6 +155,42 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain cap rule corpus pipelines
+    apply so one crawl host can't dominate the training mix): keep each
+    source's 10 longest docs, ties to the lowest doc_id. One window over
+    the source-keyed shuffle; survivors carry their rank."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion counts of predicted vs labeled
+    language (the documents table carries ground truth in ``lang``). The
+    prediction is the same zero-shuffle argmax as text_language_id, so
+    the whole evaluation is one projection + one grouped count."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("lang", tokens(F.col("text")).alias("_toks"))
+    best = _lang_vote(F.col("_toks"))
+    pred = F.when(-best.getField("neg") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+    return (
+        d.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 words (deterministic tie-break on the word)."""
     d = load_table(spark, sf_dir, "documents")
@@ -316,6 +352,8 @@ QUERIES = {
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
     "text_word_freq": text_word_freq,
+    "corpus_source_cap": corpus_source_cap,
+    "text_language_confusion": text_language_confusion,
     "text_fingerprint": text_fingerprint,
     "text_repetition_score": text_repetition_score,
     "text_rolling_hash": text_rolling_hash,
@@ -396,6 +434,32 @@ ORACLE = {
                md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))
                    AS fingerprint
         FROM documents
+    """,
+    "corpus_source_cap": """
+        SELECT doc_id, source, n_chars, rnk
+        FROM (SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rnk
+              FROM documents)
+        WHERE rnk <= 10
+    """,
+    "text_language_confusion": f"""
+        WITH sw(sw_lang, word) AS (VALUES {_SQL_STOPWORDS}),
+        words AS (SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents),
+        hits AS (
+            SELECT doc_id, sw_lang, count(*) AS n_hits
+            FROM words JOIN sw USING (word) GROUP BY doc_id, sw_lang),
+        best AS (
+            SELECT doc_id, sw_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n_hits DESC, sw_lang) AS rn
+            FROM hits)
+        SELECT d.lang AS true_lang,
+               coalesce(b.sw_lang, 'und') AS pred_lang,
+               count(*) AS n_docs
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+        GROUP BY 1, 2
     """,
     "text_tfidf_top_terms": f"""
         WITH words AS (
