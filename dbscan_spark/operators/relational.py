@@ -1088,6 +1088,27 @@ def explode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the 64-D embeddings in long form
+    (label, pos, avg_val, n_vectors) — the class-centroid aggregate
+    feature pipelines compute before nearest-centroid classification.
+    posexplode + grouped avg keeps the mean partial-aggregated map-side
+    (rows×64 explode feeds a (labels×64)-cell aggregation), instead of
+    collecting vectors anywhere."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding")).alias("pos", "val_f"),
+        )
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("val_f").cast("double")), 6).alias("avg_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch vs exact distinct count per return flag. The sketch is
     engine-specific (Spark HLL++ vs DuckDB's estimator disagree by design)
@@ -1241,6 +1262,7 @@ QUERIES = {
     "scalar_conditionals": scalar_conditionals,
     "scalar_map_ops": scalar_map_ops,
     "explode_embedding_head": explode_embedding_head,
+    "embedding_label_centroids": embedding_label_centroids,
     "agg_approx_distinct": agg_approx_distinct,
     "join_salted_skew": join_salted_skew,
     "sample_hash_orders": sample_hash_orders,
@@ -1643,6 +1665,13 @@ ORACLE = {
         SELECT vec_id, i - 1 AS pos,
                round(embedding[i]::DOUBLE, 6) AS val
         FROM embeddings, generate_series(1, 4) t(i)
+    """,
+    "embedding_label_centroids": """
+        SELECT label, i - 1 AS pos,
+               round(avg(embedding[i]::DOUBLE), 6) AS avg_val,
+               count(*) AS n_vectors
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i - 1
     """,
     # agg_approx_distinct: HLL sketch values are engine-specific —
     # rows-only check; tests pin the estimate within 5% of exact.
