@@ -56,11 +56,46 @@ def read_events_stream(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    # A file-source stream needs a user-provided schema, but the testdata
+    # has shipped events.ts both as TIMESTAMP(NANOS) (int64 under
+    # nanosAsLong) and as naive TIMESTAMP(MICROS); sniff one footer so the
+    # declared schema matches what is physically in the files — declaring
+    # long over a true timestamp column would silently read raw micros and
+    # then mis-divide them as nanos.
+    ts_is_long = True
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+        if files:
+            ts_is_long = str(pq.read_schema(files[0]).field("ts").type).startswith(
+                "int"
+            )
+    except Exception:
+        pass
+    schema = _EVENTS_SCHEMA
+    if not ts_is_long:
+        schema = T.StructType(
+            [
+                f
+                if f.name != "ts"
+                else T.StructField("ts", T.TimestampNTZType(), f.nullable)
+                for f in _EVENTS_SCHEMA.fields
+            ]
+        )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    else:
+        # watermarks demand TIMESTAMP (LTZ) — EVENT_TIME_IS_NOT_ON_TIMESTAMP
+        # on NTZ. The session pins UTC, so this cast keeps the wall clock.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def events_stream_dir(sf_dir: str) -> str:
