@@ -1526,6 +1526,121 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) semantics as a full-outer join: apply a
+    change batch (restated prices for a hash-slice of orders, plus brand
+    new keys) onto the orders snapshot and classify every output row as
+    update / insert / keep. This is the Delta/Iceberg MERGE shape
+    expressed engine-neutrally: ONE shuffle aligning both sides on the
+    merge key (bucketing both tables on o_orderkey makes it zero-shuffle);
+    matched rows take the delta's values, unmatched delta rows append,
+    unmatched target rows pass through."""
+    o = _t(spark, sf_dir, "orders")
+    key_hash = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    delta_base = o.filter(key_hash < "20")
+    updates = delta_base.select(
+        F.col("o_orderkey").alias("d_orderkey"),
+        (F.col("o_totalprice") * 1.1).alias("d_totalprice"),
+    )
+    inserts = delta_base.select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("d_orderkey"),
+        (F.col("o_totalprice") * 0.5).alias("d_totalprice"),
+    )
+    delta = updates.unionByName(inserts)
+    return o.join(
+        delta, F.col("o_orderkey") == F.col("d_orderkey"), "full_outer"
+    ).select(
+        F.coalesce("o_orderkey", "d_orderkey").alias("merge_key"),
+        # floor-based round-half-up (pure IEEE, engine-agnostic): the
+        # price restatements land on exact .xx5 halves where Spark's
+        # HALF_UP and DuckDB's banker's rounding disagree.
+        (
+            F.floor(F.coalesce("d_totalprice", "o_totalprice") * 100 + 0.5)
+            / 100
+        ).alias("totalprice"),
+        F.when(
+            F.col("o_orderkey").isNotNull() & F.col("d_orderkey").isNotNull(),
+            F.lit("update"),
+        )
+        .when(F.col("o_orderkey").isNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+
+
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: exactly 200 orders per priority
+    stratum, chosen by md5 rank — the reproducible per-group quota sample
+    (class-balanced eval sets, per-source caps). Unlike sampleBy(), the
+    pick is stable across runs/engines/retries. One window shuffle on the
+    stratum key; at 100 TB the md5 order is computed per row map-side and
+    only the per-stratum top-200 survive the rank filter."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 200)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join over the distinct part-name domain,
+    blocked on the trailing word so the quadratic candidate space becomes
+    an equi-join per block — the standard entity-resolution shape
+    (block → hash join → cheap verify predicate). Only same-family name
+    pairs within Levenshtein distance 4 survive. At 100 TB the blocking
+    key IS the join key: no nested loop ever materializes."""
+    p = _t(spark, sf_dir, "part")
+    names = (
+        p.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("family", F.regexp_extract(F.col("name"), r"(\S+)$", 1))
+    )
+    a = names.select(F.col("name").alias("name_a"), "family")
+    b = names.select(F.col("name").alias("name_b"), "family")
+    return (
+        a.join(b, "family")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .select("family", "name_a", "name_b", "edit_dist")
+    )
+
+
+def events_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percent change per event type — the rollup-then-lag
+    time-series pattern: the heavy fact scan partial-aggregates to one row
+    per (type, day) BEFORE the trivially small lag window runs, so the
+    window shuffle moves only the rollup."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n_events").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        "total_value",
+        F.round((F.col("n_events") - prev) * 100.0 / prev, 4).alias(
+            "dod_pct"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -1604,9 +1719,68 @@ QUERIES = {
     "agg_approx_distinct": agg_approx_distinct,
     "join_salted_skew": join_salted_skew,
     "sample_hash_orders": sample_hash_orders,
+    "merge_upsert_orders": merge_upsert_orders,
+    "sample_stratified_orders": sample_stratified_orders,
+    "fuzzy_join_part_names": fuzzy_join_part_names,
+    "events_dod_change": events_dod_change,
 }
 
 ORACLE = {
+    "merge_upsert_orders": """
+        WITH delta AS (
+          SELECT o_orderkey AS d_orderkey,
+                 o_totalprice * 1.1 AS d_totalprice
+          FROM orders
+          WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20'
+          UNION ALL
+          SELECT o_orderkey + 100000000 AS d_orderkey,
+                 o_totalprice * 0.5 AS d_totalprice
+          FROM orders
+          WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20')
+        SELECT coalesce(o_orderkey, d_orderkey) AS merge_key,
+               floor(coalesce(d_totalprice, o_totalprice) * 100 + 0.5) / 100
+                 AS totalprice,
+               CASE WHEN o_orderkey IS NOT NULL AND d_orderkey IS NOT NULL
+                      THEN 'update'
+                    WHEN o_orderkey IS NULL THEN 'insert'
+                    ELSE 'keep' END AS action
+        FROM orders FULL OUTER JOIN delta ON o_orderkey = d_orderkey
+    """,
+    "sample_stratified_orders": """
+        SELECT o_orderkey, o_orderpriority, rn
+        FROM (
+          SELECT o_orderkey, o_orderpriority,
+                 row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+                   AS rn
+          FROM orders)
+        WHERE rn <= 200
+    """,
+    "fuzzy_join_part_names": """
+        WITH names AS (
+          SELECT DISTINCT p_name AS name,
+                 regexp_extract(p_name, '(\\S+)$', 1) AS family
+          FROM part)
+        SELECT a.family, a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+        FROM names a JOIN names b
+          ON a.family = b.family AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 4
+    """,
+    "events_dod_change": """
+        WITH daily AS (
+          SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 count(*) AS n_events,
+                 round(sum(value), 2) AS total_value
+          FROM events
+          GROUP BY 1, 2)
+        SELECT event_type, day, n_events, total_value,
+               round((n_events - lag(n_events) OVER w) * 100.0
+                     / lag(n_events) OVER w, 4) AS dod_pct
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

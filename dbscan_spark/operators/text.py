@@ -347,6 +347,35 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token → (document frequency, posting list of
+    the first 20 doc ids). The core IR/search-indexing shuffle: explode to
+    (token, doc_id) postings, distinct within doc, then ONE aggregation
+    keyed by token — collect_list is bounded by the slice-20 contract and
+    the df floor keeps the long tail of hapax tokens out of the output.
+    At 100 TB this is the canonical build: the token shuffle is the only
+    exchange, partial-aggregated map-side, and hot tokens (stopwords)
+    are exactly the rows the df floor targets for separate handling."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 25)
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
@@ -359,6 +388,7 @@ QUERIES = {
     "text_rolling_hash": text_rolling_hash,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_clean_pipeline": corpus_clean_pipeline,
+    "text_inverted_index": text_inverted_index,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -367,6 +397,23 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "text_inverted_index": f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token
+          FROM documents),
+        ranked AS (
+          SELECT token, doc_id,
+                 count(*) OVER (PARTITION BY token) AS df,
+                 row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+          FROM toks
+          WHERE length(token) > 0)
+        SELECT token, CAST(df AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                 AS postings
+        FROM ranked
+        WHERE rn <= 20 AND df >= 25
+        GROUP BY token, df
+    """,
     "text_token_stats": f"""
         WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
         SELECT doc_id,
