@@ -252,3 +252,59 @@ def test_gapfill_spine_needs_only_two_scans(spark):
     plan = plan_of(spark, "events_gapfill_hourly")
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 2, tree
+
+
+def test_tpch_dim_chains_broadcast(spark):
+    """Q7/Q8/Q9 join 4-7 dimension tables onto lineitem; every dim side
+    must ride a broadcast — a single SortMergeJoin per fact-fact pair
+    (orders⋈lineitem) is the only allowed shuffle join."""
+    for name in ("q7_volume_shipping", "q8_market_share", "q9_product_profit"):
+        tree = plan_of(spark, name).split("\n\n")[0]
+        assert tree.count("BroadcastHashJoin") >= 3, name
+        assert tree.count("SortMergeJoin") <= 1, name
+
+
+def test_q4_exists_is_semi_join(spark):
+    """Q4's EXISTS must compile to a LeftSemi join (one output row per
+    order however many lines qualify), never an inner join + distinct."""
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_merge_upsert_single_join(spark):
+    """MERGE = exactly one full-outer join aligning snapshot and delta;
+    no second pass over orders beyond building the delta slices."""
+    plan = plan_of(spark, "merge_upsert_orders")
+    tree = plan.split("\n\n")[0]
+    assert "FullOuter" in plan
+    assert tree.count("Join") == 1, tree
+
+
+def test_stratified_sample_single_window(spark):
+    """Per-stratum quota sampling must be ONE window (one exchange on the
+    stratum key) with the rank filter applied — no join, no second agg —
+    and the rank limit must push down as a WindowGroupLimit so each map
+    task forwards at most 200 rows per stratum into the exchange."""
+    plan = plan_of(spark, "sample_stratified_orders")
+    tree = plan.split("\n\n")[0]
+    assert tree.count(" Window ") == 1, tree
+    assert "WindowGroupLimit" in tree, tree
+    assert "Join" not in tree
+
+
+def test_fuzzy_join_is_blocked_hash_join(spark):
+    """The edit-distance join must hash-join on the blocking key — a
+    nested-loop over the name domain means blocking silently broke."""
+    plan = plan_of(spark, "fuzzy_join_part_names")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_single_token_shuffle(spark):
+    """The postings build must partial-aggregate map-side and shuffle on
+    the token key only (distinct + final agg share the token exchange)."""
+    plan = plan_of(spark, "text_inverted_index")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Exchange") <= 3, tree
