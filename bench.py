@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "corpus_clean_pipeline",
     "join_salted_skew",
     "sample_hash_orders",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "merge_upsert_orders",
+    "sample_stratified_orders",
+    "text_inverted_index",
+    "events_dod_change",
     "dbscan_embeddings",
 ]
 

@@ -1641,6 +1641,120 @@ def events_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how many users progressed view → click →
+    purchase IN ORDER (each later stage strictly after the previous
+    stage's first occurrence). Three per-user min-aggregations chained by
+    user-keyed joins — every shuffle is on user_id, so at 100 TB all
+    three stages co-partition after the first exchange (and AQE reuses
+    the exchange); nothing quadratic, no window over raw events."""
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    staged = (
+        views.join(clicks.select("user_id", F.lit(1).alias("has_c")), "user_id", "left")
+        .join(purchases.select("user_id", F.lit(1).alias("has_p")), "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.coalesce(F.col("has_c"), F.lit(0))
+                + F.coalesce(F.col("has_p"), F.lit(0))
+            )
+            .cast("long")
+            .alias("stage")
+        )
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted as
+    active per whole-week offset from their own first event. Two
+    user-keyed shuffles (first-seen agg, then the join back onto the
+    fact scan) and one final (cohort × offset) count-distinct — the
+    canonical retention-triangle build. The cohort week is emitted as a
+    string so cross-engine date canonicalization is moot."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            F.date_trunc("week", F.col("first_day"))
+            .cast("date")
+            .cast("string")
+            .alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("first_day")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the lag + running-sum idiom (the
+    batch-SQL twin of session_window, but with an exact SQL oracle):
+    a new session starts where the gap since the user's previous event
+    exceeds 30 minutes; the running sum of starts numbers the sessions.
+    Both windows share ONE (user_id, ts) sort in one exchange, then the
+    per-session rollup reuses the same user partitioning."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_break = F.when(
+        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessioned = e.select(
+        "user_id",
+        "ts",
+        F.sum(gap_break).over(wsum).cast("long").alias("session_no"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            # truncate both endpoints to the second before diffing:
+            # DuckDB's date_diff counts boundary crossings, Spark's
+            # timestampdiff floors the exact delta — they agree only on
+            # whole-second inputs.
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', min(ts)),"
+                " date_trunc('second', max(ts)))"
+            ).alias("duration_s"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -1723,6 +1837,9 @@ QUERIES = {
     "sample_stratified_orders": sample_stratified_orders,
     "fuzzy_join_part_names": fuzzy_join_part_names,
     "events_dod_change": events_dod_change,
+    "events_funnel": events_funnel,
+    "retention_cohorts": retention_cohorts,
+    "events_sessionize_lag": events_sessionize_lag,
 }
 
 ORACLE = {
@@ -1780,6 +1897,58 @@ ORACLE = {
                      / lag(n_events) OVER w, 4) AS dod_pct
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    "events_funnel": """
+        WITH views AS (
+          SELECT user_id, min(ts) AS v_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        clicks AS (
+          SELECT e.user_id, min(ts) AS c_ts
+          FROM events e JOIN views v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          GROUP BY e.user_id),
+        purchases AS (
+          SELECT e.user_id, min(ts) AS p_ts
+          FROM events e JOIN clicks c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          GROUP BY e.user_id)
+        SELECT CAST(1 + (c.user_id IS NOT NULL)::INT
+                      + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stage,
+               count(*) AS n_users
+        FROM views v
+        LEFT JOIN clicks c ON v.user_id = c.user_id
+        LEFT JOIN purchases p ON v.user_id = p.user_id
+        GROUP BY 1 ORDER BY 1
+    """,
+    "retention_cohorts": """
+        WITH first AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id)
+        SELECT strftime(date_trunc('week', first_day), '%Y-%m-%d')
+                 AS cohort_week,
+               CAST(floor(date_diff('day', first_day, CAST(ts AS DATE))
+                          / 7.0) AS BIGINT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_sessionize_lag": """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessioned AS (
+          SELECT user_id, ts,
+                 CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          FROM flagged)
+        SELECT user_id, session_no, count(*) AS n_events,
+               min(ts) AS session_start,
+               date_diff('second', min(ts), max(ts)) AS duration_s
+        FROM sessioned
+        GROUP BY user_id, session_no
     """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count

@@ -308,3 +308,15 @@ def test_inverted_index_single_token_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert "Join" not in tree
     assert tree.count("Exchange") <= 3, tree
+
+
+def test_sessionize_lag_single_exchange(spark):
+    """Gap-sessionization must do ONE user-keyed exchange: lag window,
+    running-sum window, and the per-session rollup all reuse the same
+    (user_id, ts) sort and partitioning — a second exchange means the
+    rollup stopped exploiting the window's output partitioning."""
+    plan = plan_of(spark, "events_sessionize_lag")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count(" Window ") == 2, tree
+    assert tree.count("Sort") == 1, tree
