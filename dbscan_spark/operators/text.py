@@ -8,6 +8,8 @@ whole-stage codegen) and every operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbscan_spark.functions import norm_text, shingles, tokens
@@ -376,6 +378,68 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) leg of the UDF taxonomy: one input doc
+    row expands to N sentence rows with position + length. The SAME
+    expansion is expressible with explode(split(...)) — and the oracle
+    proves value parity with that built-in twin — so this exists to cover
+    the lateral-expansion API surface, not as the hot path (the plan test
+    allows the Python stage here and nowhere else row-at-a-time).
+    Registered per-call with a deterministic marker; at scale a UDTF is a
+    narrow map (no shuffle), parallel per input partition."""
+    from pyspark.sql.functions import udtf
+
+    # Arrow-batched UDTF transfer (ArrowEvalPythonUDTF in the plan) — the
+    # same Arrow-only rule the rest of the repo holds Python stages to.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="sent_idx: bigint, sentence: string, n_chars: bigint")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i + 1, s, len(s)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        """
+        SELECT s.doc_id, t.sent_idx, t.sentence, t.n_chars
+        FROM udtf_docs_src s,
+             LATERAL sentence_split(s.text) t
+        """
+    ).select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF leg of the taxonomy):
+    geometric-mean order price per priority. Arrow ships each group's
+    column once; numpy reduces it vectorized. The oracle is the algebraic
+    identity exp(avg(ln x)) — which is also the scale-correct pure-SQL
+    twin (partial-aggregable, unlike a naive product). Rounded to 4dp so
+    cross-engine float summation order cannot flip the hash."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.round(geomean("o_totalprice"), 4).alias("geomean_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
@@ -389,6 +453,8 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "text_inverted_index": text_inverted_index,
+    "udtf_sentence_split": udtf_sentence_split,
+    "udaf_geomean_price": udaf_geomean_price,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -397,6 +463,23 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "udtf_sentence_split": """
+        SELECT doc_id, sent_idx, sentence,
+               CAST(length(sentence) AS BIGINT) AS n_chars
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split(text, '. ')) AS sentence,
+                 CAST(unnest(range(1, len(string_split(text, '. ')) + 1))
+                      AS BIGINT) AS sent_idx
+          FROM documents)
+    """,
+    "udaf_geomean_price": """
+        SELECT o_orderpriority,
+               round(exp(avg(ln(o_totalprice))), 4) AS geomean_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "text_inverted_index": f"""
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token
