@@ -1755,6 +1755,70 @@ def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations + covariance over the lineitem
+    numeric measures, one single-pass aggregation (each corr/covar is a
+    streaming moment accumulator — no per-pair re-scan, no collect).
+    Rounded to 4dp so engine summation order cannot flip the hash."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias(
+            "corr_price_disc"
+        ),
+        F.round(F.corr("l_quantity", "l_tax"), 4).alias("corr_qty_tax"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals via width_bucket — the
+    binning primitive behind every distribution dashboard. A narrow
+    per-row bucket expression then ONE count aggregation; at 100 TB the
+    bucket id is computed map-side and only #buckets rows shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(100000.0), F.lit(20)
+    )
+    return (
+        o.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped z-score outlier flagging: orders whose total deviates more
+    than 2.5σ from their priority group's mean. The per-group moments are
+    ONE tiny aggregate broadcast back onto the fact scan — never a window
+    over the full table (a window would sort 100 TB; the broadcast join
+    touches each row once, map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+    )
+    z = (F.col("o_totalprice") - F.col("mu")) / F.col("sigma")
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -1840,6 +1904,9 @@ QUERIES = {
     "events_funnel": events_funnel,
     "retention_cohorts": retention_cohorts,
     "events_sessionize_lag": events_sessionize_lag,
+    "stats_corr_lineitem": stats_corr_lineitem,
+    "histogram_order_totals": histogram_order_totals,
+    "zscore_outlier_orders": zscore_outlier_orders,
 }
 
 ORACLE = {
@@ -1897,6 +1964,37 @@ ORACLE = {
                      / lag(n_events) OVER w, 4) AS dod_pct
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    "stats_corr_lineitem": """
+        SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+               round(corr(l_quantity, l_tax), 4) AS corr_qty_tax,
+               round(covar_samp(l_quantity, l_extendedprice), 4)
+                 AS covar_qty_price
+        FROM lineitem
+    """,
+    "histogram_order_totals": """
+        -- DuckDB has no width_bucket; this is its exact arithmetic:
+        -- bucket i covers [(i-1)*5000, i*5000), 0 below range, 21 above
+        SELECT CAST(least(greatest(floor(o_totalprice / 5000) + 1, 0), 21)
+                    AS BIGINT) AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    "zscore_outlier_orders": """
+        WITH stats AS (
+          SELECT o_orderpriority,
+                 avg(o_totalprice) AS mu,
+                 stddev_samp(o_totalprice) AS sigma
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderkey, o.o_orderpriority,
+               round(o_totalprice, 2) AS o_totalprice,
+               round((o_totalprice - mu) / sigma, 4) AS zscore
+        FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+        WHERE abs((o_totalprice - mu) / sigma) > 2.5
     """,
     "events_funnel": """
         WITH views AS (
