@@ -456,6 +456,73 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deliberately-quadratic exact baselines go LAST so a driver wall-clock
 # truncation can only cost rows for the heavy anchors, never the cheap
 # bucketed scale paths.
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the verified
+    MinHash-LSH pair graph, so every transitively-linked duplicate group
+    gets one canonical cluster id (the min doc_id in its component) — the
+    step that turns pairwise dedup output into keep-one-per-cluster
+    decisions.
+
+    Iterative min-label propagation (Pregel-lite on DataFrames): each
+    round every node takes the min of its own label and its neighbors'
+    labels — one edges⋈labels join + min-aggregate per round, converging
+    in O(component diameter) rounds. Near-dup components are tiny and
+    star-like (diameter ≲ 4), so this terminates in a handful of rounds
+    even at 100 TB, and every round is shuffle-bounded by |edges|, never
+    all-pairs. ``localCheckpoint`` cuts the growing lineage each round
+    (the standard guard against plan-exponential iterative DataFrames).
+    Driver state is ONE scalar (the changed-label count) per round.
+
+    Not SQL-expressible (iterative fixpoint) → rows-only driver check;
+    tests/test_llm_ops.py pins the exact component structure against a
+    driver-side union-find at sf0.001."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
+            )
+        )
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -465,6 +532,10 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    # last on purpose: the iterative fixpoint re-runs the LSH pipeline and
+    # is the most expensive dedup entry — it must never starve the cheap
+    # queries of a driver correctness row (rows-only checked anyway)
+    "dedup_cluster_cc": dedup_cluster_cc,
 }
 
 ORACLE = {

@@ -269,3 +269,36 @@ def test_ann_ivf_recall(spark):
     assert all(v == 5 for v in per_q.values()), per_q
     recall = len(got & truth) / len(truth)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_dedup_cluster_cc_matches_union_find(spark):
+    """The iterative min-label propagation must produce EXACTLY the
+    connected components a driver-side union-find derives from the same
+    verified pair list (canonical label = min doc_id per component)."""
+    pair_list = [
+        (r["doc1"], r["doc2"])
+        for r in dedup.dedup_minhash_lsh(spark, SF_TINY).collect()
+    ]
+    assert pair_list, "fixture produced no near-dup pairs"
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller so every final
+            # root is the component's min id, matching the operator
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_cluster_cc(spark, SF_TINY).collect()
+    }
+    assert got == want
