@@ -1755,6 +1755,33 @@ def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters beside their exact counts: part keys
+    covering >2% of lineitem rows via Spark's freqItems (Karp-style
+    single-pass sketch, bounded state per partition + one merge — the
+    count-min/space-saving family) exploded and joined back to exact
+    counts. Sketch membership is engine-specific (false positives by
+    contract) → rows-only driver check; tests pin that every TRUE heavy
+    hitter (exact share > threshold) is present — the sketch's no-false-
+    negative guarantee."""
+    l = _t(spark, sf_dir, "lineitem")
+    total = l.count()
+    hh = (
+        l.stat.freqItems(["l_partkey"], 0.02)
+        .select(F.explode("l_partkey_freqItems").alias("l_partkey"))
+    )
+    exact = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        hh.join(exact, "l_partkey")
+        .select(
+            "l_partkey",
+            "n_rows",
+            F.round(F.col("n_rows") / F.lit(total), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), "l_partkey")
+    )
+
+
 def stats_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations + covariance over the lineitem
     numeric measures, one single-pass aggregation (each corr/covar is a
@@ -1907,6 +1934,7 @@ QUERIES = {
     "stats_corr_lineitem": stats_corr_lineitem,
     "histogram_order_totals": histogram_order_totals,
     "zscore_outlier_orders": zscore_outlier_orders,
+    "agg_heavy_hitters": agg_heavy_hitters,
 }
 
 ORACLE = {

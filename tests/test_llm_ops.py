@@ -302,3 +302,25 @@ def test_dedup_cluster_cc_matches_union_find(spark):
         for r in dedup.dedup_cluster_cc(spark, SF_TINY).collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_no_false_negatives(spark):
+    """freqItems guarantees no false negatives: every key whose exact
+    share exceeds the support threshold must appear in the sketch."""
+    from dbscan_spark.operators import relational
+    from pyspark.sql import functions as F
+
+    got = {
+        r["l_partkey"]
+        for r in relational.agg_heavy_hitters(spark, SF_TINY).collect()
+    }
+    l = relational._t(spark, SF_TINY, "lineitem")
+    total = l.count()
+    true_hh = {
+        r["l_partkey"]
+        for r in l.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") / total > 0.02)
+        .collect()
+    }
+    assert true_hh <= got, true_hh - got
