@@ -383,3 +383,76 @@ def test_foreach_batch_sink_delivers_and_replays_idempotently(
     assert len(dirs2) == 3 and dirs2[:2] == batch_dirs, dirs2
     final = spark.read.parquet(str(out)).select("event_id")
     assert sorted(r["event_id"] for r in final.collect()) == list(range(1, 8))
+
+
+def test_streaming_merge_sink_maintains_latest_state(spark, tmp_path):
+    """Streaming CDC apply: three single-file micro-batches upsert a
+    latest-value-per-user table as versioned snapshots; the final version
+    must equal the batch-computed latest state over ALL events, and
+    replaying the last batch must rebuild an identical snapshot
+    (idempotent under at-least-once delivery)."""
+    import os
+
+    import pandas as pd
+
+    from dbscan_spark.streaming.events import (
+        merge_latest_state,
+        run_streaming_merge_sink,
+    )
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+
+    def mk(path, rows):  # rows: (event_id, minute, user, value)
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [base_ns + r[1] * 60_000_000_000 for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [float(r[3]) for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path)
+
+    src = tmp_path / "src"
+    tgt = tmp_path / "tgt"
+    os.makedirs(src)
+    batches = [
+        [(1, 0, 10, 1.0), (2, 1, 20, 2.0)],          # seed two users
+        [(3, 2, 10, 3.0), (4, 3, 30, 4.0)],          # update 10, insert 30
+        [(5, 4, 20, 5.0), (6, 5, 20, 6.0), (7, 3, 10, 7.0)],
+        # batch 3: two updates for 20 (latest wins), LATE event for 10
+        # (minute 3 > stored minute 2 → becomes the latest)
+    ]
+    for i, rows in enumerate(batches):
+        mk(src / f"f{i}.parquet", rows)
+        os.utime(src / f"f{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    run_streaming_merge_sink(
+        stream, str(tgt), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+
+    versions = sorted(os.listdir(tgt))
+    assert versions == ["v=0", "v=1", "v=2"], versions
+    final = {
+        r["user_id"]: (r["last_value"], r["n_events"])
+        for r in spark.read.parquet(str(tgt / "v=2")).collect()
+    }
+    assert final == {10: (7.0, 3), 20: (6.0, 3), 30: (4.0, 1)}, final
+
+    # replay batch 2: rebuild v=2 from the untouched v=1 + batch file —
+    # byte-identical state, no double counting (batch read of the same
+    # file slice the micro-batch saw, with the stream's ts conversion)
+    from pyspark.sql import functions as F
+
+    batch2 = (
+        spark.read.parquet(str(src / "f2.parquet"))
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    prev = spark.read.parquet(str(tgt / "v=1"))
+    rebuilt = {
+        r["user_id"]: (r["last_value"], r["n_events"])
+        for r in merge_latest_state(prev, batch2).collect()
+    }
+    assert rebuilt == final
