@@ -440,6 +440,73 @@ def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of functions.shingles (kept in lockstep with dedup.py)
+_SQL_SHINGLES = (
+    "list_transform(range(1, greatest(len(t) - 2, 0) + 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    3-gram with a probe set (here: the shingles of doc_ids 0-4 standing
+    in for an eval benchmark), with the overlapping-shingle count per
+    contaminated doc. The probe shingle set is tiny relative to the
+    corpus and rides a BROADCAST to every executor, so the check is one
+    map-side hash probe per corpus shingle + one doc-keyed count — the
+    corpus-side shingle table is never shuffled against itself. This is
+    the n-gram-overlap decontamination step every pre-training pipeline
+    runs against held-out benchmarks."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
+    ).distinct()
+    probe = (
+        sh.filter(F.col("doc_id") < 5)
+        .select(F.col("s").alias("ps"))
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(probe), F.col("s") == F.col("ps"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: per-source token mass and the sampling
+    weight that equalizes every source's contribution (uniform target:
+    weight = mean source mass / actual source mass — >1 upsamples
+    underrepresented sources). One grouped aggregation over the corpus
+    plus a broadcast single-row totals join; the heavy scan happens
+    once, map-side partial-aggregated on the source key."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n_src")
+    )
+    return (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                (F.col("tot") / F.col("n_src")) / F.col("n_tokens"), 6
+            ).alias("mixture_weight"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
@@ -455,6 +522,8 @@ QUERIES = {
     "text_inverted_index": text_inverted_index,
     "udtf_sentence_split": udtf_sentence_split,
     "udaf_geomean_price": udaf_geomean_price,
+    "text_contamination_check": text_contamination_check,
+    "corpus_mixture_weights": corpus_mixture_weights,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -463,6 +532,28 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "text_contamination_check": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s
+               FROM toks),
+        probe AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+        SELECT doc_id, count(*) AS n_contaminated_shingles
+        FROM sh JOIN probe USING (s)
+        WHERE doc_id >= 5
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "corpus_mixture_weights": f"""
+        WITH per_src AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT sum(n_tokens) AS tot, count(*) AS n_src
+                FROM per_src)
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens / tot, 6) AS token_share,
+               round((tot / n_src) / n_tokens, 6) AS mixture_weight
+        FROM per_src, tot ORDER BY source
+    """,
     "udtf_sentence_split": """
         SELECT doc_id, sent_idx, sentence,
                CAST(length(sentence) AS BIGINT) AS n_chars
