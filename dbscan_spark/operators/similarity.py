@@ -277,10 +277,153 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization: M subspaces × K codes, ADC scoring ------------
+_PQ_M = 8                   # subspaces (64-D → 8 × 8-D)
+_PQ_K = 16                  # codes per subspace (4 bits)
+_PQ_SUB = _DIM // _PQ_M
+_PQ_RERANK = 32             # approx candidates re-ranked exactly per query
+
+
+def _pq_codebooks(e: DataFrame) -> "np.ndarray":
+    """(M, K, SUB) per-subspace k-means codebooks on the same ≤2048-vector
+    deterministic driver sample the IVF quantizer trains on — at any
+    corpus size the codebooks stay (8×16×8 doubles), shipped in the
+    encoder's task closure. PQ compresses each 64-D float vector to 8
+    4-bit codes (128× smaller), which is what lets billion-vector
+    corpora keep their index in memory."""
+    sample = np.stack(
+        [
+            r["v"]
+            for r in e.orderBy(F.xxhash64("vec_id")).limit(_IVF_SAMPLE).collect()
+        ]
+    )
+    rng = np.random.default_rng(7)
+    books = np.empty((_PQ_M, _PQ_K, _PQ_SUB))
+    for m in range(_PQ_M):
+        sub = sample[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        cent = sub[rng.choice(len(sub), _PQ_K, replace=False)].copy()
+        for _ in range(_IVF_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(_PQ_K):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(0)
+        books[m] = cent
+    return books.round(6)
+
+
+def _pq_encode_udf(books: "np.ndarray"):
+    """Arrow-batched encoder: vector → its M nearest-code ids, one
+    (batch×SUB)@(SUB×K) matrix product per subspace per batch. Pure map —
+    no shuffle at any scale."""
+    bks = np.asarray(books, dtype=np.float64)
+    bn = (bks * bks).sum(-1)  # (M, K) squared code norms
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())
+        codes = np.empty((len(V), _PQ_M), dtype=np.int32)
+        for m in range(_PQ_M):
+            sub = V[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            d = bn[m][None, :] - 2.0 * (sub @ bks[m].T)
+            codes[:, m] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 via product quantization + exact re-rank.
+
+    Corpus vectors are PQ-encoded once (8×4-bit codes each). Queries
+    score the WHOLE corpus with asymmetric distance computation: the
+    query↔codebook inner products collapse to an (M×K) lookup table per
+    query, so one candidate's approximate cosine is 8 table lookups — no
+    float vector is touched until the top-32 approximate candidates per
+    query are re-ranked with the true cosine (the standard ADC + re-rank
+    stack, e.g. FAISS IndexPQ). All Python stages are Arrow-batched maps;
+    the only shuffles are the two per-query top-k windows and the
+    candidates⋈corpus equi join for re-ranking. Approximate recall →
+    rows-only driver check; tests pin recall vs brute force."""
+    e = _embeddings_with_norms(spark, sf_dir)
+    books = _pq_codebooks(e)
+    encode = _pq_encode_udf(books)
+    corpus = e.select("vec_id", "v", "nv", encode(F.col("v")).alias("codes"))
+
+    # 10 query vectors, collected driver-side (same as the codebook
+    # sample); their (M, K) inner-product + the per-code norm tables ride
+    # the scorer's closure.
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v", "nv")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    Q = np.stack([r["v"] for r in qrows])
+    qn = np.array([r["nv"] for r in qrows])
+    bks = np.asarray(books)
+    # LUT[qpos, m, k] = <q_m, book[m, k]>
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), _PQ_M, _PQ_SUB), bks)
+    code_sq = (bks * bks).sum(-1)  # (M, K): |book[m,k]|²
+    qid_to_pos = {int(q): i for i, q in enumerate(qids)}
+
+    @pandas_udf("double")
+    def adc_cos(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        pos = qid.map(qid_to_pos).to_numpy()
+        C = np.stack(codes.to_numpy())  # (B, M)
+        ar = np.arange(_PQ_M)[None, :]
+        dots = lut[pos[:, None], ar, C].sum(1)
+        vhat_n = np.sqrt(code_sq[ar, C].sum(1))
+        return pd.Series(dots / (qn[pos] * vhat_n))
+
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in qids], "query_id long"
+    )
+    scored = (
+        corpus.join(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_cos(F.col("query_id"), F.col("codes")).alias("approx_cos"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    cand = scored.withColumn("arnk", F.row_number().over(wa)).filter(
+        F.col("arnk") <= _PQ_RERANK
+    )
+    # exact re-rank of ≤32 candidates per query
+    qside = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), "v", "nv"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qside), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_pq": ann_topk_pq,
 }
 
 ORACLE = {

@@ -324,3 +324,19 @@ def test_heavy_hitters_no_false_negatives(spark):
         .collect()
     }
     assert true_hh <= got, true_hh - got
+
+
+def test_ann_pq_recall(spark):
+    """PQ+ADC with exact top-32 re-rank must recover most of the true
+    top-5 sets (re-ranking bounds the damage of quantization error) and
+    emit exactly 5 rows per query."""
+    bf = similarity.ann_topk_bruteforce(spark, SF_TINY)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    rows = similarity.ann_topk_pq(spark, SF_TINY).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(v == 5 for v in per_q.values()), per_q
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
