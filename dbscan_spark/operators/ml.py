@@ -91,11 +91,84 @@ def dbscan_predict_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.predict(held).select("vec_id", "cluster", "flag")
 
 
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the supplier co-order graph — the iterative
+    link-analysis twin of dedup_cluster_cc's connected components.
+
+    Graph build: suppliers are connected when they supply the same order
+    (distinct (orderkey, suppkey) self-join, s1<s2, weight = #shared
+    orders); edges are symmetrized and the per-node out-weight is
+    precomputed once. Each of the 10 iterations is ONE edges⋈ranks
+    equi-join + node-keyed sum — shuffle bounded by |edges| — with
+    localCheckpoint cutting the lineage (same guard as the CC loop). At
+    100 TB the edge list co-partitions with the rank table on src after
+    the first exchange; the iteration count is fixed, not data-driven,
+    as in every production PageRank.
+
+    Not SQL-expressible (iterative fixpoint) → rows-only driver check;
+    tests/test_llm_ops.py pins every rank against a numpy power
+    iteration on the same graph to 1e-6."""
+    d = 0.85
+    l = load_table(spark, sf_dir, "lineitem")
+    so = l.select("l_orderkey", "l_suppkey").distinct()
+    a, b = so.alias("a"), so.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.union(
+        pairs.select(
+            F.col("s2").alias("s1"), F.col("s1").alias("s2"), "w"
+        )
+    ).persist()
+    out_w = edges.groupBy("s1").agg(F.sum("w").alias("ow"))
+    norm_edges = (
+        edges.join(out_w, "s1")
+        .select("s1", "s2", (F.col("w") / F.col("ow")).alias("p"))
+        .persist()
+    )
+    nodes = edges.select(F.col("s1").alias("node")).distinct()
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    for _ in range(10):
+        contrib = (
+            norm_edges.join(ranks, norm_edges.s1 == ranks.node)
+            .groupBy("s2")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.s2, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n_nodes)
+                    + F.lit(d) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    norm_edges.unpersist()
+    return ranks.select(
+        F.col("node").alias("s_suppkey"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy(F.desc("pagerank"), "s_suppkey")
+
+
 QUERIES = {
     "dbscan_embeddings": dbscan_embeddings,
     "dbscan_predict_holdout": dbscan_predict_holdout,
     "dbscan_embeddings_64d": dbscan_embeddings_64d,
     "dbscan_predict_64d": dbscan_predict_64d,
+    "supplier_pagerank": supplier_pagerank,
 }
 
 ORACLE: dict[str, str] = {}

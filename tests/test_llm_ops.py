@@ -340,3 +340,53 @@ def test_ann_pq_recall(spark):
     assert all(v == 5 for v in per_q.values()), per_q
     recall = len(got & truth) / len(truth)
     assert recall >= 0.6, f"PQ recall too low: {recall}"
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Every distributed PageRank value must match a driver-side numpy
+    power iteration on the same weighted graph to 1e-6 (same damping,
+    same iteration count, same dangling handling)."""
+    import numpy as np
+
+    from dbscan_spark.operators import ml
+    from pyspark.sql import functions as F
+
+    got = {
+        r["s_suppkey"]: r["pagerank"]
+        for r in ml.supplier_pagerank(spark, SF_TINY).collect()
+    }
+    assert got, "empty graph"
+    from dbscan_spark.io import load_table
+
+    l = load_table(spark, SF_TINY, "lineitem")
+    so = l.select("l_orderkey", "l_suppkey").distinct().collect()
+    from collections import defaultdict
+
+    by_order = defaultdict(list)
+    for r in so:
+        by_order[r["l_orderkey"]].append(r["l_suppkey"])
+    w = defaultdict(int)
+    for supps in by_order.values():
+        ss = sorted(set(supps))
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                w[(ss[i], ss[j])] += 1
+                w[(ss[j], ss[i])] += 1
+    nodes = sorted({k[0] for k in w})
+    idx = {n: i for i, n in enumerate(nodes)}
+    P = np.zeros((len(nodes), len(nodes)))
+    for (s1, s2), wt in w.items():
+        P[idx[s1], idx[s2]] = wt
+    P = P / P.sum(1, keepdims=True)
+    d, n = 0.85, len(nodes)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - d) / n + d * (P.T @ r)
+    want = {node: r[i] for node, i in idx.items()}
+    assert set(got) == set(want)
+    for node in want:
+        assert abs(got[node] - want[node]) < 1e-6, (
+            node,
+            got[node],
+            want[node],
+        )
