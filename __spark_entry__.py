@@ -43,24 +43,21 @@ def _operator_modules():
     """Operator modules in registration order.
 
     Order matters: the driver grades queries in registration order under a
-    wall-clock budget, so the cheap modules (text/multimodal/similarity/ml)
-    come first and the modules containing the deliberately-quadratic exact
-    baselines (dedup) come last — their cost must never starve the cheap
-    queries of a correctness row (round-1 truncated after
-    ann_topk_bruteforce for exactly this reason).
+    wall-clock budget (round-1 truncated after ann_topk_bruteforce), so
+    cheap exact-oracle modules (text/multimodal/relational) come first,
+    then similarity/dedup, and ml last — its entries (the dbscan pipeline,
+    PageRank) are the most expensive AND only rows-only checkable, so a
+    truncation there costs the least correctness signal.
     """
-    from dbscan_spark.operators import relational
-
     mods = []
-    for name in ("text", "multimodal", "similarity", "ml"):
-        try:
-            mods.append(
-                __import__(f"dbscan_spark.operators.{name}", fromlist=[name])
-            )
-        except ImportError:
-            pass
-    mods.append(relational)
-    for name in ("dedup",):
+    for name in (
+        "text",
+        "multimodal",
+        "relational",
+        "similarity",
+        "dedup",
+        "ml",
+    ):
         try:
             mods.append(
                 __import__(f"dbscan_spark.operators.{name}", fromlist=[name])
