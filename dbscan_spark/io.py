@@ -182,3 +182,39 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source; predicate pushdown + column pruning work as with
     parquet (asserted in tests/test_io.py)."""
     return spark.read.orc(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ~``target_file_bytes`` output files; returns the file count chosen.
+
+    The small-files problem is the chronic operational hazard of
+    streaming/micro-batch sinks at scale — thousands of KB-sized files
+    per day turn every downstream scan into a task-scheduling storm and
+    blow up the name-node/listing path. The fix is this exact loop, run
+    as periodic maintenance: size the output from the OBSERVED byte
+    total (not a guessed partition count), round-robin ``repartition``
+    for balanced files regardless of key skew, and write to a NEW
+    directory (read-old/write-new — compacting in place while readers
+    hold the old listing is how data loss happens). One shuffle, nothing
+    driver-side but the file listing.
+    """
+    import glob
+    import math
+
+    total = sum(
+        os.path.getsize(p)
+        for p in glob.glob(
+            os.path.join(src_dir, "**", "*.parquet"), recursive=True
+        )
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_dir).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst_dir)
+    return n_files

@@ -115,3 +115,28 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "GreaterThan" in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "o_orderpriority" not in read_schema[0]
+
+
+def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
+    """20 tiny files must compact into the byte-sized file count (here 1)
+    with exact row parity, into a fresh directory."""
+    import glob
+    import os
+
+    from dbscan_spark.io import compact_parquet_dir
+
+    src = str(tmp_path / "frag")
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    n_in = len(glob.glob(os.path.join(src, "*.parquet")))
+    assert n_in >= 20, n_in
+
+    dst = str(tmp_path / "compact")
+    n_out = compact_parquet_dir(spark, src, dst, target_file_bytes=10**9)
+    assert n_out == 1
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(files) == 1, files
+    got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert got == list(range(200))
