@@ -255,6 +255,83 @@ def join_theta_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_backward_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Generalized backward as-of join: every LEFT row gains the most
+    recent RIGHT row for the same key at-or-before its timestamp
+    (``asof_ts`` and, optionally, ``asof_<value_col>``; NULL when no
+    right row precedes).
+
+    Scale-correct composition — union both sides with a side marker, ONE
+    shuffle on the key, one sort on (ts, side, value), and a running
+    ``last(..., ignorenulls=True)`` window — O(n log n) per key group,
+    never the quadratic key-equi + time-range filter join. Right rows
+    sort BEFORE left rows at equal timestamps, which implements the
+    inclusive (>=) bound; among several right rows sharing (key, ts) the
+    largest value wins (deterministic tie rule, property-tested in
+    tests/test_asof_property.py)."""
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_payload"),
+        F.lit(None)
+        .cast(
+            right.select(
+                F.struct(
+                    F.col(right_ts).alias("ts"),
+                    *(
+                        [F.col(value_col).alias("val")]
+                        if value_col
+                        else []
+                    ),
+                ).alias("s")
+            ).schema["s"].dataType.simpleString()
+        )
+        .alias("_r"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l.schema["_payload"].dataType.simpleString()).alias(
+            "_payload"
+        ),
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *([F.col(value_col).alias("val")] if value_col else []),
+        ).alias("_r"),
+    )
+    order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_r").asc()]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out = matched.select(
+        *[F.col(f"_payload.{c}").alias(c) for c in lcols],
+        F.col("_last_r.ts").alias("asof_ts"),
+        *(
+            [F.col("_last_r.val").alias(f"asof_{value_col}")]
+            if value_col
+            else []
+        ),
+    )
+    return out
+
+
 def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) join: for each 'error' event, the most recent
     'click' by the same user at or before the error's timestamp.
@@ -272,38 +349,24 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusive bound.
     """
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("is_click"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
     errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", F.lit(0).alias("is_click"), "event_id"
+        "event_id", "user_id", "ts"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
     )
-    last_click = F.max(
-        F.when(F.col("is_click") == 1, F.col("ts"))
-    ).over(w)
-    return (
-        clicks.unionByName(errors)
-        .withColumn("last_click_ts", last_click)
-        .filter(F.col("is_click") == 0)
-        .select(
-            "event_id",
-            "user_id",
-            "last_click_ts",
-            # timestampdiff, not unix_micros: it accepts TIMESTAMP_NTZ
-            # (the testdata's naive parquet annotation) as well as LTZ,
-            # and a difference of two same-typed stamps is tz-free.
-            F.expr("timestampdiff(MICROSECOND, last_click_ts, ts)").alias(
-                "micros_since_click"
-            ),
-        )
+    return asof_backward_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="ts"
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("last_click_ts"),
+        # timestampdiff, not unix_micros: it accepts TIMESTAMP_NTZ
+        # (the testdata's naive parquet annotation) as well as LTZ,
+        # and a difference of two same-typed stamps is tz-free.
+        F.expr(
+            "timestampdiff(MICROSECOND, asof_ts, ts)"
+        ).alias("micros_since_click"),
     )
 
 
