@@ -1909,6 +1909,47 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ONE portable ANSI string: Spark executes it via spark.sql over temp
+#: views, DuckDB executes the identical text as the oracle — a direct
+#: cross-engine SQL-dialect-compliance check (no DataFrame translation
+#: in between).
+_PORTABLE_SQL = """
+    WITH nation_rev AS (
+      SELECT n_name AS nation,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        AND o_orderdate <  TIMESTAMP '2000-01-01'
+      GROUP BY n_name)
+    SELECT nation, revenue, n_lines,
+           rank() OVER (ORDER BY revenue DESC, nation) AS rev_rank
+    FROM nation_rev
+    ORDER BY rev_rank
+"""
+
+
+def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface: registers the tables as temp views and runs
+    _PORTABLE_SQL through spark.sql — and the ORACLE entry is the SAME
+    string, so the driver's comparison doubles as an ANSI-portability
+    check between Spark SQL and DuckDB (joins, CTE, window rank,
+    timestamp literals, round). Catalyst plans it identically to the
+    DataFrame build (broadcast dims, one agg exchange)."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    df = spark.sql(_PORTABLE_SQL)
+    return df.select(
+        "nation",
+        "revenue",
+        "n_lines",
+        F.col("rev_rank").cast("long").alias("rev_rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -1998,9 +2039,12 @@ QUERIES = {
     "histogram_order_totals": histogram_order_totals,
     "zscore_outlier_orders": zscore_outlier_orders,
     "agg_heavy_hitters": agg_heavy_hitters,
+    "sql_api_nation_revenue": sql_api_nation_revenue,
 }
 
 ORACLE = {
+    # the identical string Spark executes — see sql_api_nation_revenue
+    "sql_api_nation_revenue": _PORTABLE_SQL,
     "merge_upsert_orders": """
         WITH delta AS (
           SELECT o_orderkey AS d_orderkey,
