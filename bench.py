@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     "sample_stratified_orders",
     "text_inverted_index",
     "events_dod_change",
+    "events_funnel",
+    "events_sessionize_lag",
+    "text_contamination_check",
+    "ann_topk_pq",
+    "dedup_cluster_cc",
+    "supplier_pagerank",
     "dbscan_embeddings",
 ]
 

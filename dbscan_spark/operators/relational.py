@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from dbscan_spark.functions import as_double_array
 from dbscan_spark.io import load_table
 
 
@@ -1909,6 +1910,46 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money aggregation: the sums run in decimal(18,2) —
+    associative-exact, so NO rounding fudge is needed for cross-engine
+    hash equality (the one numeric domain where float summation order is
+    a non-issue). This is how money columns should aggregate at 100 TB;
+    the output casts back to double only for the driver's canonicalizer."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(dec).cast("double").alias("total_exact"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions in one pass over the embedding column:
+    lambda filter (count of positive components), lambda aggregate (sum
+    of squares fold), and transform+slice (first 3 components rounded).
+    All JVM-side codegen'd lambdas — the idiomatic way to compute on
+    array columns without exploding 64 rows per vector (explode would
+    multiply the shuffle input 64x at scale for what a per-row fold
+    computes in place)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sum_sq"),
+        F.round(F.element_at(v, 1), 4).alias("c1"),
+        F.round(F.element_at(v, 2), 4).alias("c2"),
+        F.round(F.element_at(v, 3), 4).alias("c3"),
+    )
+
+
 #: ONE portable ANSI string: Spark executes it via spark.sql over temp
 #: views, DuckDB executes the identical text as the oracle — a direct
 #: cross-engine SQL-dialect-compliance check (no DataFrame translation
@@ -2040,11 +2081,31 @@ QUERIES = {
     "zscore_outlier_orders": zscore_outlier_orders,
     "agg_heavy_hitters": agg_heavy_hitters,
     "sql_api_nation_revenue": sql_api_nation_revenue,
+    "agg_decimal_exact": agg_decimal_exact,
+    "scalar_array_hof": scalar_array_hof,
 }
 
 ORACLE = {
     # the identical string Spark executes — see sql_api_nation_revenue
     "sql_api_nation_revenue": _PORTABLE_SQL,
+    "agg_decimal_exact": """
+        SELECT o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_exact,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "scalar_array_hof": """
+        SELECT vec_id,
+               CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0))
+                    AS BIGINT) AS n_pos,
+               round(list_sum(list_transform(embedding::DOUBLE[],
+                                             x -> x * x)), 4) AS sum_sq,
+               round(embedding[1]::DOUBLE, 4) AS c1,
+               round(embedding[2]::DOUBLE, 4) AS c2,
+               round(embedding[3]::DOUBLE, 4) AS c3
+        FROM embeddings
+    """,
     "merge_upsert_orders": """
         WITH delta AS (
           SELECT o_orderkey AS d_orderkey,
