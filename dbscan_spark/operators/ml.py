@@ -135,28 +135,32 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2", (F.col("w") / F.col("ow")).alias("p"))
         .persist()
     )
-    nodes = edges.select(F.col("s1").alias("node")).distinct()
+    nodes = edges.select(F.col("s1").alias("node")).distinct().persist()
     n_nodes = nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
-    for _ in range(10):
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(10):
         contrib = (
             norm_edges.join(ranks, norm_edges.s1 == ranks.node)
             .groupBy("s2")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.s2, "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - d) / n_nodes)
-                    + F.lit(d) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contrib, nodes.node == contrib.s2, "left").select(
+            "node",
+            (
+                F.lit((1.0 - d) / n_nodes)
+                + F.lit(d) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
         )
+        # cut lineage every 3rd round, not every round: the chain is
+        # LINEAR (no self-join blowup), so a few stacked rounds compile
+        # fine, and each localCheckpoint costs a full eager job — the
+        # dominant fixed cost of the loop at small data
+        if i % 3 == 2:
+            ranks = ranks.localCheckpoint()
+    ranks = ranks.localCheckpoint()
     edges.unpersist()
     norm_edges.unpersist()
+    nodes.unpersist()
     return ranks.select(
         F.col("node").alias("s_suppkey"),
         F.round("rank", 6).alias("pagerank"),
