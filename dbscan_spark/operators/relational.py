@@ -1910,6 +1910,180 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: no partsupp, so 'supply cost' is each supplier's
+    average sale price of the part from lineitem): for each size-10 part,
+    the supplier(s) offering the minimum average price. The correlated
+    min becomes an unpartitioned-per-part min window over the (part,
+    supplier) rollup — the rollup is tiny relative to the fact scan, so
+    the window is cheap; equality runs on the ROUNDED average so float
+    summation order can't flip it."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    per = (
+        l.join(
+            F.broadcast(
+                p.filter(F.col("p_size") == 10).select("p_partkey", "p_name")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = per.withColumn("min_price", F.min("avg_price").over(w)).filter(
+        F.col("avg_price") == F.col("min_price")
+    )
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.col("avg_price"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: part sale value from lineitem instead of
+    partsupp stock value): parts whose total sale value exceeds 0.1% of
+    the corpus total. The scalar grand total rides a broadcast (cross)
+    join onto the per-part rollup — same shape as agg_share_of_total,
+    never a second full scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
+    )
+    total = per_part.agg(F.sum("value").alias("grand"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("grand") * 0.001)
+        .select(
+            "l_partkey",
+            F.round("value", 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: supplier↔part relationships observed in
+    lineitem instead of partsupp; the NOT-IN complaint filter becomes the
+    negative-balance suppliers): distinct supplier count per (brand,
+    type, size) for non-PROMO, non-Brand#1 parts. The exclusion list is
+    a broadcast LEFT ANTI join BEFORE the count-distinct shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = (
+        l.join(
+            F.broadcast(
+                p.filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & (F.col("p_type") != "PROMO")
+                    & F.col("p_size").isin(1, 4, 7)
+                ).select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        rel.groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: 'can promote' = shipped over 100 units of red
+    parts in 1998): the qualifying-supplier set is a nested aggregation
+    (per supplier over the part-filtered, year-pruned lines) whose
+    HAVING gate feeds a LEFT SEMI join back to the supplier dim — only
+    qualifying keys cross the final shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    qualifying = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(
+                p.filter(F.col("p_name").like("red%")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("red_qty"))
+        .filter(F.col("red_qty") > 100)
+    )
+    return (
+        s.join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_sole_faulty_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: commit/receipt lateness becomes the R return
+    flag): per supplier, the count of finished multi-supplier orders
+    where THIS supplier returned lines and NO other supplier did — the
+    exists + not-exists double correlation expressed as two aggregations
+    over one orders×lines rollup (per-order supplier/returner counts),
+    never as self-join chains over raw lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    lines = l.join(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    sole = (
+        lines.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
 def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL money aggregation: the sums run in decimal(18,2) —
     associative-exact, so NO rounding fudge is needed for cross-engine
@@ -2012,6 +2186,11 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_heavy_shippers": q20_heavy_shippers,
+    "q21_sole_faulty_supplier": q21_sole_faulty_supplier,
     "scan_filter_project": scan_filter_project,
     "join_left_outer": join_left_outer,
     "join_semi": join_semi,
@@ -2243,6 +2422,76 @@ ORACLE = {
                date_diff('second', min(ts), max(ts)) AS duration_s
         FROM sessioned
         GROUP BY user_id, session_no
+    """,
+    "q2_min_cost_supplier": """
+        WITH per AS (
+          SELECT p_partkey, p_name, l_suppkey,
+                 round(avg(l_extendedprice), 2) AS avg_price
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_size = 10
+          GROUP BY p_partkey, p_name, l_suppkey)
+        SELECT p_partkey, p_name, s_suppkey, s_name, avg_price
+        FROM per JOIN supplier ON l_suppkey = s_suppkey
+        WHERE avg_price = (SELECT min(avg_price) FROM per p2
+                           WHERE p2.p_partkey = per.p_partkey)
+        ORDER BY p_partkey, s_suppkey
+    """,
+    "q11_important_parts": """
+        WITH per_part AS (
+          SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+          FROM lineitem GROUP BY l_partkey)
+        SELECT l_partkey, round(value, 2) AS part_value
+        FROM per_part
+        WHERE value > (SELECT sum(value) FROM per_part) * 0.001
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "q16_supplier_variety": """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q20_heavy_shippers": """
+        SELECT s_suppkey, s_name, n_name AS nation
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate <  TIMESTAMP '1999-01-01'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 100)
+        ORDER BY s_suppkey
+    """,
+    "q21_sole_faulty_supplier": """
+        WITH lines AS (
+          SELECT l_orderkey, l_suppkey, l_returnflag
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                     THEN l_suppkey END) AS n_ret_supp
+          FROM lines GROUP BY l_orderkey)
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lines
+              WHERE l_returnflag = 'R') r
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON r.l_suppkey = s_suppkey
+        WHERE n_supp > 1 AND n_ret_supp = 1
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 20
     """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
