@@ -1910,6 +1910,38 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: no l_shipmode column, so lines group by
+    l_linestatus; 'late' = shipped >90 days after the order date): count
+    of high- vs low-priority orders among one year's late lines. One
+    fact-fact join pruned by the year filter BEFORE the shuffle, then a
+    two-conditional-sum aggregation — the canonical CASE-pivot rollup."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (adapted: no partsupp, so 'supply cost' is each supplier's
     average sale price of the part from lineitem): for each size-10 part,
@@ -2186,6 +2218,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
+    "q12_late_lines_priority": q12_late_lines_priority,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_parts": q11_important_parts,
     "q16_supplier_variety": q16_supplier_variety,
@@ -2422,6 +2455,21 @@ ORACLE = {
                date_diff('second', min(ts), max(ts)) AS duration_s
         FROM sessioned
         GROUP BY user_id, session_no
+    """,
+    "q12_late_lines_priority": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
     """,
     "q2_min_cost_supplier": """
         WITH per AS (
