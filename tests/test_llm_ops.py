@@ -390,3 +390,20 @@ def test_pagerank_matches_power_iteration(spark):
             got[node],
             want[node],
         )
+
+
+def test_ann_ivfpq_recall(spark):
+    """IVFPQ (4-probe coarse quantizer + residual PQ + exact top-32
+    re-rank) must recover a healthy fraction of the true top-5 sets;
+    recall is bounded above by the IVF probe recall, so the floor sits
+    at the IVF level, and exactly 5 rows emit per query."""
+    bf = similarity.ann_topk_bruteforce(spark, SF_TINY)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    rows = similarity.ann_topk_ivfpq(spark, SF_TINY).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(v == 5 for v in per_q.values()), per_q
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.35, f"IVFPQ recall too low: {recall}"
