@@ -2116,6 +2116,31 @@ def q21_sole_faulty_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface in one grouped pass: NULLIF manufactures
+    nulls (zero discounts/taxes), COUNT skips them, COALESCE imputes,
+    and the null-safe equality (Spark ``<=>`` ≡ ANSI IS NOT DISTINCT
+    FROM) matches null-to-null where ``=`` would return NULL — the
+    semantics every dedup/join on nullable keys silently depends on."""
+    l = _t(spark, sf_dir, "lineitem")
+    d0 = F.expr("nullif(l_discount, 0.0)")
+    t0 = F.expr("nullif(l_tax, 0.0)")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(d0).alias("n_nonzero_disc"),
+            (F.count(F.lit(1)) - F.count(d0)).alias("n_zero_disc"),
+            F.round(F.avg(F.coalesce(d0, F.lit(0.05))), 6).alias(
+                "avg_imputed_disc"
+            ),
+            F.sum(F.when(d0.eqNullSafe(t0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nullsafe_eq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL money aggregation: the sums run in decimal(18,2) —
     associative-exact, so NO rounding fudge is needed for cross-engine
@@ -2295,11 +2320,26 @@ QUERIES = {
     "sql_api_nation_revenue": sql_api_nation_revenue,
     "agg_decimal_exact": agg_decimal_exact,
     "scalar_array_hof": scalar_array_hof,
+    "scalar_null_handling": scalar_null_handling,
 }
 
 ORACLE = {
     # the identical string Spark executes — see sql_api_nation_revenue
     "sql_api_nation_revenue": _PORTABLE_SQL,
+    "scalar_null_handling": """
+        SELECT l_returnflag,
+               count(nullif(l_discount, 0.0)) AS n_nonzero_disc,
+               count(*) - count(nullif(l_discount, 0.0)) AS n_zero_disc,
+               round(avg(coalesce(nullif(l_discount, 0.0), 0.05)), 6)
+                 AS avg_imputed_disc,
+               CAST(sum(CASE WHEN nullif(l_discount, 0.0)
+                             IS NOT DISTINCT FROM nullif(l_tax, 0.0)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nullsafe_eq
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "agg_decimal_exact": """
         SELECT o_orderpriority,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
