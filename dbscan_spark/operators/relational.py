@@ -2116,6 +2116,32 @@ def q21_sole_faulty_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin without a window: per priority, the order carrying
+    the max total and the customer carrying the min — ``max_by/min_by``
+    fold the answer in ONE partial-aggregable pass, where the
+    row_number-window formulation would sort every group. Ties cannot
+    occur on these float totals at this precision (asserted by the
+    count_distinct guard column)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, o_totalprice)").alias(
+                "top_orderkey"
+            ),
+            F.round(F.max("o_totalprice"), 2).alias("top_total"),
+            F.expr("min_by(o_custkey, o_totalprice)").alias(
+                "cheapest_custkey"
+            ),
+            (
+                F.count_distinct("o_totalprice") == F.count(F.lit(1))
+            ).alias("totals_unique"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-semantics surface in one grouped pass: NULLIF manufactures
     nulls (zero discounts/taxes), COUNT skips them, COALESCE imputes,
@@ -2321,11 +2347,22 @@ QUERIES = {
     "agg_decimal_exact": agg_decimal_exact,
     "scalar_array_hof": scalar_array_hof,
     "scalar_null_handling": scalar_null_handling,
+    "agg_argmax_orders": agg_argmax_orders,
 }
 
 ORACLE = {
     # the identical string Spark executes — see sql_api_nation_revenue
     "sql_api_nation_revenue": _PORTABLE_SQL,
+    "agg_argmax_orders": """
+        SELECT o_orderpriority,
+               max_by(o_orderkey, o_totalprice) AS top_orderkey,
+               round(max(o_totalprice), 2) AS top_total,
+               min_by(o_custkey, o_totalprice) AS cheapest_custkey,
+               count(DISTINCT o_totalprice) = count(*) AS totals_unique
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "scalar_null_handling": """
         SELECT l_returnflag,
                count(nullif(l_discount, 0.0)) AS n_nonzero_disc,
