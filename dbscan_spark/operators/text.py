@@ -458,16 +458,26 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n-gram-overlap decontamination step every pre-training pipeline
     runs against held-out benchmarks."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("s")
-    ).distinct()
+    # within-doc shingle dedup is array_distinct BEFORE the explode — a
+    # per-row operation, so the corpus shingle stream reaches the
+    # broadcast probe with ZERO shuffles (a .distinct() on the exploded
+    # (doc, shingle) table would shuffle every shingle of every doc; only
+    # the post-match counts may shuffle here)
+    def sh(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col("text"))))
+            ).alias("s"),
+        )
+
     probe = (
-        sh.filter(F.col("doc_id") < 5)
+        sh(d.filter(F.col("doc_id") < 5))
         .select(F.col("s").alias("ps"))
         .distinct()
     )
     return (
-        sh.filter(F.col("doc_id") >= 5)
+        sh(d.filter(F.col("doc_id") >= 5))
         .join(F.broadcast(probe), F.col("s") == F.col("ps"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))

@@ -320,3 +320,18 @@ def test_sessionize_lag_single_exchange(spark):
     assert tree.count("Exchange") == 1, tree
     assert tree.count(" Window ") == 2, tree
     assert tree.count("Sort") == 1, tree
+
+
+def test_contamination_corpus_side_never_shuffles_shingles(spark):
+    """The corpus shingle stream must hit the broadcast probe as a pure
+    map (array_distinct before explode — no exploded-table .distinct());
+    only the post-match per-doc count and the tiny probe build may
+    exchange, and the probe join must be a broadcast."""
+    plan = plan_of(spark, "text_contamination_check")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    # exchanges: probe-side distinct (partial+final pair = 1 exchange),
+    # final per-doc count (1), orderBy sort (1) — anything more means the
+    # corpus shingle table got shuffled
+    assert tree.count("Exchange") <= 4, tree
