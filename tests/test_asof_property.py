@@ -48,3 +48,63 @@ def test_asof_equals_brute_force(spark, left, right):
         (r["k"], r["t"], r["v"], r["asof_ts"], r["asof_v"]) for r in got_rows
     )
     assert got == brute_force(left, right)
+
+
+_ev = st.tuples(
+    st.integers(min_value=1, max_value=2),    # user
+    st.integers(min_value=0, max_value=200),  # minute
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(events=st.lists(_ev, min_size=1, max_size=15, unique=True))
+def test_sessionize_equals_naive(spark, events):
+    """Gap-sessionization (lag + running sum) must equal the obvious
+    sequential scan: sort each user's minutes, break where the gap
+    exceeds 30, count events per session."""
+    import datetime
+
+    from dbscan_spark.operators.relational import events_sessionize_lag
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(minutes=m),
+            u,
+            "click",
+            1.0,
+            "{}",
+        )
+        for i, (u, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            (r["user_id"], r["session_no"]): r["n_events"]
+            for r in events_sessionize_lag(spark, td).collect()
+        }
+
+    from collections import defaultdict
+
+    want = {}
+    by_user = defaultdict(list)
+    for u, m in events:
+        by_user[u].append(m)
+    for u, ms in by_user.items():
+        ms.sort()
+        sess, n = 0, 0
+        for i, m in enumerate(ms):
+            if i > 0 and m - ms[i - 1] > 30:
+                want[(u, sess)] = n
+                sess, n = sess + 1, 0
+            n += 1
+        want[(u, sess)] = n
+    assert got == want
