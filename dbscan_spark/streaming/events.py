@@ -425,3 +425,63 @@ def run_streaming_merge_sink(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same cumulative per-user totals on the MODERN stateful API:
+    ``transformWithStateInPandas`` + a ``StatefulProcessor`` with typed
+    ``ValueState`` — the Spark 4 replacement for applyInPandasWithState
+    (explicit state variables with individual TTLs, multiple states per
+    key, timers). Semantics here are identical to streaming_user_totals,
+    and the test pins both against the same batch oracle.
+
+    transformWithState REQUIRES the RocksDB state store provider (the
+    default HDFS-backed store is unsupported for it), so this sets the
+    provider on the session — RocksDB is also what any large-state
+    production job runs (bounded memory via native spill, incremental
+    checkpointing). Runtime note: the TWS Python worker ALSO requires the
+    ``protobuf`` package (its state-server protocol is proto-encoded);
+    environments without it get the plan but the query crashes at start —
+    the test skips there and applyInPandasWithState remains the
+    executable stateful path."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", _STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        outputStructType=_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -456,3 +456,46 @@ def test_streaming_merge_sink_maintains_latest_state(spark, tmp_path):
         for r in merge_latest_state(prev, batch2).collect()
     }
     assert rebuilt == final
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker needs the protobuf package",
+)
+def test_streaming_stateful_user_totals_tws(spark):
+    """transformWithStateInPandas twin: the StatefulProcessor must land on
+    the same cumulative per-user totals as the batch aggregation (same
+    oracle as the applyInPandasWithState version)."""
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.io import load_table
+    from dbscan_spark.streaming.events import streaming_user_totals_tws
+
+    stream = read_events_stream(spark, events_stream_dir(SF_TINY))
+    run_to_memory(
+        streaming_user_totals_tws(stream), "t_totals_tws", output_mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_totals_tws").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in load_table(spark, SF_TINY, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
