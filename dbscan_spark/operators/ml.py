@@ -139,17 +139,18 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(10):
-        contrib = (
+        # the symmetrized edge list gives EVERY node at least one
+        # in-edge, so the inflow aggregation alone re-covers the full
+        # node set — no dangling-node left join needed per round
+        ranks = (
             norm_edges.join(ranks, norm_edges.s1 == ranks.node)
-            .groupBy("s2")
-            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
-        )
-        ranks = nodes.join(contrib, nodes.node == contrib.s2, "left").select(
-            "node",
-            (
-                F.lit((1.0 - d) / n_nodes)
-                + F.lit(d) * F.coalesce("inflow", F.lit(0.0))
-            ).alias("rank"),
+            .groupBy(F.col("s2").alias("node"))
+            .agg(
+                (
+                    F.lit((1.0 - d) / n_nodes)
+                    + F.lit(d) * F.sum(F.col("p") * F.col("rank"))
+                ).alias("rank")
+            )
         )
         # cut lineage every 3rd round, not every round: the chain is
         # LINEAR (no self-join blowup), so a few stacked rounds compile
