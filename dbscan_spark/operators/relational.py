@@ -2116,6 +2116,59 @@ def q21_sole_faulty_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the dbt-tests / Deequ pattern): one row of
+    constraint verdicts for the orders table — key uniqueness, null and
+    domain violations, and referential integrity against customer. The
+    table-local checks fold into ONE aggregation pass; the FK check is a
+    LEFT ANTI join against the (broadcastable) key dim, counted in the
+    same output row. At 100 TB this runs as the pre-publish gate in the
+    pipeline, and every metric is partial-aggregable."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    local = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_distinct_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpos_total"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_cust"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad_status"),
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    )
+    return local.join(F.broadcast(orphans)).select(
+        "n_rows",
+        "n_distinct_keys",
+        (F.col("n_distinct_keys") == F.col("n_rows")).alias("keys_unique"),
+        "n_nonpos_total",
+        "n_null_cust",
+        "n_bad_status",
+        "n_orphan_orders",
+        (
+            (F.col("n_distinct_keys") == F.col("n_rows"))
+            & (F.col("n_nonpos_total") == 0)
+            & (F.col("n_null_cust") == 0)
+            & (F.col("n_bad_status") == 0)
+            & (F.col("n_orphan_orders") == 0)
+        ).alias("all_pass"),
+    )
+
+
 def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin without a window: per priority, the order carrying
     the max total and the customer carrying the min — ``max_by/min_by``
@@ -2348,11 +2401,36 @@ QUERIES = {
     "scalar_array_hof": scalar_array_hof,
     "scalar_null_handling": scalar_null_handling,
     "agg_argmax_orders": agg_argmax_orders,
+    "quality_expectations_orders": quality_expectations_orders,
 }
 
 ORACLE = {
     # the identical string Spark executes — see sql_api_nation_revenue
     "sql_api_nation_revenue": _PORTABLE_SQL,
+    "quality_expectations_orders": """
+        WITH local AS (
+          SELECT count(*) AS n_rows,
+                 count(DISTINCT o_orderkey) AS n_distinct_keys,
+                 CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_nonpos_total,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null_cust,
+                 CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status
+          FROM orders),
+        orphans AS (
+          SELECT count(*) AS n_orphan_orders
+          FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o.o_custkey))
+        SELECT n_rows, n_distinct_keys,
+               n_distinct_keys = n_rows AS keys_unique,
+               n_nonpos_total, n_null_cust, n_bad_status, n_orphan_orders,
+               (n_distinct_keys = n_rows AND n_nonpos_total = 0
+                AND n_null_cust = 0 AND n_bad_status = 0
+                AND n_orphan_orders = 0) AS all_pass
+        FROM local, orphans
+    """,
     "agg_argmax_orders": """
         SELECT o_orderpriority,
                max_by(o_orderkey, o_totalprice) AS top_orderkey,
