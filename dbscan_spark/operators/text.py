@@ -517,6 +517,32 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing assignment: give every document a pack id such
+    that consecutive (per-source, doc-id-ordered) documents fill ~2048-
+    token training sequences — pack_id = floor(preceding-token-cumsum /
+    budget), the contiguous-packing rule batch builders use. The window
+    partitions by SOURCE, never globally: a global orderBy cumsum would
+    serialize 100 TB through one partition, while per-source packing
+    shuffles once on the source key and streams the running sum."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        tok.alias("n_tokens"),
+        F.floor((cum - tok) / F.lit(2048)).cast("long").alias("pack_id"),
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
@@ -534,6 +560,7 @@ QUERIES = {
     "udaf_geomean_price": udaf_geomean_price,
     "text_contamination_check": text_contamination_check,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "corpus_pack_assignments": corpus_pack_assignments,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -542,6 +569,15 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "corpus_pack_assignments": f"""
+        SELECT doc_id, source,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(floor((sum(len({_SQL_TOKS})) OVER w - len({_SQL_TOKS}))
+                          / 2048) AS BIGINT) AS pack_id
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
     "text_contamination_check": f"""
         WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
         sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s
