@@ -108,3 +108,68 @@ def test_sessionize_equals_naive(spark, events):
             n += 1
         want[(u, sess)] = n
     assert got == want
+
+
+_hour_ev = st.tuples(
+    st.integers(min_value=0, max_value=1),   # type index
+    st.integers(min_value=0, max_value=48),  # hour offset
+    st.integers(min_value=1, max_value=9),   # value
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=st.lists(_hour_ev, min_size=1, max_size=20))
+def test_gapfill_locf_equals_pandas_ffill(spark, events):
+    """LOCF gap filling must equal pandas' groupby-ffill over the same
+    dense hourly spine (zeros before the first observation)."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from dbscan_spark.operators.relational import events_gapfill_locf
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(hours=h, minutes=7),
+            1,
+            ["click", "view"][t],
+            float(v),
+            "{}",
+        )
+        for i, (t, h, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            (r["event_type"], r["hour"]): r["sum_value_locf"]
+            for r in events_gapfill_locf(spark, td).collect()
+        }
+
+    # pandas oracle: dense spine over [min hour, max hour] per observed
+    # type, hourly sums ffilled, leading gaps zero
+    pdf = pd.DataFrame(
+        [(t, h, v) for (t, h, v) in events], columns=["t", "h", "v"]
+    )
+    h_lo, h_hi = pdf["h"].min(), pdf["h"].max()
+    want = {}
+    for t in sorted(pdf["t"].unique()):
+        tname = ["click", "view"][t]
+        sums = pdf[pdf["t"] == t].groupby("h")["v"].sum()
+        last = 0.0
+        for h in range(h_lo, h_hi + 1):
+            if h in sums.index:
+                last = float(sums[h])
+            hour = (base + datetime.timedelta(hours=h)).strftime(
+                "%Y-%m-%d %H:00"
+            )
+            want[(tname, hour)] = last
+    assert got == want
