@@ -20,6 +20,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from dbscan_spark.functions import as_double_array, dot, l2_norm, shingles, tokens
 from dbscan_spark.io import load_table
@@ -523,6 +524,48 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup: MinHash-LSH pairs → connected-component
+    duplicate clusters → ONE canonical survivor per cluster, chosen by
+    document quality (longest text, doc_id tie-break) — the full
+    keep-one-per-near-dup-group decision a corpus pipeline actually
+    ships, composed from the verified pieces. Docs outside any cluster
+    keep themselves. Output: every clustered doc with its cluster, its
+    survivor, and whether it would be dropped.
+
+    Scale shape: the cluster table is |near-dup docs|-sized (tiny versus
+    the corpus), so the survivor pick is one window over it and the
+    final join back to documents is a broadcast. Rows-only (the CC step
+    is iterative); the union-find pin in tests covers the clustering and
+    this adds the survivor rule on top."""
+    clusters = dedup_cluster_cc(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    labeled = clusters.join(F.broadcast(d), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "survivor_id",
+            F.first("doc_id").over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            "survivor_id",
+            (F.col("rn") > 1).alias("drop"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -536,6 +579,7 @@ QUERIES = {
     # is the most expensive dedup entry — it must never starve the cheap
     # queries of a driver correctness row (rows-only checked anyway)
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_semantic_keep_best": dedup_semantic_keep_best,
 }
 
 ORACLE = {

@@ -407,3 +407,29 @@ def test_ann_ivfpq_recall(spark):
     assert all(v == 5 for v in per_q.values()), per_q
     recall = len(got & truth) / len(truth)
     assert recall >= 0.35, f"IVFPQ recall too low: {recall}"
+
+
+def test_semantic_keep_best_survivor_rule(spark):
+    """Within every duplicate cluster exactly ONE doc survives, it is the
+    longest (doc_id tie-break), and every other member is marked drop."""
+    rows = dedup.dedup_semantic_keep_best(spark, SF_TINY).collect()
+    assert rows, "no clustered docs"
+    n_chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in dedup.load_table(spark, SF_TINY, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if not m["drop"]]
+        assert len(keepers) == 1, (cid, members)
+        best = min(
+            members, key=lambda m: (-n_chars[m["doc_id"]], m["doc_id"])
+        )
+        assert keepers[0]["doc_id"] == best["doc_id"]
+        assert all(m["survivor_id"] == best["doc_id"] for m in members)
