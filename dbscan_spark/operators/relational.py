@@ -2116,6 +2116,78 @@ def q21_sole_faulty_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary quintile
+    scores and the concatenated segment code. The quintile windows run
+    over the per-customer ROLLUP (orders-of-magnitude smaller than the
+    fact table) — the same deliberate trade window_ntile_deciles makes;
+    every ntile order carries a custkey tie-break so both engines place
+    tied customers identically."""
+    o = _t(spark, sf_dir, "orders")
+    ref = F.lit("2001-08-01").cast("timestamp")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(ref, F.max("o_orderdate")).cast("long").alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    )
+
+
+def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, classed A
+    (first 80% of cumulative revenue share), B (to 95%), C (tail). The
+    grand total rides a broadcast join (never an unpartitioned sum-over-
+    everything window); the cumulative share is rounded to 6dp BEFORE
+    the class thresholds so a 1-ulp cross-engine difference cannot flip
+    a boundary row's class."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    total = per_part.agg(F.sum("revenue").alias("grand"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_share = F.round(F.sum("revenue").over(w) / F.col("grand"), 6)
+    return (
+        per_part.join(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.round("revenue", 2).alias("revenue"),
+            cum_share.alias("cum_share"),
+        )
+        .select(
+            "*",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.desc("revenue"), "l_partkey")
+    )
+
+
 def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate (the dbt-tests / Deequ pattern): one row of
     constraint verdicts for the orders table — key uniqueness, null and
@@ -2402,11 +2474,54 @@ QUERIES = {
     "scalar_null_handling": scalar_null_handling,
     "agg_argmax_orders": agg_argmax_orders,
     "quality_expectations_orders": quality_expectations_orders,
+    "customers_rfm_segments": customers_rfm_segments,
+    "parts_abc_analysis": parts_abc_analysis,
 }
 
 ORACLE = {
     # the identical string Spark executes — see sql_api_nation_revenue
     "sql_api_nation_revenue": _PORTABLE_SQL,
+    "customers_rfm_segments": """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                                DATE '2001-08-01') AS BIGINT)
+                   AS recency_days,
+                 count(*) AS frequency,
+                 round(sum(o_totalprice), 2) AS monetary
+          FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, recency_days, frequency, monetary,
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+                    AS BIGINT) AS m_score,
+               concat_ws('-',
+                 ntile(5) OVER (ORDER BY recency_days DESC, o_custkey),
+                 ntile(5) OVER (ORDER BY frequency, o_custkey),
+                 ntile(5) OVER (ORDER BY monetary, o_custkey)) AS segment
+        FROM per_cust
+    """,
+    "parts_abc_analysis": """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 sum(l_extendedprice * (1 - l_discount)) AS revenue
+          FROM lineitem GROUP BY l_partkey),
+        tot AS (SELECT sum(revenue) AS grand FROM per_part),
+        shares AS (
+          SELECT l_partkey, revenue,
+                 round(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                          ROWS UNBOUNDED PRECEDING)
+                       / grand, 6) AS cum_share
+          FROM per_part, tot)
+        SELECT l_partkey, round(revenue, 2) AS revenue, cum_share,
+               CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM shares
+        ORDER BY revenue DESC, l_partkey
+    """,
     "quality_expectations_orders": """
         WITH local AS (
           SELECT count(*) AS n_rows,
