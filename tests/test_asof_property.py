@@ -173,3 +173,70 @@ def test_gapfill_locf_equals_pandas_ffill(spark, events):
             )
             want[(tname, hour)] = last
     assert got == want
+
+
+_fev = st.tuples(
+    st.integers(min_value=1, max_value=3),    # user
+    st.integers(min_value=0, max_value=50),   # minute (unique per list)
+    st.sampled_from(["view", "click", "purchase"]),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        _fev, min_size=1, max_size=18, unique_by=lambda t: (t[0], t[1])
+    )
+)
+def test_funnel_equals_brute_force(spark, events):
+    """Ordered-funnel staging must equal the sequential definition: first
+    view, first click strictly after it, first purchase strictly after
+    that — per user, counted per reached stage."""
+    import datetime
+    import os
+    import tempfile
+    from collections import Counter, defaultdict
+
+    from dbscan_spark.operators.relational import events_funnel
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(minutes=m),
+            u,
+            t,
+            1.0,
+            "{}",
+        )
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r["stage"]: r["n_users"]
+            for r in events_funnel(spark, td).collect()
+        }
+
+    by_user = defaultdict(list)
+    for u, m, t in events:
+        by_user[u].append((m, t))
+    stages = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        v = next((m for m, t in evs if t == "view"), None)
+        if v is None:
+            continue
+        c = next((m for m, t in evs if t == "click" and m > v), None)
+        p = (
+            next((m for m, t in evs if t == "purchase" and m > c), None)
+            if c is not None
+            else None
+        )
+        stages[1 + (c is not None) + (p is not None)] += 1
+    assert got == dict(stages)
