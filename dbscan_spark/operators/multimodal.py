@@ -188,14 +188,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(sample, _FRAME_SCHEMA)
 
 
+def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-planning rollup over the binary payloads: 128-byte size
+    buckets with per-bucket counts and byte totals — what capacity
+    planning / shard sizing runs over a blob store table. The bucket id
+    is a narrow per-row expression; only #buckets rows shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    nb = F.length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    return (
+        d.select(nb.alias("n_bytes"))
+        .groupBy(F.floor(F.col("n_bytes") / 128).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "multimodal_blob_meta": multimodal_blob_meta,
+    "multimodal_size_histogram": multimodal_size_histogram,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_embed_stub": multimodal_embed_stub,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
+    "multimodal_size_histogram": """
+        SELECT CAST(floor(octet_length(encode(text)) / 128) AS BIGINT)
+                 AS bucket,
+               count(*) AS n_blobs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT)
+                 AS total_bytes,
+               CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+               CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+    """,
     "multimodal_blob_meta": """
         SELECT doc_id,
                octet_length(encode(text))::BIGINT AS n_bytes,
