@@ -2116,6 +2116,49 @@ def q21_sole_faulty_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: pairwise Jaccard similarity between the user
+    sets of every two event types. The co-occurrence join runs on the
+    DEDUPLICATED (type, user) table keyed by user — each user contributes
+    |their types|² pair rows (bounded by the tiny type domain), never a
+    users×users product — and the per-type totals ride a broadcast join
+    onto the #type-pairs-sized rollup."""
+    e = _t(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    totals = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("na")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("nb")
+    )
+    return (
+        both.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency / frequency / monetary quintile
     scores and the concatenated segment code. The quintile windows run
@@ -2476,11 +2519,30 @@ QUERIES = {
     "quality_expectations_orders": quality_expectations_orders,
     "customers_rfm_segments": customers_rfm_segments,
     "parts_abc_analysis": parts_abc_analysis,
+    "events_audience_overlap": events_audience_overlap,
 }
 
 ORACLE = {
     # the identical string Spark executes — see sql_api_nation_revenue
     "sql_api_nation_revenue": _PORTABLE_SQL,
+    "events_audience_overlap": """
+        WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        both AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS n_both
+          FROM tu a JOIN tu b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2),
+        totals AS (
+          SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1)
+        SELECT type_a, type_b, n_both,
+               round(n_both / (ta.n_users + tb.n_users - n_both), 6)
+                 AS jaccard
+        FROM both
+        JOIN totals ta ON ta.event_type = type_a
+        JOIN totals tb ON tb.event_type = type_b
+        ORDER BY type_a, type_b
+    """,
     "customers_rfm_segments": """
         WITH per_cust AS (
           SELECT o_custkey,
