@@ -2527,7 +2527,7 @@ ORACLE = {
     "sql_api_nation_revenue": _PORTABLE_SQL,
     "events_audience_overlap": """
         WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
-        both AS (
+        pair_counts AS (
           SELECT a.event_type AS type_a, b.event_type AS type_b,
                  count(*) AS n_both
           FROM tu a JOIN tu b
@@ -2538,7 +2538,7 @@ ORACLE = {
         SELECT type_a, type_b, n_both,
                round(n_both / (ta.n_users + tb.n_users - n_both), 6)
                  AS jaccard
-        FROM both
+        FROM pair_counts
         JOIN totals ta ON ta.event_type = type_a
         JOIN totals tb ON tb.event_type = type_b
         ORDER BY type_a, type_b
