@@ -2203,10 +2203,22 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the class thresholds so a 1-ulp cross-engine difference cannot flip
     a boundary row's class."""
     l = _t(spark, sf_dir, "lineitem")
+    # revenue is ROUNDED (2dp) before the ordering and the cumsum: the
+    # rank order and every running sum must be identical across engines,
+    # and unrounded float sums can order two near-equal parts differently
+    # depending on summation order (observed at sf0.01)
     per_part = l.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        )
+        # floor-based round-half-up, not round(): part revenues land on
+        # exact .xx5 halves where Spark's HALF_UP and DuckDB's banker's
+        # rounding disagree (observed at sf0.01)
+        (
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100
+                + 0.5
+            )
+            / 100
+        ).alias("revenue")
     )
     total = per_part.agg(F.sum("revenue").alias("grand"))
     w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
@@ -2217,7 +2229,7 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.join(F.broadcast(total))
         .select(
             "l_partkey",
-            F.round("revenue", 2).alias("revenue"),
+            "revenue",
             cum_share.alias("cum_share"),
         )
         .select(
@@ -2568,7 +2580,8 @@ ORACLE = {
     "parts_abc_analysis": """
         WITH per_part AS (
           SELECT l_partkey,
-                 sum(l_extendedprice * (1 - l_discount)) AS revenue
+                 floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                   / 100 AS revenue
           FROM lineitem GROUP BY l_partkey),
         tot AS (SELECT sum(revenue) AS grand FROM per_part),
         shares AS (
@@ -2577,7 +2590,7 @@ ORACLE = {
                                           ROWS UNBOUNDED PRECEDING)
                        / grand, 6) AS cum_share
           FROM per_part, tot)
-        SELECT l_partkey, round(revenue, 2) AS revenue, cum_share,
+        SELECT l_partkey, revenue, cum_share,
                CASE WHEN cum_share <= 0.8 THEN 'A'
                     WHEN cum_share <= 0.95 THEN 'B'
                     ELSE 'C' END AS abc_class
