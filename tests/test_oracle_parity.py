@@ -84,3 +84,31 @@ def test_query_matches_oracle(spark, con, name):
         (g, w) for g, w in zip(got_rows, want_rows) if g != w
     ]
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "join_asof_last_click",
+        "sample_stratified_orders",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "ann_topk_pq",
+        "dedup_cluster_cc",
+        "supplier_pagerank",
+        "agg_heavy_hitters",
+        "customers_rfm_segments",
+        "parts_abc_analysis",
+    ],
+)
+def test_query_is_run_deterministic(spark, name):
+    """The driver's value hash assumes each query returns identical
+    results on identical data — guard the queries whose construction
+    involves sampling, hashing, iteration, or sketches by running them
+    twice and comparing canonicalized outputs."""
+    fn = entry_mod.queries()[name]
+    a = canonicalize(fn(spark, SF_TINY).toPandas())
+    b = canonicalize(fn(spark, SF_TINY).toPandas())
+    assert a == b, name
