@@ -335,3 +335,28 @@ def test_contamination_corpus_side_never_shuffles_shingles(spark):
     # final per-doc count (1), orderBy sort (1) — anything more means the
     # corpus shingle table got shuffled
     assert tree.count("Exchange") <= 4, tree
+
+
+def test_funnel_never_cartesian(spark):
+    """All funnel stage joins are user-keyed equi joins — a nested loop
+    anywhere means a stage condition lost its key."""
+    plan = plan_of(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_argmax_is_single_aggregation(spark):
+    """max_by/min_by argmax must stay ONE grouped pass: no window (which
+    would sort each group) and no join in the plan."""
+    tree = plan_of(spark, "agg_argmax_orders").split("\n\n")[0]
+    assert " Window " not in tree
+    assert "Join" not in tree
+    assert tree.count("HashAggregate") >= 2 or "SortAggregate" in tree
+
+
+def test_quality_gate_two_scans_one_anti_join(spark):
+    """The constraint gate reads orders twice (local metrics + FK check)
+    and customer once, with the FK check a broadcast LEFT ANTI join."""
+    tree = plan_of(spark, "quality_expectations_orders").split("\n\n")[0]
+    assert "LeftAnti" in tree
+    assert tree.count("Scan parquet") <= 3, tree
