@@ -40,15 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _operator_modules():
-    """Operator modules in registration order.
-
-    Order matters: the driver grades queries in registration order under a
-    wall-clock budget (round-1 truncated after ann_topk_bruteforce), so
-    cheap exact-oracle modules (text/multimodal/relational) come first,
-    then similarity/dedup, and ml last — its entries (the dbscan pipeline,
-    PageRank) are the most expensive AND only rows-only checkable, so a
-    truncation there costs the least correctness signal.
-    """
+    """Operator modules (aggregation only; ordering is done below)."""
     mods = []
     for name in (
         "text",
@@ -67,18 +59,104 @@ def _operator_modules():
     return mods
 
 
+# REGISTRATION_ORDER — round-3 rotation.
+#
+# The driver grades exactly 50 queries per round, in registration order.
+# Rounds 1+2 covered 88 of 141 (CORRECTNESS_r01/r02); 51 queries never
+# received a driver row, and 2 multimodal queries errored on array-typed
+# output columns (now stringified). This list front-loads those 53 so
+# CORRECTNESS_r03 grades the dark set: the 2 fixed multimodal queries
+# first (to prove the fix), then the never-graded cohort — cheap
+# SQL-oracle relational queries before the heavier rows-only
+# similarity/dedup/ml tail so a wall-clock truncation costs the least
+# hash signal. The last 3 entries of the priority list are deliberate
+# sacrifices if only 50 rows fit: dbscan_*_64d duplicate the 2-D
+# pipeline's driver signal, and dedup_semantic_keep_best composes
+# dedup_embedding_lsh + dedup_keep_best, both graded above it.
+#
+# ROUND 4: flip back — register the rounds-1/2 green set first to
+# re-confirm it, with whatever round 3 leaves dark at the front.
+_R3_PRIORITY = [
+    # fixed canonicalizer errors (r2 hard errors)
+    "multimodal_feature_extract",
+    "multimodal_embed_stub",
+    # never-graded relational (SQL oracles — strongest signal, cheapest)
+    "window_ntile_deciles",
+    "unpivot_part_measures",
+    "scalar_regex",
+    "agg_filtered_counts",
+    "window_first_last",
+    "window_range_30d_spend",
+    "agg_share_of_total",
+    "json_source_events",
+    "csv_source_events",
+    "profile_lineitem",
+    "events_hypertable_rollup",
+    "events_gapfill_hourly",
+    "events_gapfill_locf",
+    "join_range_clicks_before_purchase",
+    "agg_approx_percentiles",
+    "embedding_label_centroids",
+    "join_salted_skew",
+    "sample_hash_orders",
+    "merge_upsert_orders",
+    "sample_stratified_orders",
+    "fuzzy_join_part_names",
+    "events_dod_change",
+    "events_funnel",
+    "retention_cohorts",
+    "events_sessionize_lag",
+    "stats_corr_lineitem",
+    "histogram_order_totals",
+    "zscore_outlier_orders",
+    "agg_heavy_hitters",
+    "sql_api_nation_revenue",
+    "agg_decimal_exact",
+    "scalar_array_hof",
+    "scalar_null_handling",
+    "agg_argmax_orders",
+    "quality_expectations_orders",
+    "customers_rfm_segments",
+    "parts_abc_analysis",
+    "events_audience_overlap",
+    # never-graded similarity / dedup tail / ml (rows-only or recall-pinned)
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "dedup_keep_best",
+    "dedup_embedding_lsh",
+    "dedup_cluster_cc",
+    "supplier_pagerank",
+    "dbscan_embeddings",
+    "dbscan_predict_holdout",
+    # deliberate sacrifices if the 50-row budget cuts here
+    "dedup_semantic_keep_best",
+    "dbscan_embeddings_64d",
+    "dbscan_predict_64d",
+]
+
+
+def _ordered(raw: dict) -> dict:
+    """Priority entries first (in _R3_PRIORITY order), then the
+    already-green remainder in module order."""
+    out = {k: raw[k] for k in _R3_PRIORITY if k in raw}
+    out.update({k: v for k, v in raw.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _operator_modules():
-        out.update(getattr(mod, "QUERIES", {}))
-    return out
+        raw.update(getattr(mod, "QUERIES", {}))
+    return _ordered(raw)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for each SQL-expressible query; keys
     omitted here get the driver's weaker rows-only check."""
-    out: dict[str, str] = {}
+    raw: dict[str, str] = {}
     for mod in _operator_modules():
-        out.update(getattr(mod, "ORACLE", {}))
-    return out
+        raw.update(getattr(mod, "ORACLE", {}))
+    return _ordered(raw)

@@ -72,6 +72,11 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the output schema is fixed so downstream operators stay columnar.
     Uses the deterministic fake decoder (real codec stubbed, see
     :func:`decode_image`). Rows-only driver check; unit tests pin values.
+
+    The ``histo16`` histogram is emitted as a canonical JSON string (not
+    ``array<long>``): the driver's pandas canonicalizer sorts output
+    columns and cannot hash python lists, and a rows-only query loses
+    nothing by serializing. Internal consumers parse it back.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
@@ -99,7 +104,8 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(extract, _FEATURE_SCHEMA)
+    feats = d.mapInPandas(extract, _FEATURE_SCHEMA)
+    return feats.withColumn("histo16", F.to_json("histo16"))
 
 
 def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +114,11 @@ def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder model would plug into. Completes the engine's Python-UDF
     taxonomy: scalar pandas_udf here, grouped-map applyInPandas (DBSCAN
     kernel), mapInPandas (feature extract), applyInPandasWithState
-    (streaming). Rows-only driver check; a unit test pins determinism."""
+    (streaming). Rows-only driver check; a unit test pins determinism.
+
+    The embedding is emitted as a canonical JSON string (not
+    ``array<double>``) so the driver's pandas canonicalizer can sort and
+    hash the column; internal consumers parse it back."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
@@ -125,7 +135,9 @@ def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
-    return d.select("doc_id", embed(F.col("blob")).alias("stub_embedding"))
+    return d.select(
+        "doc_id", F.to_json(embed(F.col("blob"))).alias("stub_embedding")
+    )
 
 
 _FRAME_SCHEMA = T.StructType(

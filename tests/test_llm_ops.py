@@ -4,6 +4,7 @@ LSH recall vs exact baselines, simhash behavior, multimodal feature values."""
 from __future__ import annotations
 
 import hashlib
+import json
 
 import pytest
 
@@ -142,8 +143,9 @@ def test_multimodal_features_match_numpy(spark):
         arr = np.frombuffer(raw, dtype=np.uint8)
         assert r["n_bytes"] == len(raw)
         assert r["byte_mean"] == pytest.approx(round(float(arr.mean()), 4))
-        assert list(r["histo16"]) == list(np.bincount(arr >> 4, minlength=16))
-        assert sum(r["histo16"]) == r["n_bytes"]
+        histo = json.loads(r["histo16"])  # emitted as canonical JSON string
+        assert histo == list(np.bincount(arr >> 4, minlength=16))
+        assert sum(histo) == r["n_bytes"]
 
 
 def test_multimodal_frame_sample_matches_numpy(spark):
@@ -253,7 +255,7 @@ def test_multimodal_embed_stub_deterministic(spark):
     b = {r["doc_id"]: r["stub_embedding"]
          for r in multimodal.multimodal_embed_stub(spark, SF_TINY).collect()}
     assert a == b and len(a) > 0
-    v = np.array(next(iter(a.values())))
+    v = np.array(json.loads(next(iter(a.values()))))  # JSON-string column
     assert len(v) == 8 and abs(np.linalg.norm(v) - 1.0) < 1e-4
 
 
