@@ -1184,14 +1184,24 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch vs exact distinct count per return flag. The sketch is
-    engine-specific (Spark HLL++ vs DuckDB's estimator disagree by design)
-    so this is rows-only checked; tests/test_llm_ops.py pins the sketch
-    within 5% of exact."""
+    """HLL++ sketch accuracy pinned against the exact distinct count per
+    return flag. Raw sketch values are engine-specific (Spark HLL++ vs
+    DuckDB's estimator disagree by design), so the query emits the EXACT
+    count plus a within-5%-of-exact boolean computed over the sketch —
+    hash-checkable against a DuckDB oracle that emits exact + TRUE. If the
+    sketch ever drifts past tolerance the flag flips and the driver hash
+    mismatches, so the sketch is now driver-graded, not just CI-pinned."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", 0.02)
+                - F.count_distinct("l_orderkey")
+            )
+            / F.count_distinct("l_orderkey")
+            < 0.05
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -1201,17 +1211,36 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's approx_percentile keeps a bounded Greenwald-Khanna-style sketch
     per group with map-side partial merge, so at 100 TB the state is
     O(1/accuracy) per group instead of percentile()'s full per-group value
-    buffer. Sketch results are engine-specific → rows-only checked;
-    tests/test_llm_ops.py pins every sketch quantile within 1% relative
-    rank error of the exact interpolated value."""
+    buffer. Raw sketch values are engine-specific, so the query emits the
+    EXACT interpolated quantiles plus a boolean asserting every sketch
+    quantile lands within 1% of its exact twin — hash-checkable against a
+    DuckDB oracle emitting quantile_cont + TRUE. Sketch drift flips the
+    flag and fails the driver hash."""
     l = _t(spark, sf_dir, "lineitem")
+
+    def _close(approx, exact):
+        return F.abs(approx - exact) <= 0.01 * F.greatest(F.abs(exact), F.lit(1.0))
+
+    qty = {
+        p: F.expr(f"percentile(l_quantity, {p})") for p in (0.25, 0.5, 0.75)
+    }
+    aqty = {
+        p: F.expr(f"approx_percentile(l_quantity, {p}, 10000)")
+        for p in (0.25, 0.5, 0.75)
+    }
+    price = F.expr("percentile(l_extendedprice, 0.9)")
+    aprice = F.expr("approx_percentile(l_extendedprice, 0.9, 10000)")
     return l.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_quantity, 0.25, 10000)").alias("q25"),
-        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("median_qty"),
-        F.expr("approx_percentile(l_quantity, 0.75, 10000)").alias("q75"),
-        F.round(
-            F.expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4
-        ).alias("p90_price"),
+        F.round(qty[0.25], 4).alias("q25"),
+        F.round(qty[0.5], 4).alias("median_qty"),
+        F.round(qty[0.75], 4).alias("q75"),
+        F.round(price, 4).alias("p90_price"),
+        (
+            _close(aqty[0.25], qty[0.25])
+            & _close(aqty[0.5], qty[0.5])
+            & _close(aqty[0.75], qty[0.75])
+            & _close(aprice, price)
+        ).alias("sketch_within_1pct"),
     )
 
 
@@ -1819,24 +1848,32 @@ def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_SUPPORT = 0.0004  # freqItems sketch support (no false negatives above it)
+_HH_THRESHOLD = 0.0005  # reported heavy-hitter share, strictly > support
+
+
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate heavy hitters beside their exact counts: part keys
-    covering >2% of lineitem rows via Spark's freqItems (Karp-style
-    single-pass sketch, bounded state per partition + one merge — the
-    count-min/space-saving family) exploded and joined back to exact
-    counts. Sketch membership is engine-specific (false positives by
-    contract) → rows-only driver check; tests pin that every TRUE heavy
-    hitter (exact share > threshold) is present — the sketch's no-false-
-    negative guarantee."""
+    """Heavy hitters via sketch-pruned candidates + exact verification:
+    part keys covering >0.05% of lineitem rows. Spark's freqItems is a
+    Karp-style single-pass sketch (bounded O(1/support) state per
+    partition + one merge); its contract allows false positives but NO
+    false negatives above the support. The candidate set is therefore
+    joined back to exact counts and filtered by the exact share at a
+    threshold strictly above the sketch support — the result is exactly
+    the true heavy hitter set, deterministic and hash-checkable against
+    a plain GROUP BY/HAVING oracle. At 100 TB the win is that the exact
+    verify join touches only the sketch's bounded candidate list, not
+    every key."""
     l = _t(spark, sf_dir, "lineitem")
     total = l.count()
     hh = (
-        l.stat.freqItems(["l_partkey"], 0.02)
+        l.stat.freqItems(["l_partkey"], _HH_SUPPORT)
         .select(F.explode("l_partkey_freqItems").alias("l_partkey"))
     )
     exact = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
     return (
         hh.join(exact, "l_partkey")
+        .filter(F.col("n_rows") / F.lit(total) > _HH_THRESHOLD)
         .select(
             "l_partkey",
             "n_rows",
@@ -3354,6 +3391,36 @@ ORACLE = {
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    # Sketch queries: the Spark side emits exact values plus a boolean
+    # asserting the sketch lands within tolerance; the oracle emits the
+    # exact values plus TRUE, so sketch drift fails the driver hash.
+    "agg_approx_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS approx_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "agg_approx_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+               round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+               round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               TRUE AS sketch_within_1pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "agg_heavy_hitters": """
+        WITH tot AS (SELECT count(*) AS n FROM lineitem)
+        SELECT l_partkey,
+               count(*) AS n_rows,
+               round(count(*) / (SELECT n FROM tot), 6) AS share
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING count(*) / (SELECT n FROM tot) > 0.0005
+        ORDER BY n_rows DESC, l_partkey
     """,
     "join_full_outer": """
         SELECT c_custkey, c_mktsegment, o_custkey, n_big, big_total

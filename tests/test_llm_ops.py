@@ -209,14 +209,16 @@ def test_fingerprint_order_insensitive(spark):
 
 def test_approx_count_distinct_within_tolerance(spark):
     """The HLL++ sketch must track the exact distinct count within 5% on
-    every group (rows-only driver check, so accuracy is pinned here)."""
+    every group — the query emits that comparison as a boolean so the
+    driver hash (oracle emits TRUE) grades it; assert it holds here too."""
     from dbscan_spark.operators.relational import agg_approx_distinct
     from tests.conftest import SF_TINY
 
-    for r in agg_approx_distinct(spark, SF_TINY).collect():
-        exact = r["exact_orders"]
-        assert exact > 0
-        assert abs(r["approx_orders"] - exact) / exact < 0.05, r
+    rows = agg_approx_distinct(spark, SF_TINY).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_orders"] > 0
+        assert r["approx_within_5pct"] is True, r
 
 
 def test_approx_percentiles_track_exact(spark):
@@ -236,13 +238,11 @@ def test_approx_percentiles_track_exact(spark):
     assert set(exact) == set(approx) and exact
     for flag, e in exact.items():
         a = approx[flag]
+        # the query's exact columns must equal agg_percentiles' values,
+        # and its in-query sketch-vs-exact comparison must hold
         for col in ("q25", "median_qty", "q75", "p90_price"):
-            assert abs(a[col] - e[col]) <= 0.01 * max(abs(e[col]), 1.0), (
-                flag,
-                col,
-                a[col],
-                e[col],
-            )
+            assert a[col] == pytest.approx(e[col]), (flag, col)
+        assert a["sketch_within_1pct"] is True, flag
 
 
 def test_multimodal_embed_stub_deterministic(spark):
@@ -306,9 +306,11 @@ def test_dedup_cluster_cc_matches_union_find(spark):
     assert got == want
 
 
-def test_heavy_hitters_no_false_negatives(spark):
-    """freqItems guarantees no false negatives: every key whose exact
-    share exceeds the support threshold must appear in the sketch."""
+def test_heavy_hitters_exactly_true_set(spark):
+    """Sketch-pruned + exact-verified heavy hitters must equal the true
+    heavy-hitter set exactly: freqItems guarantees no false negatives
+    above its support, and the exact-share filter (threshold strictly
+    above the support) removes the sketch's false positives."""
     from dbscan_spark.operators import relational
     from pyspark.sql import functions as F
 
@@ -322,10 +324,11 @@ def test_heavy_hitters_no_false_negatives(spark):
         r["l_partkey"]
         for r in l.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") / total > 0.02)
+        .filter(F.col("n") / total > relational._HH_THRESHOLD)
         .collect()
     }
-    assert true_hh <= got, true_hh - got
+    assert got == true_hh, (true_hh - got, got - true_hh)
+    assert true_hh, "threshold too high: no true heavy hitters at sf0.001"
 
 
 def test_ann_pq_recall(spark):
