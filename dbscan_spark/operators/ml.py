@@ -91,39 +91,67 @@ def dbscan_predict_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.predict(held).select("vec_id", "cluster", "flag")
 
 
+_MAX_SUPPLIERS_PER_ORDER = 64  # S² pair-expansion guard (see below)
+
+
+def _co_order_pairs(
+    so: DataFrame, max_suppliers_per_order: int | None = _MAX_SUPPLIERS_PER_ORDER
+) -> DataFrame:
+    """(s1, s2, w) co-order supplier pairs, s1 < s2, w = #shared orders.
+
+    One ``collect_set`` aggregation per order replaces the
+    distinct + self-join build: a single shuffle on the order key, then
+    the pairs expand row-locally from the sorted supplier array (HOF
+    expression — no second exchange until the final (s1, s2) weight agg).
+
+    SKEW GUARD: an order with S suppliers emits S·(S-1)/2 pair rows, so
+    one super-order (a hot key) can quadratically dominate the expansion
+    — fine for TPC-H order sizes (≤7 lines) but not for power-law
+    co-occurrence graphs. ``max_suppliers_per_order`` drops orders above
+    the cap (a size filter on the collected array — zero extra shuffle);
+    dropped super-orders connect "everything to everything" and carry
+    negligible per-pair signal, the standard practice in co-occurrence
+    graph builds. The cap is a no-op on this dataset and pinned by a
+    skew unit test."""
+    sets = so.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    )
+    if max_suppliers_per_order is not None:
+        sets = sets.filter(F.size("ss") <= max_suppliers_per_order)
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ss, (x, i) ->"
+            " transform(slice(ss, i + 2, size(ss)), y ->"
+            " named_struct('s1', x, 's2', y))))"
+        )
+    )
+    return (
+        sets.select(pair.alias("p"))
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the supplier co-order graph — the iterative
     link-analysis twin of dedup_cluster_cc's connected components.
 
     Graph build: suppliers are connected when they supply the same order
-    (distinct (orderkey, suppkey) self-join, s1<s2, weight = #shared
-    orders); edges are symmetrized and the per-node out-weight is
-    precomputed once. Each of the 10 iterations is ONE edges⋈ranks
-    equi-join + node-keyed sum — shuffle bounded by |edges| — with
-    localCheckpoint cutting the lineage (same guard as the CC loop). At
-    100 TB the edge list co-partitions with the rank table on src after
-    the first exchange; the iteration count is fixed, not data-driven,
-    as in every production PageRank.
+    (see :func:`_co_order_pairs` — one collect_set shuffle + row-local
+    pair expansion with the S² skew cap); edges are symmetrized and the
+    per-node out-weight is precomputed once. Each of the 10 iterations
+    is ONE edges⋈ranks equi-join + node-keyed sum — shuffle bounded by
+    |edges| — with localCheckpoint cutting the lineage (same guard as
+    the CC loop). At 100 TB the edge list co-partitions with the rank
+    table on src after the first exchange; the iteration count is fixed,
+    not data-driven, as in every production PageRank.
 
     Not SQL-expressible (iterative fixpoint) → rows-only driver check;
     tests/test_llm_ops.py pins every rank against a numpy power
     iteration on the same graph to 1e-6."""
     d = 0.85
     l = load_table(spark, sf_dir, "lineitem")
-    so = l.select("l_orderkey", "l_suppkey").distinct()
-    a, b = so.alias("a"), so.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    pairs = _co_order_pairs(l.select("l_orderkey", "l_suppkey"))
     edges = pairs.union(
         pairs.select(
             F.col("s2").alias("s1"), F.col("s1").alias("s2"), "w"

@@ -39,11 +39,6 @@ _PLANES_PER_TABLE = 4
 _DIM = 64
 
 
-def _planes() -> "np.ndarray":
-    rng = np.random.default_rng(42)
-    return rng.standard_normal((_N_TABLES, _PLANES_PER_TABLE, _DIM)).round(6)
-
-
 def _embeddings_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v: array<double>, nv: double) — staged projections so the
     array cast runs once per row and every pairwise cosine downstream
@@ -104,25 +99,39 @@ def pair_cosine(v1: pd.Series, v2: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
-def _bucketed(e: DataFrame) -> DataFrame:
+def _bucketed(
+    e: DataFrame,
+    n_tables: int = _N_TABLES,
+    planes_per_table: int = _PLANES_PER_TABLE,
+    dim: int = _DIM,
+    seed: int = 42,
+) -> DataFrame:
     """(vec_id, v, nv, table, bucket) — sign-pattern bucket per hash table.
 
-    The 32 hyperplane projections are computed in ONE Arrow-batched pandas
-    UDF (a (batch × 64) @ (64 × 32) matrix product against the closure's
-    plane matrix) instead of 32 interpreted JVM folds over 64-literal
-    arrays: still a pure map (no shuffle, planes ship with the task
-    closure — the same zero-shuffle shape at any scale), but without the
-    ~2000-literal expression tree whose Janino compile dominated every
-    invocation (~3-4 s/query at sf0.01)."""
-    planes = _planes()  # (tables, planes/table, dim)
-    flat = planes.reshape(-1, _DIM).T  # (dim, tables*planes)
-    weights = (2 ** np.arange(_PLANES_PER_TABLE)).astype(np.int32)
+    The hyperplane projections are computed in ONE Arrow-batched pandas
+    UDF (a (batch × dim) @ (dim × tables*planes) matrix product against
+    the closure's plane matrix) instead of interpreted JVM folds over
+    64-literal arrays: still a pure map (no shuffle, planes ship with the
+    task closure — the same zero-shuffle shape at any scale), but without
+    the ~2000-literal expression tree whose Janino compile dominated every
+    invocation (~3-4 s/query at sf0.01).
+
+    ``planes_per_table`` is the selectivity knob: P(random near-orthogonal
+    pair shares a bucket) ≈ 0.5^planes per table, while a pair at cosine c
+    collides at (1 - acos(c)/π)^planes — deeper tables for high-threshold
+    near-dup mining, shallower ones for recall on diffuse corpora."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, planes_per_table, dim)).round(6)
+    flat = planes.reshape(-1, dim).T  # (dim, tables*planes)
+    weights = (2 ** np.arange(planes_per_table)).astype(np.int32)
+    n_tab = n_tables
+    n_pl = planes_per_table
 
     @pandas_udf("array<int>")
     def buckets_of(vs: pd.Series) -> pd.Series:
         V = np.stack(vs.to_numpy())
         signs = (V @ flat) >= 0  # (batch, tables*planes)
-        bits = signs.reshape(len(V), _N_TABLES, _PLANES_PER_TABLE)
+        bits = signs.reshape(len(V), n_tab, n_pl)
         b = (bits * weights[None, None, :]).sum(-1).astype(np.int32)
         return pd.Series(list(b))
 

@@ -72,6 +72,66 @@ def test_minhash_signature_shape(spark):
     assert len(row["sig"]) == 64
 
 
+def test_embedding_lsh_prunes_near_dup_corpus(spark):
+    """The LSH scale-pruning property, measured: on a seeded near-dup
+    corpus (each base vector gets one perturbed twin at cosine ≈ 0.97),
+    deep tables (8×8 planes) at a 0.9 verify threshold must pass ≤5% of
+    all pairs as candidates while recovering ≥90% of the true twin pairs.
+    This is the regime embedding-LSH dedup exists for — the registered
+    0.4-threshold query on the near-orthogonal corpus documents why its
+    candidate fraction is necessarily large there."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.functions import l2_norm
+    from dbscan_spark.operators.dedup import (
+        _embedding_lsh_candidates,
+        _embedding_lsh_pairs,
+    )
+
+    base = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    n = len(base)
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal(base.shape)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    twins = base + 0.25 * noise  # cosine(base, twin) ≈ 0.97
+    twins /= np.linalg.norm(twins, axis=1, keepdims=True)
+
+    rows = [(i, base[i].tolist()) for i in range(n)] + [
+        (i + n, twins[i].tolist()) for i in range(n)
+    ]
+    e = (
+        spark.createDataFrame(rows, "vec_id long, v array<double>")
+        .withColumn("nv", l2_norm(F.col("v")))
+    )
+
+    n_cand = _embedding_lsh_candidates(e, 8, 8).count()
+    all_pairs = (2 * n) * (2 * n - 1) // 2
+    frac = n_cand / all_pairs
+    assert frac <= 0.05, f"candidate fraction {frac:.3f} exceeds 5% ceiling"
+
+    true_pairs = {
+        (i, i + n)
+        for i in range(n)
+        if round(float(base[i] @ twins[i]), 4) >= 0.9
+    }
+    assert len(true_pairs) >= 0.9 * n, "perturbation too strong — bad seed?"
+    got = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in _embedding_lsh_pairs(e, 0.9, 8, 8).collect()
+    }
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"near-dup recall {recall:.3f} below 0.9"
+
+
 def test_simhash_finds_identical_token_bags(spark):
     """Docs with identical token *bags* have identical simhash (hamming 0),
     so every unigram-jaccard==1.0 pair must appear in dedup_simhash output.
@@ -345,6 +405,23 @@ def test_ann_pq_recall(spark):
     assert all(v == 5 for v in per_q.values()), per_q
     recall = len(got & truth) / len(truth)
     assert recall >= 0.6, f"PQ recall too low: {recall}"
+
+
+def test_co_order_pair_cap_drops_super_orders(spark):
+    """The S² skew guard: an order with more suppliers than the cap must
+    contribute zero pair rows, while small orders are unaffected and the
+    uncapped build keeps the quadratic expansion."""
+    from dbscan_spark.operators.ml import _co_order_pairs
+
+    rows = [(1, s) for s in range(50)]  # super-order: 50 suppliers
+    rows += [(2, 100), (2, 101), (3, 100), (3, 101), (4, 200)]
+    so = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+
+    capped = _co_order_pairs(so, max_suppliers_per_order=10).collect()
+    assert {(r["s1"], r["s2"], r["w"]) for r in capped} == {(100, 101, 2)}
+
+    uncapped = _co_order_pairs(so, max_suppliers_per_order=None)
+    assert uncapped.count() == 50 * 49 // 2 + 1
 
 
 def test_pagerank_matches_power_iteration(spark):
