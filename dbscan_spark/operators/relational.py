@@ -348,6 +348,11 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, ts) are deterministic: ``max`` sees the same click set either
     way, and ordering clicks before errors at equal ts implements the
     inclusive bound.
+
+    Perf note: the r2 bench showed 1.11 s (vs 0.81 s r1) at sf0.1; solo
+    re-measurement (4 warm runs) gives 0.51-0.68 s steady state with the
+    identical plan — the r2 number was shared-host variance, not an
+    extra exchange.
     """
     ev = _t(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
