@@ -579,12 +579,69 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding column —
+    the storage operator behind every 100 TB vector store (4× smaller
+    than float32, 8× than float64, with bounded reconstruction error).
+
+    Codes: per-dimension min/max over the corpus (one narrow
+    aggregation — 64 rows out), broadcast back onto the exploded
+    (vec_id, dim, val) stream, each value mapped to
+    ``floor((val-mn)/(mx-mn)*255 + 0.5)`` — pure IEEE arithmetic, so
+    the DuckDB oracle reproduces the exact codes. Output per vector:
+    the code string (dim order) plus max/mean absolute reconstruction
+    error. Scale shape: the stats table is #dims rows (broadcast), the
+    quantization itself is a zero-shuffle map, and the final vec-keyed
+    aggregation is the only data-sized exchange."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    ex = e.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    stats = ex.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    span = F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+    code = F.coalesce(
+        F.floor((F.col("val") - F.col("mn")) / span * 255 + F.lit(0.5)),
+        F.lit(0),
+    ).cast("long")
+    q = (
+        ex.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            "val",
+            code.alias("code"),
+            (
+                F.col("mn")
+                + code / 255 * F.coalesce(span, F.lit(0.0))
+            ).alias("recon"),
+        )
+    )
+    err = F.abs(F.col("val") - F.col("recon"))
+    return q.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "code"))
+                ),
+                lambda x: x["code"].cast("string"),
+            ),
+        ).alias("codes"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+        F.round(F.avg(err), 6).alias("mean_abs_err"),
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLE = {
@@ -604,4 +661,31 @@ ORACLE = {
         WHERE rnk <= {TOP_K}
     """,
     # ann_topk_lsh: probabilistic recall — rows-only check.
+    "embedding_quantize_int8": """
+        WITH ex AS (
+            SELECT vec_id, u.dim, u.val FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                           (x, i) -> {'dim': i - 1,
+                                      'val': CAST(x AS DOUBLE)})) AS u
+                FROM embeddings)),
+        stats AS (SELECT dim, min(val) AS mn, max(val) AS mx
+                  FROM ex GROUP BY dim),
+        q AS (
+            SELECT vec_id, dim, val,
+                   CAST(coalesce(
+                       floor((val - mn) / nullif(mx - mn, 0) * 255 + 0.5),
+                       0) AS BIGINT) AS code,
+                   mn + coalesce(
+                       floor((val - mn) / nullif(mx - mn, 0) * 255 + 0.5),
+                       0) / 255 * coalesce(nullif(mx - mn, 0), 0) AS recon
+            FROM ex JOIN stats USING (dim))
+        SELECT vec_id,
+               count(*) AS n_dims,
+               string_agg(code, ',' ORDER BY dim) AS codes,
+               round(max(abs(val - recon)), 6) AS max_abs_err,
+               round(avg(abs(val - recon)), 6) AS mean_abs_err
+        FROM q
+        GROUP BY vec_id
+    """,
 }

@@ -543,6 +543,92 @@ def corpus_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_MIN_DOCS = 5  # 3-gram must appear in ≥5 docs to count as boilerplate
+
+
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection + per-doc coverage — the
+    header/footer/template-text removal signal every web-scale corpus
+    pipeline computes (CCNet-style repeated-content filtering, done on
+    n-grams because the synthetic corpus has no line structure).
+
+    A word-3-gram appearing in ≥ ``_BOILER_MIN_DOCS`` distinct documents
+    is boilerplate; each doc reports its distinct-3-gram count, how many
+    of those are boilerplate, and the fraction. Scale shape: one
+    document-frequency aggregation over per-doc DISTINCT shingles (the
+    array_distinct is row-local — no pre-shuffle), the resulting
+    boilerplate set is small by construction (selectivity here ~1%) and
+    BROADCASTs back for a map-side membership count, then one doc-keyed
+    aggregation. Two shuffles total at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("t"), 3)).alias("sh_arr"),
+    )
+    ex = hs.select("doc_id", F.explode("sh_arr").alias("s"))
+    boiler = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select("s")
+    )
+    per_doc_boiler = (
+        ex.join(F.broadcast(boiler), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    n_ngrams = F.size("sh_arr").cast("long")
+    return (
+        hs.join(per_doc_boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_ngrams.alias("n_ngrams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            _r4(
+                F.coalesce("n_boiler", F.lit(0))
+                / F.nullif(n_ngrams.cast("double"), F.lit(0.0))
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (CCNet-style): train a
+    Laplace-smoothed unigram LM on the corpus itself, score each doc by
+    its average negative log-likelihood — the "is this doc typical of
+    the corpus" signal used for quality bucketing before training.
+
+    Scale shape: the LM is one token-frequency aggregation; the vocab
+    table BROADCASTs back onto the exploded token stream (map-side hash
+    probe — the token stream is never shuffled against itself), then one
+    doc-keyed aggregation. At 100 TB the vocab would be capped to top-K
+    tokens with an OOV bucket (the broadcast bound); this corpus's vocab
+    is tiny so the full table rides the broadcast. Docs with zero
+    tokens would drop from the output (none exist in this corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    lm = vocab.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            (F.col("cnt") + 1) / (F.col("total") + F.col("v"))
+        ).alias("p"),
+    )
+    return (
+        tok.join(F.broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            _r4(F.avg(-F.log("p"))).alias("nll"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
@@ -561,6 +647,8 @@ QUERIES = {
     "text_contamination_check": text_contamination_check,
     "corpus_mixture_weights": corpus_mixture_weights,
     "corpus_pack_assignments": corpus_pack_assignments,
+    "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
+    "text_lm_quality": text_lm_quality,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -569,6 +657,36 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "corpus_boilerplate_ngrams": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        hs AS (SELECT doc_id,
+                      list_distinct({_SQL_SHINGLES}) AS sh_arr
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(sh_arr) AS s FROM hs),
+        boiler AS (SELECT s FROM ex GROUP BY s
+                   HAVING count(*) >= {_BOILER_MIN_DOCS}),
+        bo AS (SELECT doc_id, count(*) AS n_boiler
+               FROM ex JOIN boiler USING (s) GROUP BY doc_id)
+        SELECT h.doc_id,
+               CAST(len(sh_arr) AS BIGINT) AS n_ngrams,
+               CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+               floor(coalesce(n_boiler, 0)
+                     / nullif(CAST(len(sh_arr) AS DOUBLE), 0)
+                     * 10000 + 0.5) / 10000 AS boiler_frac
+        FROM hs h LEFT JOIN bo ON h.doc_id = bo.doc_id
+    """,
+    "text_lm_quality": f"""
+        WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w
+                     FROM documents),
+        vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM vocab),
+        lm AS (SELECT w, (cnt + 1) / (total + v) AS p FROM vocab, tot)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               floor(avg(-ln(p)) * 10000 + 0.5) / 10000 AS nll
+        FROM tok JOIN lm USING (w)
+        GROUP BY doc_id
+    """,
     "corpus_pack_assignments": f"""
         SELECT doc_id, source,
                CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
