@@ -360,3 +360,33 @@ def test_quality_gate_two_scans_one_anti_join(spark):
     tree = plan_of(spark, "quality_expectations_orders").split("\n\n")[0]
     assert "LeftAnti" in tree
     assert tree.count("Scan parquet") <= 3, tree
+
+
+def test_boilerplate_membership_is_broadcast(spark):
+    """The boilerplate n-gram set (small by construction) must ride a
+    broadcast back onto the shingle stream — never a shuffle join of the
+    corpus-sized side — and the doc-frequency agg must partial-combine."""
+    plan = plan_of(spark, "corpus_boilerplate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_lm_quality_vocab_is_broadcast(spark):
+    """The unigram LM (vocab-sized) must broadcast onto the exploded token
+    stream; the token stream itself shuffles only for the doc-keyed
+    score aggregation."""
+    plan = plan_of(spark, "text_lm_quality")
+    assert "BroadcastHashJoin" in plan
+    # token stream: one exchange for the vocab agg + one for the per-doc
+    # agg (+ AQE shuffle reads); a SortMergeJoin would add sorts
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_stats_broadcast_no_vector_shuffle(spark):
+    """int8 quantization: the per-dimension stats table (#dims rows) must
+    broadcast onto the exploded value stream; only the final vec-keyed
+    aggregation may exchange data-sized rows."""
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
