@@ -629,6 +629,141 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment: every doc lands in
+    exactly one split based on md5(doc_id), so the split is reproducible
+    across runs, engines, partitionings, and task retries — the property
+    a 100 TB corpus split must have (a rand()-based split resamples on
+    retry and drifts between engines). Buckets on the first 2 hex chars
+    (256 buckets): < 'f0' train (93.75%), < 'f8' val (3.125%), else
+    test. One narrow per-row projection + one 3-group aggregation over a
+    SINGLE corpus scan; the grand total for token_share is an
+    unpartitioned window over the 3-row rollup — single-task windows are
+    an anti-pattern on fact tables but exactly right on a post-agg
+    result whose size is the number of splits."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "f0", "train")
+        .when(bucket < "f8", "val")
+        .otherwise("test")
+    )
+    per_split = (
+        d.select(
+            split.alias("split"),
+            F.size(tokens(F.col("text"))).alias("n_toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = F.sum("n_tokens").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        per_split.select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            _r4(F.col("n_tokens") / tot).alias("token_share"),
+        )
+        .orderBy("split")
+    )
+
+
+#: Bloom geometry for text_contamination_bloom: 2^16 bits packed into 1024
+#: int64 words, 6 probes per shingle. At the probe set's ~2k shingles the
+#: false-positive rate is (1 - e^(-6*2000/65536))^6 ≈ 2e-5.
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 6
+
+
+def _bloom_probe_and_candidates(spark, sf_dir):
+    """Build (exact probe shingle set, bloom-surviving corpus candidate
+    shingles) — shared by text_contamination_bloom and the no-FN /
+    pruning property tests."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def sh(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col("text"))))
+            ).alias("s"),
+        )
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_K)
+        ]
+
+    probe = sh(d.filter(F.col("doc_id") < 5)).select(
+        F.col("s").alias("ps")
+    ).distinct()
+    words_df = (
+        probe.select(
+            F.explode(F.array(*positions(F.col("ps")))).alias("pos")
+        )
+        .groupBy((F.col("pos") / 64).cast("int").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pos % 64 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    words = [0] * (_BLOOM_BITS // 64)
+    for r in words_df.collect():  # bounded: ≤1024 rows, 8 KB
+        words[r["word"]] = r["bits"]
+    bloom = F.lit(words)
+
+    corpus = sh(d.filter(F.col("doc_id") >= 5)).withColumn("bloom", bloom)
+    for i, p in enumerate(positions(F.col("s"))):
+        corpus = corpus.withColumn(f"p{i}", p)
+    hit = " AND ".join(
+        f"shiftright(element_at(bloom, CAST(p{i} / 64 AS INT) + 1),"
+        f" CAST(p{i} % 64 AS INT)) % 2 != 0"
+        for i in range(_BLOOM_K)
+    )
+    candidates = corpus.filter(F.expr(hit)).drop(
+        "bloom", *[f"p{i}" for i in range(_BLOOM_K)]
+    )
+    return probe, candidates
+
+
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path benchmark decontamination: same answer as
+    text_contamination_check, different physical shape. The exact check
+    broadcasts the probe shingle set itself — fine while the benchmark
+    suite is small, impossible when the decontamination list is tens of
+    GB. Here the probe set is folded into a fixed-size Bloom bitmask
+    (2^16 bits = 8 KB regardless of probe size): k=6 positions per
+    shingle via xxhash64(s, seed), OR-ed into 1024 int64 words with one
+    bit_or aggregation, collected (1024 rows, bounded) and shipped as an
+    array literal — at cluster scale the same bytes ride a broadcast
+    variable. Corpus shingles probe the mask MAP-SIDE (6 element_at bit
+    tests inside codegen, zero joins, zero shuffle), and only the
+    surviving ~1e-5 false positives plus true hits reach the exact
+    verify join, so the output stays exactly equal to the exact
+    operator — bloom filters have no false negatives (no-FN property
+    pinned in tests/test_llm_ops.py). Oracle: identical SQL to
+    text_contamination_check."""
+    probe, candidates = _bloom_probe_and_candidates(spark, sf_dir)
+    return (
+        candidates.join(F.broadcast(probe), F.col("s") == F.col("ps"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
@@ -649,6 +784,8 @@ QUERIES = {
     "corpus_pack_assignments": corpus_pack_assignments,
     "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
     "text_lm_quality": text_lm_quality,
+    "corpus_train_split": corpus_train_split,
+    "text_contamination_bloom": text_contamination_bloom,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -657,6 +794,34 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "corpus_train_split": f"""
+        WITH tagged AS (
+          SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+                        THEN 'train'
+                      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8'
+                        THEN 'val'
+                      ELSE 'test' END AS split,
+                 len({_SQL_TOKS}) AS n_toks
+          FROM documents),
+        per_split AS (
+          SELECT split, count(*) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens
+          FROM tagged GROUP BY split),
+        tot AS (SELECT sum(n_tokens) AS tot FROM per_split)
+        SELECT split, n_docs, n_tokens,
+               floor(n_tokens / tot * 10000 + 0.5) / 10000 AS token_share
+        FROM per_split, tot ORDER BY split
+    """,
+    "text_contamination_bloom": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s
+               FROM toks),
+        probe AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+        SELECT doc_id, count(*) AS n_contaminated_shingles
+        FROM sh JOIN probe USING (s)
+        WHERE doc_id >= 5
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     "corpus_boilerplate_ngrams": f"""
         WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
         hs AS (SELECT doc_id,

@@ -515,3 +515,61 @@ def test_semantic_keep_best_survivor_rule(spark):
         )
         assert keepers[0]["doc_id"] == best["doc_id"]
         assert all(m["survivor_id"] == best["doc_id"] for m in members)
+
+
+def test_bloom_contamination_no_false_negatives_and_prunes(spark):
+    """The bloom prefilter must pass every truly-contaminated shingle
+    (bloom no-FN property → output equals the exact operator, which the
+    oracle also checks) and must prune: false-positive shingles that
+    survive the mask but fail exact verification must be under 1% of the
+    distinct non-matching corpus shingles."""
+    from dbscan_spark.operators import text
+
+    probe, candidates = text._bloom_probe_and_candidates(spark, SF_TINY)
+    probe_set = {r["ps"] for r in probe.collect()}
+    cand = [(r["doc_id"], r["s"]) for r in candidates.collect()]
+    cand_set = set(cand)
+
+    d = text.load_table(spark, SF_TINY, "documents")
+    from pyspark.sql import functions as F
+
+    all_sh = {
+        (r["doc_id"], r["s"])
+        for r in d.filter(F.col("doc_id") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    text.shingles(text.tokens(F.col("text")))
+                )
+            ).alias("s"),
+        )
+        .collect()
+    }
+    true_hits = {(doc, s) for doc, s in all_sh if s in probe_set}
+    assert true_hits <= cand_set, "bloom dropped a true match (FN!)"
+    non_matching = all_sh - true_hits
+    fps = cand_set - true_hits
+    if non_matching:
+        fp_rate = len(fps) / len(non_matching)
+        assert fp_rate < 0.01, (len(fps), len(non_matching))
+
+
+def test_train_split_deterministic_and_partitions(spark):
+    """Same assignment on rerun, every doc in exactly one split, and the
+    split fractions near the designed 240/8/8 bucket weights."""
+    from dbscan_spark.operators import text
+
+    a = {
+        r["split"]: (r["n_docs"], r["n_tokens"])
+        for r in text.corpus_train_split(spark, SF_TINY).collect()
+    }
+    b = {
+        r["split"]: (r["n_docs"], r["n_tokens"])
+        for r in text.corpus_train_split(spark, SF_TINY).collect()
+    }
+    assert a == b
+    total = sum(n for n, _ in a.values())
+    n_total = text.load_table(spark, SF_TINY, "documents").count()
+    assert total == n_total  # exactly one split per doc
+    assert a["train"][0] / total > 0.85

@@ -390,3 +390,28 @@ def test_quantize_stats_broadcast_no_vector_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_contamination_probe_is_map_side(spark):
+    """The bloom mask probe must be a pure per-row filter on the corpus
+    shingle stream (literal array + bit tests inside codegen — no join,
+    no exchange before the candidate filter); only the tiny exact-verify
+    broadcast join and the per-doc count may exchange."""
+    plan = plan_of(spark, "text_contamination_bloom")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "shiftright" in plan  # the bit tests survived into the plan
+    # probe-side distinct (1 exchange), per-doc count (1), orderBy (1)
+    assert tree.count("Exchange") <= 4, tree
+
+
+def test_train_split_single_scan(spark):
+    """The split tag is a narrow per-row projection over ONE corpus scan
+    (the grand total is a window over the 3-row rollup, not a second
+    scan); no joins at all."""
+    plan = plan_of(spark, "corpus_train_split")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree
+    assert tree.count("Exchange") <= 3, tree
