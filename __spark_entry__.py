@@ -49,6 +49,7 @@ def _operator_modules():
         "similarity",
         "dedup",
         "ml",
+        "streaming_queries",
     ):
         try:
             mods.append(

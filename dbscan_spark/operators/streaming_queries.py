@@ -1,0 +1,105 @@
+"""Driver-graded Structured Streaming queries.
+
+The rest of the streaming surface lives in ``dbscan_spark/streaming/``
+and is proven against batch oracles in tests/test_streaming.py; these
+two entries additionally put streaming under the driver's DuckDB hash
+gate by draining a real ``readStream`` → ``writeStream`` pipeline with
+an ``availableNow`` trigger inside the query callable and returning the
+sink contents as the result DataFrame. Streaming twin of the reference's
+one-shot batch pipeline (``DBSCAN.scala:80-242`` has no streaming; this
+is driver-contract surface, SURVEY.md §2.2).
+
+Scale shape: both queries run the exact plans their batch twins run —
+watermarked state for the windowed aggregation, a keyed snapshot merge
+for the CDC sink — so the 100 TB arguments (bounded state via
+watermark eviction, one user-keyed shuffle per micro-batch,
+read-old/write-new snapshot versioning) are the ones documented on the
+underlying functions in streaming/events.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dbscan_spark.streaming import events as se
+
+#: memory-sink query names must be unique per active session
+_SEQ = itertools.count()
+
+
+def streaming_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming windowed aggregation, graded exactly: file
+    stream over the events directory → watermarked 10-minute tumbling
+    windows per event type → availableNow drain into a memory sink in
+    complete mode → sink table returned. All data is on disk already, so
+    the drain is one micro-batch and the complete-mode result equals the
+    batch twin (relational.window_tumbling_events) — which is the oracle.
+    """
+    src = se.read_events_stream(spark, se.events_stream_dir(sf_dir))
+    agg = se.streaming_tumbling_counts(src, watermark="30 minutes")
+    name = f"streaming_tumbling_totals_{next(_SEQ)}"
+    se.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+def streaming_merge_latest_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC materialized view, graded exactly: event stream →
+    ``foreachBatch`` snapshot-versioned merge sink (latest state per
+    user + event count; read-old/write-new so replay of a crashed batch
+    is idempotent) → final snapshot returned. Oracle: per-user argmax on
+    (ts, event_id) plus count(*) in plain SQL."""
+    src = se.read_events_stream(spark, se.events_stream_dir(sf_dir))
+    scratch = tempfile.mkdtemp(prefix="dbscan_spark_merge_sink_")
+    target = os.path.join(scratch, "state")
+    se.run_streaming_merge_sink(
+        src, target, os.path.join(scratch, "ckpt")
+    )
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(target)
+        if d.startswith("v=")
+    )
+    snap = spark.read.parquet(os.path.join(target, f"v={versions[-1]}"))
+    return snap.select(
+        "user_id",
+        "last_ts",
+        F.round("last_value", 2).alias("last_value"),
+        "n_events",
+    )
+
+
+QUERIES = {
+    "streaming_tumbling_totals": streaming_tumbling_totals,
+    "streaming_merge_latest_state": streaming_merge_latest_state,
+}
+
+ORACLE = {
+    "streaming_tumbling_totals": """
+        SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+                 AS w_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "streaming_merge_latest_state": """
+        WITH latest AS (
+          SELECT user_id, ts AS last_ts, value AS last_value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        cnt AS (SELECT user_id, count(*) AS n_events
+                FROM events GROUP BY user_id)
+        SELECT user_id, last_ts, round(last_value, 2) AS last_value,
+               n_events
+        FROM latest JOIN cnt USING (user_id)
+        WHERE rn = 1
+    """,
+}
