@@ -1853,6 +1853,84 @@ def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values (alpha=0.25,
+    seeded with the first value) — the time-series smoothing signal
+    behind anomaly baselines and rate limiters. EWMA is a sequential
+    fold, which SQL windows can't express directly; instead each user's
+    (ts, event_id)-ordered value list folds once inside an `aggregate`
+    higher-order function. ONE user-keyed aggregation exchange; the fold
+    is per-group JVM expression work. alpha=0.25 and 0.75 are exact
+    binary fractions and the fold order matches the oracle's
+    list_reduce exactly, so the doubles agree bit-for-bit cross-engine.
+    Per-group state is the user's event list — bounded by per-user
+    activity; at 100 TB a time-bucketed restart (EWMA per user×month,
+    chained) bounds it further."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id,"
+            " value))), s -> s.value)"
+        ).alias("vals")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: x * F.lit(0.25) + acc * F.lit(0.75),
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        (F.floor(fold * 10000 + F.lit(0.5)) / 10000).alias("ewma_value"),
+    )
+
+
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from a change
+    stream: collapse each user's consecutive same-event_type runs into
+    validity intervals (valid_from, valid_to, is_current) — the CDC →
+    dimension-history materialization every warehouse maintains. The
+    lag-compare + running-sum run-numbering shares ONE (user_id, ts)
+    sort exchange (same idiom as events_sessionize_lag), the rollup
+    reuses the user partitioning, and valid_to is a lead over the
+    per-run rollup (tiny relative to the event stream)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(changed)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("run_id"),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("run_id")
+    return per_run.select(
+        "user_id",
+        "run_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        F.lead("valid_from").over(wl).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
 _HH_SUPPORT = 0.0004  # freqItems sketch support (no false negatives above it)
 _HH_THRESHOLD = 0.0005  # reported heavy-hitter share, strictly > support
 
@@ -2561,6 +2639,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "retention_cohorts": retention_cohorts,
     "events_sessionize_lag": events_sessionize_lag,
+    "events_ewma_user_value": events_ewma_user_value,
+    "events_scd2_user_state": events_scd2_user_state,
     "stats_corr_lineitem": stats_corr_lineitem,
     "histogram_order_totals": histogram_order_totals,
     "zscore_outlier_orders": zscore_outlier_orders,
@@ -2824,6 +2904,46 @@ ORACLE = {
                count(DISTINCT e.user_id) AS n_active
         FROM events e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_ewma_user_value": """
+        WITH seq AS (
+          SELECT user_id,
+                 list(value ORDER BY ts, event_id) AS vals
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n_events,
+               floor(list_reduce(vals,
+                     (acc, x) -> x * 0.25 + acc * 0.75) * 10000 + 0.5)
+                 / 10000 AS ewma_value
+        FROM seq
+    """,
+    "events_scd2_user_state": """
+        WITH tagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR event_type <> lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS changed
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        runs AS (
+          SELECT user_id, ts, event_type,
+                 CAST(sum(changed) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS run_id
+          FROM tagged),
+        per_run AS (
+          SELECT user_id, run_id,
+                 min_by(event_type, ts) AS state,
+                 min(ts) AS valid_from,
+                 count(*) AS n_events
+          FROM runs GROUP BY user_id, run_id)
+        SELECT user_id, run_id, state, valid_from,
+               lead(valid_from) OVER wl AS valid_to,
+               lead(valid_from) OVER wl IS NULL AS is_current,
+               n_events
+        FROM per_run
+        WINDOW wl AS (PARTITION BY user_id ORDER BY run_id)
     """,
     "events_sessionize_lag": """
         WITH flagged AS (

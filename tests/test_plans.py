@@ -415,3 +415,24 @@ def test_train_split_single_scan(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert "Join" not in tree
     assert tree.count("Exchange") <= 3, tree
+
+
+def test_ewma_single_exchange_no_window(spark):
+    """The EWMA fold happens inside one user-keyed aggregation — one
+    exchange, no Window node, no join; the sequential fold must stay a
+    per-group expression, never a per-row window with growing frames."""
+    plan = plan_of(spark, "events_ewma_user_value")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_scd2_shares_user_exchange(spark):
+    """SCD2 run-numbering (lag + running sum), the per-run rollup, and
+    the valid_to lead must all reuse ONE user-keyed exchange; the lead
+    runs over the per-run rollup, not the event stream."""
+    plan = plan_of(spark, "events_scd2_user_state")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
