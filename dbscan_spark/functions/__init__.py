@@ -76,3 +76,28 @@ def cosine(a: Column, b: Column) -> Column:
     DuckDB: ``list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])``
     """
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def zvalue_sql(x: str, y: str) -> str:
+    """Morton/Z-order value of two 16-bit column expressions, as a SQL
+    string with identical semantics in Spark SQL and DuckDB (plain
+    BIGINT &, |, << — both engines produce the same interleave, pinned
+    in tests). Used by io.write_zorder_parquet for multi-dimensional
+    data clustering: range-partitioning + sorting on z keeps rows close
+    in BOTH dimensions close in the file layout, so per-file min/max
+    footer stats form tight bounding boxes and 2-D predicates prune
+    files — the layout trick behind Delta/Iceberg Z-ORDER OPTIMIZE. At
+    wider domains, scale/rank inputs into 16 bits first."""
+
+    def spread(v: str) -> str:
+        s = f"(CAST({v} AS BIGINT) & 65535)"
+        for sh, m in (
+            (8, 16711935),      # 0x00FF00FF
+            (4, 252645135),     # 0x0F0F0F0F
+            (2, 858993459),     # 0x33333333
+            (1, 1431655765),    # 0x55555555
+        ):
+            s = f"(({s} | ({s} << {sh})) & {m})"
+        return s
+
+    return f"({spread(x)} | ({spread(y)} << 1))"

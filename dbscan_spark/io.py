@@ -218,3 +218,27 @@ def compact_parquet_dir(
         "overwrite"
     ).parquet(dst_dir)
     return n_files
+
+
+def write_zorder_parquet(
+    df: DataFrame, x_col: str, y_col: str, dst_dir: str, n_files: int
+) -> None:
+    """Z-order-clustered parquet writer: range-partition + sort on the
+    Morton interleave of (x_col, y_col) so each output file covers a
+    tight 2-D bounding box and parquet footer min/max stats prune files
+    for predicates on EITHER column (measured in tests/test_io.py: the
+    mean per-file bbox area is a small fraction of the domain vs a
+    round-robin layout). One range-exchange + local sort — the same
+    cost as a plain sorted write; at 100 TB this runs as the nightly
+    OPTIMIZE job on hot tables."""
+    from dbscan_spark.functions import zvalue_sql
+
+    z = F.expr(zvalue_sql(x_col, y_col)).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )

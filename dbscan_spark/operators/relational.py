@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from dbscan_spark.functions import as_double_array
+from dbscan_spark.functions import as_double_array, zvalue_sql
 from dbscan_spark.io import load_table
 
 
@@ -1853,6 +1853,34 @@ def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout planning stats: bucket lineitem by the high bits
+    of the Morton interleave of (l_partkey, l_suppkey) and report each
+    bucket's row count and 2-D bounding box — the per-file footer stats
+    the z-ordered writer (io.write_zorder_parquet) produces, computed
+    declaratively. Tight boxes here == file-level pruning for
+    predicates on either column after OPTIMIZE. Pure map-side integer
+    math + one bucket-keyed aggregation; the z expression is the same
+    SQL text DuckDB evaluates, so the check is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    z = F.expr(zvalue_sql("l_partkey", "l_suppkey"))
+    return (
+        li.select(
+            F.shiftrightunsigned(z, 16).alias("z_bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"),
+            F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+        )
+    )
+
+
 def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential moving average of event values (alpha=0.25,
     seeded with the first value) — the time-series smoothing signal
@@ -2640,6 +2668,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "events_sessionize_lag": events_sessionize_lag,
     "events_ewma_user_value": events_ewma_user_value,
+    "layout_zorder_buckets": layout_zorder_buckets,
     "events_scd2_user_state": events_scd2_user_state,
     "stats_corr_lineitem": stats_corr_lineitem,
     "histogram_order_totals": histogram_order_totals,
@@ -2904,6 +2933,16 @@ ORACLE = {
                count(DISTINCT e.user_id) AS n_active
         FROM events e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "layout_zorder_buckets": f"""
+        SELECT ({zvalue_sql("l_partkey", "l_suppkey")} >> 16) AS z_bucket,
+               count(*) AS n_rows,
+               min(l_partkey) AS part_lo,
+               max(l_partkey) AS part_hi,
+               min(l_suppkey) AS supp_lo,
+               max(l_suppkey) AS supp_hi
+        FROM lineitem
+        GROUP BY 1
     """,
     "events_ewma_user_value": """
         WITH seq AS (

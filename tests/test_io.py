@@ -140,3 +140,70 @@ def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
     assert len(files) == 1, files
     got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert got == list(range(200))
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """The z-ordered layout must give each file a tight 2-D bounding box
+    (parquet footer min/max on BOTH columns), unlike a round-robin
+    layout where every file spans the whole domain — that tightness is
+    what lets a predicate on either column prune files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbscan_spark.io import load_table, write_zorder_parquet
+
+    li = load_table(spark, SF_TINY, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    zdir = str(tmp_path / "zorder")
+    rdir = str(tmp_path / "roundrobin")
+    write_zorder_parquet(li, "l_partkey", "l_suppkey", zdir, n_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(rdir)
+
+    def mean_bbox_area(d):
+        areas, n = [], 0
+        for p in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(p).metadata
+            lo = {c: None for c in ("l_partkey", "l_suppkey")}
+            hi = {c: None for c in ("l_partkey", "l_suppkey")}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                        hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            areas.append(
+                (hi["l_partkey"] - lo["l_partkey"] + 1)
+                * (hi["l_suppkey"] - lo["l_suppkey"] + 1)
+            )
+            n += 1
+        assert n == 8, f"{d}: {n} files"
+        return sum(areas) / n
+
+    z_area, rr_area = mean_bbox_area(zdir), mean_bbox_area(rdir)
+    # every round-robin file spans ~the full domain; z-order files must
+    # average well under half of it
+    assert z_area < 0.5 * rr_area, (z_area, rr_area)
+
+    # file pruning: a narrow l_partkey range must intersect strictly
+    # fewer z-files than round-robin files (which all intersect)
+    def files_hit(d, lo_q, hi_q):
+        hit = 0
+        for p in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(p).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "l_partkey" and col.statistics:
+                        s = col.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is not None and not (hi_q < fmin or lo_q > fmax):
+                hit += 1
+        return hit
+
+    assert files_hit(zdir, 1, 20) < files_hit(rdir, 1, 20)
