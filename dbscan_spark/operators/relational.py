@@ -1853,6 +1853,37 @@ def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-incremental aggregate maintenance: the historical rollup
+    (orders before 1998) is computed separately from the newest
+    partition's delta rollup and the two PARTIAL STATES are merged by
+    re-aggregation — the nightly-ETL algebra that lets a 100 TB rollup
+    absorb one new day without rescanning history (count and sum are
+    commutative monoids; avg/stddev carry (sum, count) / moments). Money
+    sums use decimal(18,2), which is associative EXACTLY — with doubles
+    the merge order would change the bits and incremental != full. The
+    oracle is the plain one-shot rollup, proving the merge algebra."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def rollup(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(price).alias("revenue"),
+        )
+
+    base = rollup(o.filter(F.col("o_orderdate") < F.lit("1998-01-01")))
+    delta = rollup(o.filter(F.col("o_orderdate") >= F.lit("1998-01-01")))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
 def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout planning stats: bucket lineitem by the high bits
     of the Morton interleave of (l_partkey, l_suppkey) and report each
@@ -2669,6 +2700,7 @@ QUERIES = {
     "events_sessionize_lag": events_sessionize_lag,
     "events_ewma_user_value": events_ewma_user_value,
     "layout_zorder_buckets": layout_zorder_buckets,
+    "agg_incremental_daily": agg_incremental_daily,
     "events_scd2_user_state": events_scd2_user_state,
     "stats_corr_lineitem": stats_corr_lineitem,
     "histogram_order_totals": histogram_order_totals,
@@ -2933,6 +2965,14 @@ ORACLE = {
                count(DISTINCT e.user_id) AS n_active
         FROM events e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "agg_incremental_daily": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY o_orderpriority
     """,
     "layout_zorder_buckets": f"""
         SELECT ({zvalue_sql("l_partkey", "l_suppkey")} >> 16) AS z_bucket,

@@ -764,6 +764,38 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-step statistics: corpus-wide frequencies of
+    adjacent character pairs inside words — the argmax of this table is
+    the first merge a byte-pair-encoding tokenizer trainer would learn.
+    Two-level aggregation keeps the explode cheap: words dedupe into
+    (word, count) FIRST (vocabulary-sized), then each distinct word
+    expands to its pairs weighted by count — the full token stream is
+    never exploded per occurrence. Top 20 with a deterministic
+    (count desc, pair) tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(w) - 1, 0)),"
+                " i -> concat(substr(w, i, 1), substr(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+        "n_w",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
@@ -786,6 +818,7 @@ QUERIES = {
     "text_lm_quality": text_lm_quality,
     "corpus_train_split": corpus_train_split,
     "text_contamination_bloom": text_contamination_bloom,
+    "text_bpe_pair_merges": text_bpe_pair_merges,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -811,6 +844,21 @@ ORACLE = {
         SELECT split, n_docs, n_tokens,
                floor(n_tokens / tot * 10000 + 0.5) / 10000 AS token_share
         FROM per_split, tot ORDER BY split
+    """,
+    "text_bpe_pair_merges": f"""
+        WITH words AS (
+          SELECT w, count(*) AS n_w
+          FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+          GROUP BY w),
+        pairs AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> w[i] || w[i+1])) AS pair,
+                 n_w
+          FROM words)
+        SELECT pair, CAST(sum(n_w) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 20
     """,
     "text_contamination_bloom": f"""
         WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
