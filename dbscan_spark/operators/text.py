@@ -764,6 +764,57 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: train a Laplace-smoothed
+    bigram LM on the corpus itself and score each doc by the average
+    negative log conditional likelihood -ln P(w_i | w_{i-1}) — one
+    notch closer to the CCNet wiki-LM filter than the unigram variant
+    (text_lm_quality). The bigram table can exceed broadcast size at
+    corpus scale, so unlike the unigram query this join is a plain
+    bigram-keyed shuffle join: the doc bigram stream and the LM shuffle
+    on the same (prev, cur) key, and the per-doc rollup reuses nothing
+    wider than doc_id. Docs with <2 tokens drop (none in this corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n),
+                F.slice(toks, 2, n),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    bigram_counts = big.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c_big")
+    )
+    prev_counts = bigram_counts.groupBy("prev").agg(
+        F.sum("c_big").alias("c_prev")
+    )
+    vocab = big.agg(F.countDistinct("cur").alias("v"))
+    lm = (
+        bigram_counts.join(prev_counts, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "cur",
+            ((F.col("c_big") + 1) / (F.col("c_prev") + F.col("v"))).alias(
+                "p"
+            ),
+        )
+    )
+    return (
+        big.join(lm, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            _r4(F.avg(-F.log("p"))).alias("nll"),
+        )
+    )
+
+
 def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge-step statistics: corpus-wide frequencies of
     adjacent character pairs inside words — the argmax of this table is
@@ -819,6 +870,7 @@ QUERIES = {
     "corpus_train_split": corpus_train_split,
     "text_contamination_bloom": text_contamination_bloom,
     "text_bpe_pair_merges": text_bpe_pair_merges,
+    "text_bigram_lm_quality": text_bigram_lm_quality,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -844,6 +896,26 @@ ORACLE = {
         SELECT split, n_docs, n_tokens,
                floor(n_tokens / tot * 10000 + 0.5) / 10000 AS token_share
         FROM per_split, tot ORDER BY split
+    """,
+    "text_bigram_lm_quality": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        big AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> {{'prev': t[i], 'cur': t[i+1]}})) AS b
+          FROM toks),
+        pairs AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM big),
+        bc AS (SELECT prev, cur, count(*) AS c_big
+               FROM pairs GROUP BY prev, cur),
+        pc AS (SELECT prev, sum(c_big) AS c_prev FROM bc GROUP BY prev),
+        v AS (SELECT count(DISTINCT cur) AS v FROM pairs),
+        lm AS (SELECT prev, cur, (c_big + 1) / (c_prev + v) AS p
+               FROM bc JOIN pc USING (prev), v)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               floor(avg(-ln(p)) * 10000 + 0.5) / 10000 AS nll
+        FROM pairs JOIN lm USING (prev, cur)
+        GROUP BY doc_id
     """,
     "text_bpe_pair_merges": f"""
         WITH words AS (
