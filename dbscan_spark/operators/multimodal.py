@@ -164,8 +164,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The "video" is the blob segmented into 256-byte frames; up to 4 frames
     are sampled uniformly (deterministic — no codec in this container, see
-    :func:`decode_image`). Rows-only driver check; unit tests pin the
-    sampled offsets and per-frame stats.
+    :func:`decode_image`). EXACT DuckDB oracle: the corpus is pure ASCII,
+    so the frame-selection integer math and per-frame byte means are
+    reproducible in SQL from the text column — the Arrow plumbing's
+    VALUES are hash-gated, not just its row counts; unit tests
+    additionally pin offsets/stats vs numpy.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
@@ -192,8 +195,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame_idx"].append(fi)
                     out["byte_offset"].append(fi * _FRAME_SIZE)
                     out["n_bytes"].append(len(fr))
+                    # round-half-up via floor (pure IEEE) so the DuckDB
+                    # oracle's floor(x*1e4 + 0.5)/1e4 agrees bit-for-bit
+                    # (Python round() is banker's and diverges on exact
+                    # .00005 boundaries, reachable when sum ≡ 8 mod 16)
                     out["byte_mean"].append(
-                        round(float(fr.mean()), 4) if len(fr) else None
+                        float(np.floor(float(fr.mean()) * 10000 + 0.5))
+                        / 10000
+                        if len(fr)
+                        else None
                     )
             yield pd.DataFrame(out)
 
@@ -229,6 +239,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    # frame sampling is reproducible in SQL because the corpus is pure
+    # ASCII (byte i == ascii(char i), checked in tests): same ceil-div
+    # frame count, same evenly-spaced distinct frame ids, same per-frame
+    # byte sums
+    "multimodal_frame_sample": """
+        WITH base AS (
+          SELECT doc_id, text,
+                 greatest(1, CAST(ceil(length(text) / 256.0) AS BIGINT))
+                   AS n_frames,
+                 least(greatest(1, CAST(ceil(length(text) / 256.0)
+                                        AS BIGINT)), 4) AS take
+          FROM documents),
+        idxs AS (
+          SELECT doc_id, text,
+                 unnest(list_sort(list_distinct(list_transform(
+                   range(0, take), i -> (i * n_frames) // take)))) AS fi
+          FROM base),
+        frames AS (
+          SELECT doc_id, fi AS frame_idx, fi * 256 AS byte_offset,
+                 substring(text, CAST(fi * 256 + 1 AS BIGINT), 256) AS fr
+          FROM idxs)
+        SELECT doc_id, frame_idx, byte_offset,
+               CAST(length(fr) AS BIGINT) AS n_bytes,
+               CASE WHEN length(fr) = 0 THEN NULL
+                    ELSE floor(list_sum(list_transform(
+                           range(1, length(fr) + 1),
+                           i -> ascii(fr[i]))) * 1.0 / length(fr)
+                           * 10000 + 0.5) / 10000
+               END AS byte_mean
+        FROM frames
+    """,
     "multimodal_size_histogram": """
         SELECT CAST(floor(octet_length(encode(text)) / 128) AS BIGINT)
                  AS bucket,

@@ -232,7 +232,8 @@ def test_multimodal_frame_sample_matches_numpy(spark):
             assert fr["byte_offset"] == fr["frame_idx"] * 256
             seg = raw[fr["byte_offset"] : fr["byte_offset"] + 256]
             assert fr["n_bytes"] == len(seg)
-            assert fr["byte_mean"] == pytest.approx(round(float(seg.mean()), 4))
+            want = float(np.floor(float(seg.mean()) * 10000 + 0.5)) / 10000
+            assert fr["byte_mean"] == pytest.approx(want)
         if n_frames > 4:
             # uniform sampling must reach past the midpoint of the payload
             assert max(f["frame_idx"] for f in frames) >= n_frames // 2
