@@ -71,32 +71,45 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     each Arrow batch is decoded in numpy without per-row Python overhead,
     and the output schema is fixed so downstream operators stay columnar.
     Uses the deterministic fake decoder (real codec stubbed, see
-    :func:`decode_image`). Rows-only driver check; unit tests pin values.
+    :func:`decode_image`). EXACT DuckDB oracle: the ASCII corpus makes
+    every output reproducible in SQL — mean and std derive from the
+    exact integer sums Σx and Σx² (both < 2^53, so float64-exact in any
+    summation order on any engine), and the rounding is the half-up
+    floor form both engines compute identically.
 
     The ``histo16`` histogram is emitted as a canonical JSON string (not
     ``array<long>``): the driver's pandas canonicalizer sorts output
-    columns and cannot hash python lists, and a rows-only query loses
-    nothing by serializing. Internal consumers parse it back.
+    columns and cannot hash python lists, and integers render
+    identically in both engines' JSON/string form. Internal consumers
+    parse it back.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
 
+    def _r4f(x: float) -> float:
+        return float(np.floor(x * 10000 + 0.5)) / 10000
+
+    def stats(p: "np.ndarray") -> tuple:
+        if not len(p):
+            return None, None
+        n = len(p)
+        s1 = int(p.sum())
+        s2 = int((p.astype(np.int64) ** 2).sum())
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        return _r4f(mean), _r4f(float(np.sqrt(var)))
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pixels = [_fake_decode(b) for b in pdf["blob"]]
+            st = [stats(p) for p in pixels]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "n_bytes": [len(p) for p in pixels],
-                    "byte_mean": [
-                        round(float(p.mean()), 4) if len(p) else None
-                        for p in pixels
-                    ],
-                    "byte_std": [
-                        round(float(p.std()), 4) if len(p) else None
-                        for p in pixels
-                    ],
+                    "byte_mean": [m for m, _ in st],
+                    "byte_std": [s for _, s in st],
                     "histo16": [
                         np.bincount(p >> 4, minlength=16).astype("int64")
                         for p in pixels
@@ -114,11 +127,15 @@ def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder model would plug into. Completes the engine's Python-UDF
     taxonomy: scalar pandas_udf here, grouped-map applyInPandas (DBSCAN
     kernel), mapInPandas (feature extract), applyInPandasWithState
-    (streaming). Rows-only driver check; a unit test pins determinism.
+    (streaming).
 
-    The embedding is emitted as a canonical JSON string (not
-    ``array<double>``) so the driver's pandas canonicalizer can sort and
-    hash the column; internal consumers parse it back."""
+    EXACT DuckDB oracle: bucket counts are integers, the L2 norm and
+    the divisions are single IEEE ops on those exact integers, and the
+    rounding is half-up floor — so SQL reproduces every component. The
+    graded projection flattens the vector into e0..e7 double columns
+    (floats hash per-column through the driver's canonicalizer; a JSON
+    rendering of doubles would be formatting-fragile); production
+    consumers take the array column before the flatten."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
@@ -128,15 +145,21 @@ def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr = np.frombuffer(b, dtype=np.uint8)
             # deterministic 8-bucket byte-histogram "embedding", L2-normed
             h = np.bincount(arr >> 5, minlength=8).astype(np.float64)
-            n = np.linalg.norm(h)
-            out.append((h / n if n else h).round(6))
+            # plain sqrt-of-sum-of-squares, NOT np.linalg.norm: BLAS
+            # nrm2 rescales internally and rounds differently from the
+            # single IEEE sqrt the SQL oracle computes
+            n = float(np.sqrt((h * h).sum()))
+            e = h / n if n else h
+            out.append(np.floor(e * 1e6 + 0.5) / 1e6)
         return pd.Series(out)
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
-    return d.select(
-        "doc_id", F.to_json(embed(F.col("blob"))).alias("stub_embedding")
+    vec = d.select("doc_id", embed(F.col("blob")).alias("v"))
+    return vec.select(
+        "doc_id",
+        *[F.element_at("v", i + 1).alias(f"e{i}") for i in range(8)],
     )
 
 
@@ -238,7 +261,64 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
+#: exploded byte stream of the ASCII corpus (byte i == ascii(char i))
+_SQL_BYTES = """
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> ascii(text[i]))) AS byte
+  FROM documents
+"""
+
+_H16 = ", ".join(
+    f"sum(CASE WHEN byte // 16 = {b} THEN 1 ELSE 0 END) AS h{b}"
+    for b in range(16)
+)
+_H16_JSON = " || ',' || ".join(f"coalesce(h{b}, 0)" for b in range(16))
+_C8 = ", ".join(
+    f"sum(CASE WHEN byte // 32 = {b} THEN 1 ELSE 0 END) AS c{b}"
+    for b in range(8)
+)
+_NORM8 = " + ".join(f"coalesce(c{b}, 0) * coalesce(c{b}, 0)" for b in range(8))
+_E8 = ", ".join(
+    f"CASE WHEN norm = 0 THEN 0.0 ELSE floor(coalesce(c{b}, 0) / norm"
+    f" * 1000000.0 + 0.5) / 1000000.0 END AS e{b}"
+    for b in range(8)
+)
+
 ORACLE = {
+    # Arrow feature extraction is reproducible in SQL: integer byte sums
+    # Σx and Σx² are float64-exact in any order, the mean/std derive
+    # from them with single IEEE ops, and histo16's integers render
+    # identically in both engines' JSON form
+    "multimodal_feature_extract": f"""
+        WITH ch AS ({_SQL_BYTES}),
+        agg AS (
+          SELECT doc_id, count(*) AS n, sum(byte) AS s1,
+                 sum(byte * byte) AS s2, {_H16}
+          FROM ch GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_bytes,
+               CASE WHEN n IS NULL THEN NULL
+                    ELSE floor(s1 * 1.0 / n * 10000 + 0.5) / 10000
+               END AS byte_mean,
+               CASE WHEN n IS NULL THEN NULL
+                    ELSE floor(sqrt(s2 * 1.0 / n
+                               - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                               * 10000 + 0.5) / 10000
+               END AS byte_std,
+               '[' || {_H16_JSON} || ']' AS histo16
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    "multimodal_embed_stub": f"""
+        WITH ch AS ({_SQL_BYTES}),
+        agg AS (SELECT doc_id, {_C8} FROM ch GROUP BY doc_id),
+        normed AS (
+          SELECT d.doc_id, {", ".join(f"coalesce(c{b}, 0) AS c{b}" for b in range(8))},
+                 sqrt({_NORM8}) AS norm
+          FROM documents d LEFT JOIN agg USING (doc_id))
+        SELECT doc_id, {_E8}
+        FROM normed
+    """,
     # frame sampling is reproducible in SQL because the corpus is pure
     # ASCII (byte i == ascii(char i), checked in tests): same ceil-div
     # frame count, same evenly-spaced distinct frame ids, same per-frame

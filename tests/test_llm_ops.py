@@ -311,12 +311,13 @@ def test_multimodal_embed_stub_deterministic(spark):
     L2-normalized (the plumbing contract a real encoder would inherit)."""
     import numpy as np
 
-    a = {r["doc_id"]: r["stub_embedding"]
+    cols = [f"e{i}" for i in range(8)]
+    a = {r["doc_id"]: tuple(r[c] for c in cols)
          for r in multimodal.multimodal_embed_stub(spark, SF_TINY).collect()}
-    b = {r["doc_id"]: r["stub_embedding"]
+    b = {r["doc_id"]: tuple(r[c] for c in cols)
          for r in multimodal.multimodal_embed_stub(spark, SF_TINY).collect()}
     assert a == b and len(a) > 0
-    v = np.array(json.loads(next(iter(a.values()))))  # JSON-string column
+    v = np.array(next(iter(a.values())))
     assert len(v) == 8 and abs(np.linalg.norm(v) - 1.0) < 1e-4
 
 
