@@ -209,4 +209,48 @@ QUERIES = {
     "supplier_pagerank": supplier_pagerank,
 }
 
-ORACLE: dict[str, str] = {}
+# supplier_pagerank IS SQL-expressible after all: DuckDB recursive CTEs
+# allow aggregation in the recursive term (via a derived table), so the
+# 10 fixed power-iteration rounds replay exactly. Float parity notes:
+# the teleport constant is written (1.0 - 0.85)/n — NOT a 0.15 literal —
+# because the Spark side computes it in Python where 1.0 - 0.85 =
+# 0.15000000000000002; per-round inflow sums differ only in summation
+# order (~1e-15 after 10 rounds), absorbed by the 6dp round both
+# engines apply half-up for positives. The dbscan queries remain
+# rows-only: density clustering has no SQL restatement.
+ORACLE: dict[str, str] = {
+    "supplier_pagerank": f"""
+        WITH RECURSIVE
+        su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        ok AS (SELECT l_orderkey FROM su GROUP BY l_orderkey
+               HAVING count(*) <= {_MAX_SUPPLIERS_PER_ORDER}),
+        pairs AS (
+          SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+          FROM su a
+          JOIN su b USING (l_orderkey)
+          JOIN ok USING (l_orderkey)
+          WHERE a.l_suppkey < b.l_suppkey
+          GROUP BY 1, 2),
+        edges AS (SELECT s1, s2, w FROM pairs
+                  UNION ALL
+                  SELECT s2 AS s1, s1 AS s2, w FROM pairs),
+        ow AS (SELECT s1, sum(w) AS ow FROM edges GROUP BY s1),
+        ne AS (SELECT e.s1, e.s2, e.w * 1.0 / o.ow AS p
+               FROM edges e JOIN ow o USING (s1)),
+        nn AS (SELECT count(DISTINCT s1) AS n FROM edges),
+        it(i, node, rank) AS (
+          SELECT 0, s1, 1.0 / (SELECT n FROM nn)
+          FROM (SELECT DISTINCT s1 FROM edges) nodes(s1)
+          UNION ALL
+          SELECT i + 1, node,
+                 (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * s
+          FROM (SELECT r.i AS i, ne.s2 AS node,
+                       sum(ne.p * r.rank) AS s
+                FROM it r JOIN ne ON r.node = ne.s1
+                GROUP BY r.i, ne.s2) q
+          WHERE i < 10)
+        SELECT node AS s_suppkey, round(rank, 6) AS pagerank
+        FROM it WHERE i = 10
+        ORDER BY pagerank DESC, s_suppkey
+    """,
+}
