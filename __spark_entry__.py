@@ -136,9 +136,17 @@ _R3_PRIORITY = [
     "dedup_embedding_lsh",
     "dedup_cluster_cc",
     "supplier_pagerank",
+    # flagship DBSCAN under the EXACT hash gate: flags and canonical
+    # core components are traversal-invariant (SURVEY §2.3 P3), so the
+    # whole distributed pipeline is checkable against brute-force /
+    # recursive-CTE DuckDB oracles — strictly stronger driver signal
+    # than the rows-only dbscan_embeddings row would be
+    "dbscan_flags",
+    "dbscan_core_components",
+    # deliberate sacrifices if the 50-row budget cuts here
+    "dbscan_predict_canonical",
     "dbscan_embeddings",
     "dbscan_predict_holdout",
-    # deliberate sacrifices if the 50-row budget cuts here
     "dedup_semantic_keep_best",
     "dbscan_embeddings_64d",
     "dbscan_predict_64d",

@@ -91,6 +91,68 @@ def dbscan_predict_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.predict(held).select("vec_id", "cluster", "flag")
 
 
+def dbscan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point DBSCAN role flags (core/border/noise) — the
+    traversal-invariant face of the flagship pipeline, and therefore
+    EXACT-oracle-checkable: core iff ≥ min_points neighbors within ε
+    (self-inclusive, dist² ≤ ε² — P1, LocalDBSCANNaive.scala:33,73-75);
+    border iff non-core with ≥1 core neighbor (P2 Archery reclamation,
+    LocalDBSCANArchery.scala:103-106); else noise. Unlike cluster ids
+    (traversal-order-dependent, P3), flags are a pure function of the
+    point set, so the full distributed pipeline — grid histogram, BSP
+    partitioner, ε-margin duplication, per-partition kernel, margin
+    merge — is hash-gated against a brute-force SQL restatement."""
+    pts = _points_2d(spark, sf_dir)
+    out = dbscan(pts, eps=0.05, min_points=5, max_points_per_partition=250)
+    return out.select("vec_id", "flag")
+
+
+def dbscan_core_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-point cluster structure under canonical labels — exact-oracle
+    DBSCAN clustering. Density-connectivity is an equivalence relation on
+    CORE points (border membership is traversal-dependent, P3; core
+    membership is not), so relabeling each cluster by its minimum core
+    vec_id makes the distributed result engine-independent. The DuckDB
+    twin recomputes the components from scratch with a recursive-CTE
+    min-label transitive closure over the core-core ε-graph — any
+    over-merge or split in the margin-reconciliation path
+    (DBSCAN.scala:125-185's logic) breaks the hash."""
+    from pyspark.sql.window import Window
+
+    pts = _points_2d(spark, sf_dir)
+    out = dbscan(pts, eps=0.05, min_points=5, max_points_per_partition=250)
+    cores = out.filter(F.col("flag") == "core")
+    return cores.select(
+        "vec_id",
+        F.min("vec_id").over(Window.partitionBy("cluster")).alias("cluster_rep"),
+    )
+
+
+def dbscan_predict_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout labeling with canonical cluster ids — the exact-oracle twin
+    of dbscan_predict_holdout. The model's clusters are relabeled to
+    their min core vec_id BEFORE predict, so the nearest-core
+    assignment's (distance, cluster) tie-break is engine-independent and
+    the whole predict path (cell-ring candidate join + exact ε filter +
+    top-1, dbscan.py:predict) reproduces in SQL."""
+    from pyspark.sql.window import Window
+
+    pts = _points_2d(spark, sf_dir)
+    fit = pts.filter(F.col("vec_id") % 10 != 0)
+    held = pts.filter(F.col("vec_id") % 10 == 0)
+    model = dbscan(fit, eps=0.05, min_points=5, max_points_per_partition=250)
+    canon_cores = model.filter(F.col("flag") == "core").select(
+        "x",
+        "y",
+        F.min("vec_id")
+        .over(Window.partitionBy("cluster"))
+        .alias("cluster"),
+        "flag",
+    )
+    out = predict(canon_cores, held.select("vec_id", "x", "y"), eps=0.05)
+    return out.select("vec_id", "cluster", "flag")
+
+
 _MAX_SUPPLIERS_PER_ORDER = 64  # S² pair-expansion guard (see below)
 
 
@@ -202,12 +264,47 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "dbscan_flags": dbscan_flags,
+    "dbscan_core_components": dbscan_core_components,
+    "dbscan_predict_canonical": dbscan_predict_canonical,
     "dbscan_embeddings": dbscan_embeddings,
     "dbscan_predict_holdout": dbscan_predict_holdout,
     "dbscan_embeddings_64d": dbscan_embeddings_64d,
     "dbscan_predict_64d": dbscan_predict_64d,
     "supplier_pagerank": supplier_pagerank,
 }
+
+# Shared CTE prefix for the DBSCAN oracles: brute-force ε-neighborhood
+# over the 2-D projection (dist² ≤ ε² inclusive, self-counting — P1),
+# cores by degree, and (where needed) canonical core components via a
+# recursive-CTE min-label transitive closure over the core-core ε-graph.
+# All arithmetic is the same IEEE double expression Spark evaluates, so
+# the comparison is bit-exact, no rounding fudge.
+_DBSCAN_PTS = """
+        pts AS (SELECT vec_id,
+                       CAST(embedding[1] AS DOUBLE) AS x,
+                       CAST(embedding[2] AS DOUBLE) AS y
+                FROM embeddings)"""
+
+
+def _dbscan_core_ctes(src: str) -> str:
+    """nbr/deg/cores/ce/reach/rep CTE chain over point source ``src``."""
+    return f"""
+        nbr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM {src} a JOIN {src} b
+                  ON (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05),
+        deg AS (SELECT a_id AS vec_id, count(*) AS cnt FROM nbr GROUP BY a_id),
+        cores AS (SELECT vec_id FROM deg WHERE cnt >= 5),
+        ce AS (SELECT n.a_id AS src, n.b_id AS dst
+               FROM nbr n
+               JOIN cores c1 ON n.a_id = c1.vec_id
+               JOIN cores c2 ON n.b_id = c2.vec_id),
+        reach(vec_id, label) AS (
+          SELECT vec_id, vec_id FROM cores
+          UNION
+          SELECT ce.dst, r.label FROM reach r JOIN ce ON ce.src = r.vec_id),
+        rep AS (SELECT vec_id, min(label) AS rep FROM reach GROUP BY vec_id)"""
 
 # supplier_pagerank IS SQL-expressible after all: DuckDB recursive CTEs
 # allow aggregation in the recursive term (via a derived table), so the
@@ -216,9 +313,55 @@ QUERIES = {
 # because the Spark side computes it in Python where 1.0 - 0.85 =
 # 0.15000000000000002; per-round inflow sums differ only in summation
 # order (~1e-15 after 10 rounds), absorbed by the 6dp round both
-# engines apply half-up for positives. The dbscan queries remain
-# rows-only: density clustering has no SQL restatement.
+# engines apply half-up for positives. The raw-cluster-id dbscan queries
+# remain rows-only (ids are traversal-order-dependent, SURVEY §2.3 P3);
+# their traversal-INVARIANT faces — flags, canonical core components,
+# canonical predict — are exact-oracle-checked below.
 ORACLE: dict[str, str] = {
+    "dbscan_flags": f"""
+        WITH {_DBSCAN_PTS},
+        nbr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM pts a JOIN pts b
+                  ON (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05),
+        deg AS (SELECT a_id AS vec_id, count(*) AS cnt FROM nbr GROUP BY a_id),
+        cores AS (SELECT vec_id FROM deg WHERE cnt >= 5)
+        SELECT d.vec_id,
+               CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+                    WHEN EXISTS (SELECT 1 FROM nbr n JOIN cores c2
+                                 ON n.b_id = c2.vec_id
+                                 WHERE n.a_id = d.vec_id) THEN 'border'
+                    ELSE 'noise' END AS flag
+        FROM deg d LEFT JOIN cores c USING (vec_id)
+    """,
+    "dbscan_core_components": f"""
+        WITH RECURSIVE {_DBSCAN_PTS},
+        {_dbscan_core_ctes("pts").lstrip()}
+        SELECT vec_id, rep AS cluster_rep FROM rep
+    """,
+    "dbscan_predict_canonical": f"""
+        WITH RECURSIVE {_DBSCAN_PTS},
+        tr AS (SELECT * FROM pts WHERE vec_id % 10 <> 0),
+        te AS (SELECT * FROM pts WHERE vec_id % 10 = 0),
+        {_dbscan_core_ctes("tr").lstrip()},
+        cand AS (SELECT t.vec_id, r.rep,
+                        (t.x - c.x) * (t.x - c.x)
+                      + (t.y - c.y) * (t.y - c.y) AS d2
+                 FROM te t
+                 JOIN tr c ON (t.x - c.x) * (t.x - c.x)
+                            + (t.y - c.y) * (t.y - c.y) <= 0.05 * 0.05
+                 JOIN rep r ON r.vec_id = c.vec_id),
+        best AS (SELECT vec_id, rep,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, rep) AS rn
+                 FROM cand)
+        SELECT t.vec_id,
+               COALESCE(b.rep, 0) AS cluster,
+               CASE WHEN b.rep IS NULL THEN 'noise'
+                    ELSE 'border' END AS flag
+        FROM te t LEFT JOIN (SELECT vec_id, rep FROM best WHERE rn = 1) b
+             USING (vec_id)
+    """,
     "supplier_pagerank": f"""
         WITH RECURSIVE
         su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
