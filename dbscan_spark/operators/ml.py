@@ -263,7 +263,86 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("pagerank"), "s_suppkey")
 
 
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    supplier co-order graph — structural motif counting, the third graph
+    analytics class next to PageRank (link analysis) and connected
+    components (dedup_cluster_cc).
+
+    Scale shape (Cohen's MapReduce triangle counting / Suri–Vassilvitskii):
+    orient each undirected edge from its (degree, id)-smaller endpoint to
+    the larger, so every triangle is enumerated exactly once and — the
+    point of DEGREE ordering rather than id ordering — a hub of degree d
+    keeps out-degree bounded by O(sqrt(|E|)) instead of d, capping the
+    wedge explosion ``sum_v outdeg(v)²`` that makes id-oriented counting
+    collapse on power-law graphs. Two equi-joins, both on node keys:
+    wedges from the oriented list joined back against it. The triangle
+    SET is orientation-independent, so the DuckDB oracle can use plain
+    id-ordering and still match exactly."""
+    pairs = _co_order_pairs(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ).select("s1", "s2")
+    deg = (
+        pairs.select(F.col("s1").alias("node"))
+        .unionAll(pairs.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ranked = pairs.join(
+        deg.select(F.col("node").alias("s1"), F.col("degree").alias("d1")), "s1"
+    ).join(
+        deg.select(F.col("node").alias("s2"), F.col("degree").alias("d2")), "s2"
+    )
+    lo_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+        F.when(lo_first, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+    ).persist()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    # the closing edge may be deg-oriented either way between b and c —
+    # probe an id-sorted canonical copy so the lookup stays an EQUI-join
+    # (an OR-of-orientations condition would degrade to a nested loop)
+    closing = oriented.select(
+        F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(tcnt, "node", "left").select(
+        F.col("node").alias("s_suppkey"),
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.coalesce(F.col("triangles"), F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+    oriented.unpersist()
+    return out
+
+
 QUERIES = {
+    "graph_triangle_counts": graph_triangle_counts,
     "dbscan_flags": dbscan_flags,
     "dbscan_core_components": dbscan_core_components,
     "dbscan_predict_canonical": dbscan_predict_canonical,
@@ -318,6 +397,45 @@ def _dbscan_core_ctes(src: str) -> str:
 # their traversal-INVARIANT faces — flags, canonical core components,
 # canonical predict — are exact-oracle-checked below.
 ORACLE: dict[str, str] = {
+    # Same graph build as supplier_pagerank (distinct co-order pairs under
+    # the S² cap); id-ordered triangle enumeration — the triangle SET is
+    # orientation-independent, so this matches the degree-oriented Spark
+    # plan exactly.
+    "graph_triangle_counts": f"""
+        WITH
+        su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        ok AS (SELECT l_orderkey FROM su GROUP BY l_orderkey
+               HAVING count(*) <= {_MAX_SUPPLIERS_PER_ORDER}),
+        pairs AS (
+          SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+          FROM su a
+          JOIN su b USING (l_orderkey)
+          JOIN ok USING (l_orderkey)
+          WHERE a.l_suppkey < b.l_suppkey
+          GROUP BY 1, 2),
+        deg AS (SELECT node, count(*) AS degree
+                FROM (SELECT s1 AS node FROM pairs
+                      UNION ALL SELECT s2 FROM pairs)
+                GROUP BY node),
+        tri AS (
+          SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+          FROM pairs e1
+          JOIN pairs e2 ON e2.s1 = e1.s2
+          JOIN pairs e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        tcnt AS (SELECT node, count(*) AS triangles
+                 FROM (SELECT a AS node FROM tri
+                       UNION ALL SELECT b FROM tri
+                       UNION ALL SELECT c FROM tri)
+                 GROUP BY node)
+        SELECT d.node AS s_suppkey,
+               d.degree,
+               coalesce(t.triangles, 0) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN round(coalesce(t.triangles, 0) * 2.0
+                               / (d.degree * (d.degree - 1)), 6)
+                    ELSE 0.0 END AS clustering_coeff
+        FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    """,
     "dbscan_flags": f"""
         WITH {_DBSCAN_PTS},
         nbr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
