@@ -2045,6 +2045,49 @@ def stats_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_supplier_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier revenue trend: least-squares slope of monthly revenue
+    vs month index — grouped linear regression, the per-key forecasting
+    primitive. Two grouped aggregations (month rollup, then regression
+    moments per supplier), both partial-aggregable map-side.
+
+    Exact-arithmetic regression: each row's revenue is quantized to
+    integer CENTS with the floor-based half-up rule (pure IEEE — a
+    double→decimal CAST would hit engine-specific rounding at .xx5
+    boundaries), the monthly sums and moment sums Σy / Σxy run in
+    decimal (associative-exact, order-independent; x is a small int),
+    and the slope (nΣxy − ΣxΣy) / (nΣx² − Σx²) divides two EXACTLY-equal
+    operands cast to double — so both engines produce bit-identical
+    slopes with no rounding fudge; the 6dp round is cosmetic."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("decimal(18,0)")
+    x = (
+        (F.year("l_shipdate") - F.lit(1992)) * 12 + F.month("l_shipdate") - 1
+    ).cast("long")
+    monthly = l.groupBy(
+        F.col("l_suppkey").alias("s_suppkey"), x.alias("x")
+    ).agg(F.sum(rev).alias("y"))
+    n, sx, sy = F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    return (
+        monthly.groupBy("s_suppkey")
+        .agg(
+            n.alias("n_months"),
+            (sy.cast("double") / 100).alias("total_rev"),
+            F.round(num / F.nullif(den, F.lit(0.0)) / 100, 6).alias(
+                "slope_per_month"
+            ),
+        )
+        .filter(F.col("n_months") >= 2)
+    )
+
+
 def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of order totals via width_bucket — the
     binning primitive behind every distribution dashboard. A narrow
@@ -2703,6 +2746,7 @@ QUERIES = {
     "agg_incremental_daily": agg_incremental_daily,
     "events_scd2_user_state": events_scd2_user_state,
     "stats_corr_lineitem": stats_corr_lineitem,
+    "stats_supplier_trend": stats_supplier_trend,
     "histogram_order_totals": histogram_order_totals,
     "zscore_outlier_orders": zscore_outlier_orders,
     "agg_heavy_hitters": agg_heavy_hitters,
@@ -2908,6 +2952,26 @@ ORACLE = {
                round(covar_samp(l_quantity, l_extendedprice), 4)
                  AS covar_qty_price
         FROM lineitem
+    """,
+    "stats_supplier_trend": """
+        WITH monthly AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST((year(l_shipdate) - 1992) * 12
+                      + month(l_shipdate) - 1 AS BIGINT) AS x,
+                 sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                + 0.5) AS DECIMAL(18,0))) AS y
+          FROM lineitem GROUP BY 1, 2)
+        SELECT s_suppkey,
+               count(*) AS n_months,
+               CAST(sum(y) AS DOUBLE) / 100 AS total_rev,
+               round(CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                          AS DOUBLE)
+                     / nullif(CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                                   AS DOUBLE), 0.0) / 100, 6)
+                 AS slope_per_month
+        FROM monthly
+        GROUP BY s_suppkey
+        HAVING count(*) >= 2
     """,
     "histogram_order_totals": """
         -- DuckDB has no width_bucket; this is its exact arithmetic:
