@@ -8,7 +8,11 @@ reference's 749-point fixture).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from dbscan_spark.dbscan import dbscan, predict, train
 from dbscan_spark.functions import as_double_array
@@ -263,6 +267,74 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("pagerank"), "s_suppkey")
 
 
+_KM_K = 8
+_KM_ITERS = 5
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the 64-D embeddings (k=8, 5 iterations,
+    deterministic init = vectors 0..k-1) — the second iterative ML
+    operator beside DBSCAN, and the training loop behind ann_topk_ivf's
+    coarse quantizer, here exposed as a graded query.
+
+    Scale shape (the MLlib pattern): centroids are a k×d driver-side
+    matrix shipped in the Arrow UDF's closure (assignment is a pure map —
+    one batched GEMM-argmin per Arrow batch, no shuffle); the update is
+    explode(dim) → groupBy(cluster, dim) partial-aggregated sums, so the
+    shuffle moves ≤ partitions×k×d combiner rows, never n×d; the k×d
+    result is collected and requantized on the driver. Per-iteration
+    centroid quantization (floor half-up at 1e-4 — the same pure-IEEE
+    rule both engines share) pins the fixpoint: summation-order noise
+    (~1e-15) cannot survive a round, so the whole 5-round trajectory is
+    engine-independent and the DuckDB twin replays it exactly with a
+    recursive CTE (the same fixed-round replay as supplier_pagerank's
+    oracle). Empty clusters keep their previous centroid."""
+    import math
+
+    pts = _points_64d(spark, sf_dir).select("vec_id", "v").persist()
+
+    def _quant(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    init = (
+        pts.filter(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cent = np.array([[_quant(x) for x in r.v] for r in init])
+
+    def _assign_udf(c: np.ndarray):
+        @pandas_udf(T.LongType())
+        def assign(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype="int64")
+            V = np.stack(vs.to_numpy()).astype(np.float64)
+            d2 = ((V[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            return pd.Series(d2.argmin(1).astype("int64"))
+
+        return assign
+
+    for _ in range(_KM_ITERS):
+        assigned = pts.withColumn("cluster", _assign_udf(cent)("v"))
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cent.copy()  # empty clusters carry the previous centroid
+        for r in sums:
+            new[r.cluster, r.dim] = _quant(r.s / r.n)
+        cent = new
+    out = pts.withColumn("cluster", _assign_udf(cent)("v")).select(
+        "vec_id", "cluster"
+    )
+    pts.unpersist()
+    return out
+
+
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     supplier co-order graph — structural motif counting, the third graph
@@ -342,6 +414,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
     "graph_triangle_counts": graph_triangle_counts,
     "dbscan_flags": dbscan_flags,
     "dbscan_core_components": dbscan_core_components,
@@ -397,6 +470,60 @@ def _dbscan_core_ctes(src: str) -> str:
 # their traversal-INVARIANT faces — flags, canonical core components,
 # canonical predict — are exact-oracle-checked below.
 ORACLE: dict[str, str] = {
+    # Fixed-round Lloyd replay: the recursive working table holds the
+    # previous iteration's k×d centroid rows; each step reassigns every
+    # point (min distance, ties to the lowest cluster id) and emits the
+    # quantized new centroids, empty clusters carrying the old value via
+    # the LEFT JOIN. Per-iteration floor-half-up quantization at 1e-4 is
+    # part of the operator's definition on BOTH engines, which is what
+    # makes the 5-round trajectory engine-independent despite float
+    # summation-order noise.
+    "kmeans_embeddings": f"""
+        WITH RECURSIVE
+        ex AS (SELECT vec_id, u.dim, u.val FROM (
+                 SELECT vec_id,
+                        unnest(list_transform(embedding,
+                            (x, i) -> {{'dim': i - 1,
+                                        'val': CAST(x AS DOUBLE)}})) AS u
+                 FROM embeddings)),
+        it(i, cluster, dim, val) AS (
+          SELECT 0, vec_id, dim, floor(val * 10000 + 0.5) / 10000
+          FROM ex WHERE vec_id < {_KM_K}
+          UNION ALL
+          SELECT c.i + 1, c.cluster, c.dim, coalesce(n.val, c.val)
+          FROM it c LEFT JOIN (
+            WITH d AS (
+              SELECT e.vec_id, t.cluster,
+                     sum((e.val - t.val) * (e.val - t.val)) AS d2
+              FROM ex e JOIN it t USING (dim)
+              GROUP BY e.vec_id, t.cluster),
+            -- argmin via ONE window evaluation: a min-join would inline
+            -- the d CTE twice, and DuckDB's parallel float sums differ
+            -- per evaluation, so d2 = md equality breaks nondeterministically
+            best AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cluster) AS rn
+                FROM d) WHERE rn = 1)
+            SELECT b.cluster, e.dim,
+                   floor(avg(e.val) * 10000 + 0.5) / 10000 AS val
+            FROM best b JOIN ex e ON e.vec_id = b.vec_id
+            GROUP BY b.cluster, e.dim
+          ) n ON n.cluster = c.cluster AND n.dim = c.dim
+          WHERE c.i < {_KM_ITERS})
+        , final_d AS (
+          SELECT e.vec_id, t.cluster,
+                 sum((e.val - t.val) * (e.val - t.val)) AS d2
+          FROM ex e JOIN it t USING (dim)
+          WHERE t.i = {_KM_ITERS}
+          GROUP BY e.vec_id, t.cluster)
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cluster) AS rn
+          FROM final_d) WHERE rn = 1
+    """,
     # Same graph build as supplier_pagerank (distinct co-order pairs under
     # the S² cap); id-ordered triangle enumeration — the triangle SET is
     # orientation-independent, so this matches the degree-oriented Spark

@@ -98,6 +98,10 @@ def test_query_matches_oracle(spark, con, name):
         "ann_topk_pq",
         "dedup_cluster_cc",
         "supplier_pagerank",
+        "kmeans_embeddings",
+        "graph_triangle_counts",
+        "dbscan_flags",
+        "dbscan_core_components",
         "agg_heavy_hitters",
         "customers_rfm_segments",
         "parts_abc_analysis",
