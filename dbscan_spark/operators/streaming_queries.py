@@ -46,6 +46,22 @@ def streaming_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows, graded exactly: file stream →
+    watermarked per-user inactivity-gap (30 min) session aggregation →
+    availableNow drain into a complete-mode memory sink. Session state
+    merges adjacent windows as events arrive (the one windowed aggregate
+    whose extent is data-dependent); the complete-mode drain over
+    already-on-disk data equals the batch twin
+    (relational.window_session_events), whose gaps-and-islands SQL is
+    the oracle."""
+    src = se.read_events_stream(spark, se.events_stream_dir(sf_dir))
+    agg = se.streaming_session_counts(src)
+    name = f"streaming_session_totals_{next(_SEQ)}"
+    se.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 def streaming_merge_latest_state(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -76,6 +92,7 @@ def streaming_merge_latest_state(
 
 QUERIES = {
     "streaming_tumbling_totals": streaming_tumbling_totals,
+    "streaming_session_totals": streaming_session_totals,
     "streaming_merge_latest_state": streaming_merge_latest_state,
 }
 
@@ -88,6 +105,28 @@ ORACLE = {
                round(sum(value), 2) AS total_value
         FROM events
         GROUP BY 1, 2
+    """,
+    # identical to the batch twin window_session_events' oracle: Spark
+    # session windows are [start, last + gap), so a gap of exactly 30
+    # minutes starts a NEW session (>= in the break rule)
+    "streaming_session_totals": """
+        WITH marked AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ), sess AS (
+            SELECT user_id, us,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id, make_timestamp(min(us)) AS session_start,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
     """,
     "streaming_merge_latest_state": """
         WITH latest AS (
