@@ -76,13 +76,15 @@ def _operator_modules():
 # dedup_embedding_lsh + dedup_keep_best, both graded above it.
 #
 # ROUND 4: flip back — front-load (1) the queries still dark after r3:
-# the last 3 entries below (cut by the 50-row budget) plus the 13 added
-# during round 3 (corpus_train_split, text_contamination_bloom,
+# the 6 sacrifice entries below (cut by the 50-row budget) plus the 18
+# added during round 3 (corpus_train_split, text_contamination_bloom,
 # text_bpe_pair_merges, text_bigram_lm_quality, events_ewma_user_value,
 # events_scd2_user_state, layout_zorder_buckets, agg_incremental_daily,
-# streaming_tumbling_totals, streaming_merge_latest_state,
-# corpus_boilerplate_ngrams, text_lm_quality, embedding_quantize_int8 —
-# all pre-verified green at sf0.01 via tools/driver_sim.py), then (2)
+# streaming_tumbling_totals, streaming_session_totals,
+# streaming_merge_latest_state, corpus_boilerplate_ngrams,
+# text_lm_quality, embedding_quantize_int8, kmeans_embeddings,
+# graph_triangle_counts, stats_supplier_trend, dbscan_predict_canonical
+# — all pre-verified green at sf0.01 via tools/driver_sim.py), then (2)
 # the rounds-1/2 green set to re-confirm it.
 _R3_PRIORITY = [
     # fixed canonicalizer errors (r2 hard errors)

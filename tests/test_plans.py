@@ -436,3 +436,32 @@ def test_scd2_shares_user_exchange(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_triangle_counts_all_equi_joins(spark):
+    """Triangle counting must stay hash/sort-merge equi-joins end to end:
+    the closing-edge probe is rewritten onto an id-sorted canonical edge
+    copy precisely so no OR-of-orientations predicate degrades the wedge
+    close into a nested loop."""
+    plan = plan_of(spark, "graph_triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_zero_shuffle_map(spark):
+    """The final k-means assignment (the returned plan) must be scan →
+    Arrow eval → project with NO exchange: centroids travel in the UDF
+    closure, never as a joined/shuffled side."""
+    plan = plan_of(spark, "kmeans_embeddings")
+    tree = plan.split("\n\n")[0]
+    assert "ArrowEvalPython" in tree, tree
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_dbscan_flags_projection_reuses_pipeline(spark):
+    """dbscan_flags is a projection over the clustered result — it must
+    not re-run a second containment join on the full input (one
+    broadcast rect join feeding the kernel, as in the base pipeline)."""
+    plan = plan_of(spark, "dbscan_flags")
+    assert "CartesianProduct" not in plan
