@@ -2132,6 +2132,49 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per event type — the
+    heavy-tail-safe twin of zscore_outlier_orders: |value − median| >
+    3 · 1.4826 · MAD. Same scale shape: two tiny per-group aggregates
+    broadcast back onto the fact scan, never a full-table sort window.
+    Exact percentile is the right call for the BOUNDED group count here
+    (#event_types groups); at a 100 TB per-key cardinality the same
+    query swaps in approx_percentile — that variant is the sketch-pinned
+    agg_approx_percentiles.
+
+    Cross-engine determinism: the median and MAD are quantized to 1e-6
+    with the shared floor-half-up IEEE rule before use, so interpolation
+    formula differences between Spark's percentile and DuckDB's
+    quantile_cont (lo + (hi−lo)·f vs lo·(1−f) + hi·f — up to 1 ulp)
+    cannot propagate into the threshold comparison."""
+    e = _t(spark, sf_dir, "events")
+
+    def _q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    med = e.groupBy("event_type").agg(
+        _q6(F.expr("percentile(value, 0.5)")).alias("med")
+    )
+    j = e.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        _q6(
+            F.expr("percentile(abs(value - med), 0.5)")
+        ).alias("mad")
+    )
+    dev = F.col("value") - F.col("med")
+    score = dev / (F.lit(1.4826) * F.col("mad"))
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(dev) > F.lit(3 * 1.4826) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(score, 4).alias("robust_z"),
+        )
+    )
+
+
 def q12_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 (adapted: no l_shipmode column, so lines group by
     l_linestatus; 'late' = shipped >90 days after the order date): count
@@ -2747,6 +2790,7 @@ QUERIES = {
     "events_scd2_user_state": events_scd2_user_state,
     "stats_corr_lineitem": stats_corr_lineitem,
     "stats_supplier_trend": stats_supplier_trend,
+    "events_mad_outliers": events_mad_outliers,
     "histogram_order_totals": histogram_order_totals,
     "zscore_outlier_orders": zscore_outlier_orders,
     "agg_heavy_hitters": agg_heavy_hitters,
@@ -2952,6 +2996,26 @@ ORACLE = {
                round(covar_samp(l_quantity, l_extendedprice), 4)
                  AS covar_qty_price
         FROM lineitem
+    """,
+    "events_mad_outliers": """
+        WITH med AS (
+          SELECT event_type,
+                 floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000
+                   AS med
+          FROM events GROUP BY event_type),
+        mad AS (
+          SELECT e.event_type,
+                 floor(quantile_cont(abs(e.value - m.med), 0.5) * 1000000
+                       + 0.5) / 1000000 AS mad
+          FROM events e JOIN med m USING (event_type)
+          GROUP BY e.event_type)
+        SELECT e.event_id, e.event_type,
+               round(e.value, 2) AS value,
+               round((e.value - m.med) / (1.4826 * d.mad), 4) AS robust_z
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad
     """,
     "stats_supplier_trend": """
         WITH monthly AS (
