@@ -335,6 +335,31 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def corpus_cluster_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic corpus segmentation profile — the end-to-end composition
+    a training-data pipeline runs: k-means clusters over the embedding
+    space (kmeans_embeddings, exact-replayable) joined back onto the
+    paired documents row (vec_id ≡ doc_id) and profiled per cluster:
+    volume, average length, language mix. One broadcast-able join (the
+    assignment side carries only (vec_id, cluster)) + one tiny grouped
+    aggregate; the char average divides an exact BIGINT sum, so no
+    rounding tolerance is needed."""
+    assign = kmeans_embeddings(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return (
+        assign.join(docs, assign.vec_id == docs.doc_id)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     supplier co-order graph — structural motif counting, the third graph
@@ -415,6 +440,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
+    "corpus_cluster_profiles": corpus_cluster_profiles,
     "graph_triangle_counts": graph_triangle_counts,
     "dbscan_flags": dbscan_flags,
     "dbscan_core_components": dbscan_core_components,
@@ -469,16 +495,15 @@ def _dbscan_core_ctes(src: str) -> str:
 # remain rows-only (ids are traversal-order-dependent, SURVEY §2.3 P3);
 # their traversal-INVARIANT faces — flags, canonical core components,
 # canonical predict — are exact-oracle-checked below.
-ORACLE: dict[str, str] = {
-    # Fixed-round Lloyd replay: the recursive working table holds the
-    # previous iteration's k×d centroid rows; each step reassigns every
-    # point (min distance, ties to the lowest cluster id) and emits the
-    # quantized new centroids, empty clusters carrying the old value via
-    # the LEFT JOIN. Per-iteration floor-half-up quantization at 1e-4 is
-    # part of the operator's definition on BOTH engines, which is what
-    # makes the 5-round trajectory engine-independent despite float
-    # summation-order noise.
-    "kmeans_embeddings": f"""
+# Fixed-round Lloyd replay: the recursive working table holds the
+# previous iteration's k×d centroid rows; each step reassigns every
+# point (min distance, ties to the lowest cluster id) and emits the
+# quantized new centroids, empty clusters carrying the old value via
+# the LEFT JOIN. Per-iteration floor-half-up quantization at 1e-4 is
+# part of the operator's definition on BOTH engines, which is what
+# makes the 5-round trajectory engine-independent despite float
+# summation-order noise.
+_KMEANS_ORACLE = f"""
         WITH RECURSIVE
         ex AS (SELECT vec_id, u.dim, u.val FROM (
                  SELECT vec_id,
@@ -523,6 +548,22 @@ ORACLE: dict[str, str] = {
                  row_number() OVER (PARTITION BY vec_id
                                     ORDER BY d2, cluster) AS rn
           FROM final_d) WHERE rn = 1
+"""
+
+ORACLE: dict[str, str] = {
+    "kmeans_embeddings": _KMEANS_ORACLE,
+    # k-means assignments (the full recursive replay inlined as a CTE)
+    # joined onto the paired documents row and profiled; the char
+    # average divides an exact BIGINT sum — no rounding tolerance.
+    "corpus_cluster_profiles": f"""
+        WITH a AS ({_KMEANS_ORACLE})
+        SELECT a.cluster,
+               count(*) AS n_docs,
+               avg(d.n_chars) AS avg_chars,
+               CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en
+        FROM a JOIN documents d ON d.doc_id = a.vec_id
+        GROUP BY a.cluster ORDER BY a.cluster
     """,
     # Same graph build as supplier_pagerank (distinct co-order pairs under
     # the S² cap); id-ordered triangle enumeration — the triangle SET is
