@@ -132,6 +132,23 @@ def dbscan_core_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dbscan_flags_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traversal-invariant flags for the FULL-64-D pipeline — hash-gates
+    the n-D generalization the reference lacks (it hardwires 2-D,
+    DBSCANPoint.scala:33-34): spatial partitioning on the first two
+    components, margin duplication by the projection bound, exact
+    distance over all 64 dims inside the kernel. The oracle recomputes
+    the 64-D ε-graph brute-force with DuckDB list lambdas."""
+    out = dbscan(
+        _points_64d(spark, sf_dir),
+        eps=1.15,
+        min_points=4,
+        max_points_per_partition=2500,
+        features_col="v",
+    )
+    return out.select("vec_id", "flag")
+
+
 def dbscan_predict_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holdout labeling with canonical cluster ids — the exact-oracle twin
     of dbscan_predict_holdout. The model's clusters are relabeled to
@@ -443,6 +460,7 @@ QUERIES = {
     "corpus_cluster_profiles": corpus_cluster_profiles,
     "graph_triangle_counts": graph_triangle_counts,
     "dbscan_flags": dbscan_flags,
+    "dbscan_flags_64d": dbscan_flags_64d,
     "dbscan_core_components": dbscan_core_components,
     "dbscan_predict_canonical": dbscan_predict_canonical,
     "dbscan_embeddings": dbscan_embeddings,
@@ -612,6 +630,29 @@ ORACLE: dict[str, str] = {
                    + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05),
         deg AS (SELECT a_id AS vec_id, count(*) AS cnt FROM nbr GROUP BY a_id),
         cores AS (SELECT vec_id FROM deg WHERE cnt >= 5)
+        SELECT d.vec_id,
+               CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+                    WHEN EXISTS (SELECT 1 FROM nbr n JOIN cores c2
+                                 ON n.b_id = c2.vec_id
+                                 WHERE n.a_id = d.vec_id) THEN 'border'
+                    ELSE 'noise' END AS flag
+        FROM deg d LEFT JOIN cores c USING (vec_id)
+    """,
+    # n-D twin of dbscan_flags: ε-graph over the FULL 64-D distance via
+    # list lambdas (i is 1-based). Distance sums differ from the Spark
+    # kernel's numpy pairwise summation only at ~1e-15 — a threshold
+    # flip needs a pair exactly ON the ε boundary, which random floats
+    # never are.
+    "dbscan_flags_64d": """
+        WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+        nbr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM pts a JOIN pts b
+                  ON list_sum(list_transform(a.v,
+                       (x, i) -> (x - b.v[i]) * (x - b.v[i])))
+                     <= 1.15 * 1.15),
+        deg AS (SELECT a_id AS vec_id, count(*) AS cnt FROM nbr GROUP BY a_id),
+        cores AS (SELECT vec_id FROM deg WHERE cnt >= 4)
         SELECT d.vec_id,
                CASE WHEN c.vec_id IS NOT NULL THEN 'core'
                     WHEN EXISTS (SELECT 1 FROM nbr n JOIN cores c2
