@@ -2132,6 +2132,72 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff) — the migration/backfill
+    validation op: given two versions of a table, classify every key as
+    inserted / deleted / changed (with the changed column) / unchanged,
+    in ONE key-aligned full-outer join. The 'new' snapshot is derived
+    deterministically in-query (modular-key deletes, a price restatement
+    slice, synthesized inserts) so both engines diff identical inputs.
+
+    At 100 TB this is the same single-shuffle shape as MERGE
+    (merge_upsert_orders): both snapshots align on the key exchange, and
+    bucketed layouts make it zero-shuffle. Only non-unchanged rows are
+    returned — the diff output is small even when the tables are not."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    new = (
+        o.filter(key % 37 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 11 == 0, F.col("o_totalprice") * 1.1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.filter(key % 53 == 0).select(
+                (key + 10000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+    )
+    old_s = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    new_s = new.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    d = old_s.join(new_s, "k", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), F.lit("insert"))
+        .when(F.col("new_price").isNull(), F.lit("delete"))
+        .when(F.col("old_price") != F.col("new_price"), F.lit("change"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        d.withColumn("change_type", change)
+        .filter(F.col("change_type") != "unchanged")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            "change_type",
+            # floor-based half-up: the restated price v*1.1 lands on
+            # .xx5 boundaries where Spark's BigDecimal round and
+            # DuckDB's float round disagree
+            (F.floor(F.col("old_price") * 100 + F.lit(0.5)) / 100).alias(
+                "old_price"
+            ),
+            (F.floor(F.col("new_price") * 100 + F.lit(0.5)) / 100).alias(
+                "new_price"
+            ),
+        )
+    )
+
+
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) outlier detection per event type — the
     heavy-tail-safe twin of zscore_outlier_orders: |value − median| >
@@ -2791,6 +2857,7 @@ QUERIES = {
     "stats_corr_lineitem": stats_corr_lineitem,
     "stats_supplier_trend": stats_supplier_trend,
     "events_mad_outliers": events_mad_outliers,
+    "snapshot_diff_orders": snapshot_diff_orders,
     "histogram_order_totals": histogram_order_totals,
     "zscore_outlier_orders": zscore_outlier_orders,
     "agg_heavy_hitters": agg_heavy_hitters,
@@ -2996,6 +3063,35 @@ ORACLE = {
                round(covar_samp(l_quantity, l_extendedprice), 4)
                  AS covar_qty_price
         FROM lineitem
+    """,
+    "snapshot_diff_orders": """
+        WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        new_snap AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 1.1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM o WHERE o_orderkey % 37 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM o WHERE o_orderkey % 53 = 0),
+        d AS (
+          SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                 a.o_totalprice AS old_price,
+                 b.o_totalprice AS new_price
+          FROM o a FULL OUTER JOIN new_snap b
+            ON a.o_orderkey = b.o_orderkey)
+        SELECT o_orderkey,
+               CASE WHEN old_price IS NULL THEN 'insert'
+                    WHEN new_price IS NULL THEN 'delete'
+                    WHEN old_price <> new_price THEN 'change'
+                    ELSE 'unchanged' END AS change_type,
+               floor(old_price * 100 + 0.5) / 100 AS old_price,
+               floor(new_price * 100 + 0.5) / 100 AS new_price
+        FROM d
+        WHERE CASE WHEN old_price IS NULL THEN 'insert'
+                   WHEN new_price IS NULL THEN 'delete'
+                   WHEN old_price <> new_price THEN 'change'
+                   ELSE 'unchanged' END <> 'unchanged'
     """,
     "events_mad_outliers": """
         WITH med AS (
