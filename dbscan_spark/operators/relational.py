@@ -1853,6 +1853,71 @@ def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream transition matrix: counts of consecutive event-type
+    pairs per user ordered by (ts, event_id) — the Markov-chain path
+    analysis behind next-action models. ONE user-keyed sort window
+    computes the predecessor, then the pair rollup partial-aggregates
+    map-side; the shuffle after the lag carries only (#types² keys)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        e.select("user_id", "event_type", prev.alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap counting: how many user sessions (30-minute-gap
+    sessionization) are open during each hour — the concurrency/backlog
+    timeline op. Sessions collapse to [start, end] intervals, each
+    interval EXPLODES to the hour buckets it spans (sequence() — the
+    explode factor is bounded by session duration, never the timeline
+    length), and a plain count per bucket follows. This is the scalable
+    restatement of the +1/−1 global running sum, which would need one
+    totally-ordered window over the whole timeline."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_break = F.when(
+        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        e.select(
+            "user_id",
+            "ts",
+            F.sum(gap_break).over(wsum).cast("long").alias("session_no"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("t"))
+    )
+    hour = F.explode(
+        F.sequence(
+            F.date_trunc("hour", F.col("s")),
+            F.date_trunc("hour", F.col("t")),
+            F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+    return (
+        sess.select(hour.alias("hour"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_open_sessions"))
+        .orderBy("hour")
+    )
+
+
 def agg_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-incremental aggregate maintenance: the historical rollup
     (orders before 1998) is computed separately from the newest
@@ -2858,6 +2923,8 @@ QUERIES = {
     "stats_supplier_trend": stats_supplier_trend,
     "events_mad_outliers": events_mad_outliers,
     "snapshot_diff_orders": snapshot_diff_orders,
+    "events_path_transitions": events_path_transitions,
+    "events_concurrency_hourly": events_concurrency_hourly,
     "histogram_order_totals": histogram_order_totals,
     "zscore_outlier_orders": zscore_outlier_orders,
     "agg_heavy_hitters": agg_heavy_hitters,
@@ -3063,6 +3130,43 @@ ORACLE = {
                round(covar_samp(l_quantity, l_extendedprice), 4)
                  AS covar_qty_price
         FROM lineitem
+    """,
+    "events_path_transitions": """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type AS from_type,
+               event_type AS to_type,
+               count(*) AS n_transitions,
+               count(DISTINCT user_id) AS n_users
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "events_concurrency_hourly": """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                              > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked),
+        iv AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS t
+               FROM sess GROUP BY user_id, sid),
+        hours AS (
+          SELECT unnest(generate_series(date_trunc('hour', s),
+                                        date_trunc('hour', t),
+                                        INTERVAL 1 HOUR)) AS hour
+          FROM iv)
+        SELECT hour, count(*) AS n_open_sessions
+        FROM hours GROUP BY hour ORDER BY hour
     """,
     "snapshot_diff_orders": """
         WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
