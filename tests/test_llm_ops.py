@@ -575,3 +575,76 @@ def test_train_split_deterministic_and_partitions(spark):
     n_total = text.load_table(spark, SF_TINY, "documents").count()
     assert total == n_total  # exactly one split per doc
     assert a["train"][0] / total > 0.85
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Every k-means assignment must match an independent driver-side
+    numpy Lloyd run with the same spec: vectors 0..k-1 init, 5 rounds,
+    per-round floor-half-up 1e-4 centroid quantization, argmin ties to
+    the lowest cluster id, empty clusters carrying the old centroid."""
+    import math
+
+    import numpy as np
+
+    from dbscan_spark.io import load_table
+    from dbscan_spark.operators import ml
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in ml.kmeans_embeddings(spark, SF_TINY).collect()
+    }
+    rows = (
+        load_table(spark, SF_TINY, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+
+    def quant(a):
+        return np.floor(a * 10000 + 0.5) / 10000
+
+    cent = quant(V[ids < ml._KM_K][np.argsort(ids[ids < ml._KM_K])])
+    for _ in range(ml._KM_ITERS):
+        d2 = ((V[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        new = cent.copy()
+        for c in range(ml._KM_K):
+            if (a == c).any():
+                new[c] = quant(V[a == c].mean(0))
+        cent = new
+    final = ((V[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+    want = dict(zip(ids.tolist(), final.tolist()))
+    assert got == want
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Per-node triangle counts from the degree-oriented wedge join must
+    equal brute-force enumeration over the collected edge set."""
+    from itertools import combinations
+
+    from dbscan_spark.io import load_table
+    from dbscan_spark.operators import ml
+
+    got = {
+        r["s_suppkey"]: (r["degree"], r["triangles"])
+        for r in ml.graph_triangle_counts(spark, SF_TINY).collect()
+    }
+    l = load_table(spark, SF_TINY, "lineitem")
+    pairs = ml._co_order_pairs(
+        l.select("l_orderkey", "l_suppkey")
+    ).collect()
+    edges = {(r["s1"], r["s2"]) for r in pairs}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            if (min(a, b), max(a, b)) in edges:
+                tri[n] += 1
+    want = {n: (len(adj[n]), tri[n]) for n in adj}
+    assert got == want
