@@ -955,6 +955,26 @@ def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct users per 1-hour window sliding every 30 minutes — the
+    concurrent-audience metric. DISTINCT aggregation cannot map-side
+    combine like the plain counts (Spark plans the two-phase
+    distinct-expand), and each event lands in window/slide = 2 windows;
+    at 100 TB per-key cardinality the drop-in replacement is
+    approx_count_distinct (the HLL leg, agg_approx_distinct)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_users", "n_events")
+    )
+
+
 def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap."""
     e = _t(spark, sf_dir, "events")
@@ -2924,6 +2944,7 @@ QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "snapshot_diff_orders": snapshot_diff_orders,
     "events_path_transitions": events_path_transitions,
+    "window_sliding_distinct_users": window_sliding_distinct_users,
     "events_concurrency_hourly": events_concurrency_hourly,
     "histogram_order_totals": histogram_order_totals,
     "zscore_outlier_orders": zscore_outlier_orders,
@@ -3874,6 +3895,20 @@ ORACLE = {
                    epoch_us(ts) AS us
             FROM events)
         WHERE us >= s AND us < s + 600000000
+        GROUP BY 1
+    """,
+    "window_sliding_distinct_users": """
+        SELECT make_timestamp(s) AS w_start,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM (
+            SELECT unnest([(epoch_us(ts) // 1800000000) * 1800000000,
+                           (epoch_us(ts) // 1800000000) * 1800000000
+                             - 1800000000]) AS s,
+                   epoch_us(ts) AS us,
+                   user_id
+            FROM events)
+        WHERE us >= s AND us < s + 3600000000
         GROUP BY 1
     """,
     "window_session_events": """
