@@ -83,7 +83,11 @@ def _operator_modules():
 # streaming_tumbling_totals, streaming_session_totals,
 # streaming_merge_latest_state, corpus_boilerplate_ngrams,
 # text_lm_quality, embedding_quantize_int8, kmeans_embeddings,
-# graph_triangle_counts, stats_supplier_trend, dbscan_predict_canonical
+# graph_triangle_counts, stats_supplier_trend, dbscan_predict_canonical,
+# events_mad_outliers, snapshot_diff_orders, events_path_transitions,
+# window_sliding_distinct_users, events_concurrency_hourly,
+# corpus_cluster_profiles, dbscan_flags_64d, events_ohlc_daily,
+# window_cume_dist_spend, skyline_pareto_parts, events_gapfill_interp
 # — all pre-verified green at sf0.01 via tools/driver_sim.py), then (2)
 # the rounds-1/2 green set to re-confirm it.
 _R3_PRIORITY = [

@@ -2844,6 +2844,146 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) OHLC resample bars — the downsampling shape every
+    metrics/market pipeline needs: open = first value by event time,
+    close = last, plus high/low/volume. Single groupBy with min_by/max_by
+    ordered by the (ts, event_id) struct (the id breaks same-timestamp
+    ties deterministically), so open/close come out of the SAME partial-
+    aggregated shuffle as high/low — no window pass, no second exchange.
+    At 100 TB this is one scan + one fixed-width shuffle on (user, day)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.round(F.min_by("value", tkey), 4).alias("open_v"),
+            F.round(F.max("value"), 4).alias("high_v"),
+            F.round(F.min("value"), 4).alias("low_v"),
+            F.round(F.max_by("value", tkey), 4).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def window_cume_dist_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows (percent_rank + cume_dist) of each
+    customer's lifetime spend within their nation — the percentile-
+    position twin of window_ntile_deciles. Spend is rounded BEFORE
+    ranking so float summation order can't create engine-specific ties.
+    One shuffle for the per-customer agg, one for the per-nation window;
+    the broadcast nation dim adds none."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.partitionBy("n_name").orderBy("spend", "o_custkey")
+    return (
+        spend.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_custkey").alias("custkey"),
+            "spend",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+    )
+
+
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (cheaper-or-equal price, bigger-or-equal size, strict in one). The
+    naive operator is the O(n²) NOT EXISTS self-join (the oracle runs
+    exactly that); this plan is the O(n log n) distributed shape: per-
+    price max-size aggregates (fully partial, distributed), then a
+    running strictly-before max over the DISTINCT-PRICE frame only —
+    bounded by |distinct prices|, orders of magnitude smaller than the
+    table — and a broadcast join back. At 100 TB you'd range-partition
+    the running max; the per-row work stays one scan + one tiny join."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("max_size_at_price")
+    )
+    w_before = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_stats = per_price.select(
+        "p_retailprice",
+        "max_size_at_price",
+        F.max("max_size_at_price").over(w_before).alias("max_size_cheaper"),
+    )
+    return (
+        p.join(F.broadcast(frontier_stats), "p_retailprice")
+        .filter(
+            (
+                F.col("max_size_cheaper").isNull()
+                | (F.col("max_size_cheaper") < F.col("p_size"))
+            )
+            & (F.col("max_size_at_price") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size"))
+    )
+
+
+def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with LINEAR interpolation (the interpolate() pairing
+    to locf/zero-fill): gap hours get the time-weighted blend of the
+    neighboring observed hourly sums; edges fall back to the nearest
+    observation. Forward/backward ignore-null window passes run over the
+    spine-sized frame (types × hours), never the raw events; inputs are
+    pre-rounded so both engines interpolate identical numbers."""
+    joined = _hourly_spine_joined(_t(spark, sf_dir, "events"))
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("sum_value").isNotNull(), F.col("hr"))
+    prev_v = F.last("sum_value", ignorenulls=True).over(w_b)
+    next_v = F.first("sum_value", ignorenulls=True).over(w_f)
+    prev_t = F.last(obs_hr, ignorenulls=True).over(w_b).cast("long")
+    next_t = F.first(obs_hr, ignorenulls=True).over(w_f).cast("long")
+    t = F.col("hr").cast("long")
+    # interpolation in integer (cents × seconds) space: the 2dp inputs
+    # become exact cent integers, the time weights are exact second
+    # integers, and half-up rounding to 4dp is one floor — so both
+    # engines produce bit-identical doubles (float midpoints like
+    # 10.63375 otherwise round differently per engine's binary repr)
+    prev_c = F.round(prev_v * 100).cast("long")
+    next_c = F.round(next_v * 100).cast("long")
+    d = next_t - prev_t
+    c = prev_c * (next_t - t) + next_c * (t - prev_t)
+    interp_mid = F.floor((200 * c + d) / (2 * d)) / F.lit(10000.0)
+    interp = F.when(F.col("sum_value").isNotNull(), F.col("sum_value")).otherwise(
+        F.when(prev_v.isNull(), next_v).otherwise(
+            F.when(next_v.isNull(), prev_v).otherwise(interp_mid)
+        )
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        interp.alias("sum_value_interp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -2958,9 +3098,100 @@ QUERIES = {
     "customers_rfm_segments": customers_rfm_segments,
     "parts_abc_analysis": parts_abc_analysis,
     "events_audience_overlap": events_audience_overlap,
+    "events_ohlc_daily": events_ohlc_daily,
+    "window_cume_dist_spend": window_cume_dist_spend,
+    "skyline_pareto_parts": skyline_pareto_parts,
+    "events_gapfill_interp": events_gapfill_interp,
 }
 
 ORACLE = {
+    "events_ohlc_daily": """
+        WITH r AS (
+          SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 value,
+                 row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events WHERE value IS NOT NULL)
+        SELECT user_id, day,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open_v,
+               round(max(value), 4) AS high_v,
+               round(min(value), 4) AS low_v,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close_v,
+               count(*) AS n_events
+        FROM r GROUP BY user_id, day
+    """,
+    "window_cume_dist_spend": """
+        WITH spend AS (
+          SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+          FROM orders GROUP BY o_custkey)
+        SELECT n_name AS nation, o_custkey AS custkey, spend,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume_dist
+        FROM spend
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY spend, o_custkey)
+    """,
+    "skyline_pareto_parts": """
+        SELECT p.p_partkey, p.p_retailprice,
+               CAST(p.p_size AS BIGINT) AS p_size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice
+            AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice
+                 OR q.p_size > p.p_size))
+    """,
+    "events_gapfill_interp": """
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                          date_trunc('hour', max(ts)) AS h1 FROM events),
+        types AS (SELECT DISTINCT event_type FROM events),
+        spine AS (SELECT event_type,
+                         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+                  FROM types, b),
+        agg AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                       count(*) AS n_events, round(sum(value), 2) AS sv
+                FROM events GROUP BY 1, 2),
+        j AS (SELECT s.event_type, s.hr, a.n_events, a.sv
+              FROM spine s
+              LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr),
+        w AS (SELECT event_type, hr, n_events, sv,
+                     last_value(sv IGNORE NULLS) OVER wb AS prev_v,
+                     first_value(sv IGNORE NULLS) OVER wf AS next_v,
+                     CAST(epoch(last_value(CASE WHEN sv IS NOT NULL THEN hr END
+                         IGNORE NULLS) OVER wb) AS BIGINT) AS prev_t,
+                     CAST(epoch(first_value(CASE WHEN sv IS NOT NULL THEN hr END
+                         IGNORE NULLS) OVER wf) AS BIGINT) AS next_t
+              FROM j
+              WINDOW wb AS (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        -- interpolation in integer (cents × seconds) space, half-up via
+        -- one floor — matches the Spark side bit-for-bit
+        i AS (SELECT *,
+                     CAST(round(prev_v * 100) AS BIGINT) AS prev_c,
+                     CAST(round(next_v * 100) AS BIGINT) AS next_c,
+                     next_t - prev_t AS d,
+                     CAST(epoch(hr) AS BIGINT) AS tt
+              FROM w)
+        SELECT event_type,
+               strftime(hr, '%Y-%m-%d %H:00') AS hour,
+               coalesce(n_events, 0) AS n_events,
+               CASE WHEN sv IS NOT NULL THEN sv
+                    WHEN prev_v IS NULL THEN next_v
+                    WHEN next_v IS NULL THEN prev_v
+                    ELSE floor((200 * (prev_c * (next_t - tt)
+                                       + next_c * (tt - prev_t)) + d)
+                               / (2 * d)) / 10000.0
+               END AS sum_value_interp
+        FROM i
+    """,
     # the identical string Spark executes — see sql_api_nation_revenue
     "sql_api_nation_revenue": _PORTABLE_SQL,
     "events_audience_overlap": """
