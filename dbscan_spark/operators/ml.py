@@ -455,7 +455,55 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS reachability (min-hops) from a canonical seed supplier
+    over the co-order graph — the traversal face of the graph family
+    next to pagerank (importance) and triangle counts (local structure).
+
+    Seed = the graph's minimum supplier key, computed as a 1-row
+    aggregate on the edge list (no driver collect). Each of the 3 hops
+    is ONE edges⋈frontier equi-join + distinct + anti-join against the
+    visited set, so per-round shuffle is bounded by |edges| and the
+    anti-join guarantees min-hop labels without a final re-aggregation.
+    Three rounds need no lineage checkpoint (linear chain). At 100 TB
+    the edge list co-partitions with the frontier on src after round 1;
+    frontier size is monotone-bounded by |V|.
+
+    Edge build reuses :func:`_co_order_pairs` (collect_set + row-local
+    HOF pair expansion, skew-capped). Exact DuckDB oracle: recursive CTE
+    over the same distinct co-order pairs with UNION-dedup per (node,
+    hop) level, grouped to min(hop)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = _co_order_pairs(l.select("l_orderkey", "l_suppkey")).select(
+        "s1", "s2"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    ).persist()
+    seed = F.broadcast(edges.agg(F.min("s1").alias("node")))
+    visited = seed.withColumn("min_hops", F.lit(0).cast("long"))
+    frontier = visited.select("node")
+    for hop in range(1, 4):
+        frontier = (
+            # no broadcast hint: a BFS frontier can approach |V|, so the
+            # join side choice is left to AQE's runtime size stats
+            edges.join(frontier, edges.s1 == frontier.node)
+            .select(F.col("s2").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist()
+        )
+        visited = visited.union(
+            frontier.withColumn("min_hops", F.lit(hop).cast("long"))
+        ).persist()
+    out = visited.select(F.col("node").alias("suppkey"), "min_hops")
+    out = out.localCheckpoint()  # materialize before unpersisting inputs
+    edges.unpersist()
+    return out
+
+
 QUERIES = {
+    "graph_bfs_reach": graph_bfs_reach,
     "kmeans_embeddings": kmeans_embeddings,
     "corpus_cluster_profiles": corpus_cluster_profiles,
     "graph_triangle_counts": graph_triangle_counts,
@@ -569,6 +617,28 @@ _KMEANS_ORACLE = f"""
 """
 
 ORACLE: dict[str, str] = {
+    # same co-order edge set (the skew cap is a no-op on TPC-H order
+    # sizes — pinned by the skew unit test), BFS as a recursive CTE with
+    # UNION dedup bounding each level by |V| × hops, min-hop via GROUP BY
+    "graph_bfs_reach": """
+        WITH RECURSIVE pairs AS (
+          SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+          FROM lineitem a
+          JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        edges AS (SELECT s1 AS src, s2 AS dst FROM pairs
+                  UNION ALL
+                  SELECT s2, s1 FROM pairs),
+        seed AS (SELECT min(src) AS node FROM edges),
+        walk(node, hop) AS (
+          SELECT node, 0 FROM seed
+          UNION
+          SELECT e.dst, w.hop + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.hop < 3)
+        SELECT node AS suppkey, CAST(min(hop) AS BIGINT) AS min_hops
+        FROM walk GROUP BY node
+    """,
     "kmeans_embeddings": _KMEANS_ORACLE,
     # k-means assignments (the full recursive replay inlined as a CTE)
     # joined onto the paired documents row and profiled; the char

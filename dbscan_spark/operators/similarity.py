@@ -635,8 +635,46 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cosine radius for the range search — below the synthetic corpus's top
+#: cosine (≈0.5) so every query returns a non-trivial, bounded ring
+RANGE_COS_THRESHOLD = 0.35
+
+
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine RANGE search (radius query): every corpus vector
+    within cos ≥ τ of each query vector — the fixed-radius companion to
+    ann_topk_bruteforce's top-k (dedup wants a radius, recommendation
+    wants a k; an engine needs both faces). Same scale shape as the
+    top-k baseline: the bounded query side broadcasts, the corpus
+    streams through a zero-shuffle JVM-side dot product, and — unlike
+    top-k — there is NO window/sort at all, the radius predicate alone
+    filters, so the whole plan is one broadcast nested-loop map. The
+    LSH/IVF pruned variants (ann_topk_*) are the 100 TB path; this is
+    the exact anchor they're recall-pinned against."""
+    e = _embeddings_with_norms(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4
+    )
+    return (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_COS_THRESHOLD)
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "similarity_range_search": similarity_range_search,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_pq": ann_topk_pq,
@@ -645,6 +683,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "similarity_range_search": f"""
+        SELECT q.vec_id AS query_id,
+               e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+          AND round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]), 4)
+              >= {RANGE_COS_THRESHOLD}
+    """,
     "ann_topk_bruteforce": f"""
         SELECT query_id, neighbor_id, cos_sim, rnk FROM (
             SELECT q.vec_id AS query_id,

@@ -847,7 +847,42 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# both patterns use only character classes + bounded quantifiers, the
+# regex subset where Java (Spark) and RE2 (DuckDB) semantics coincide
+_PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_NUM_RE = r"[0-9]{4,}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass — the compliance scrub every training corpus
+    goes through before the tokenizer: e-mail addresses → <EMAIL>, long
+    digit runs (phone/account/ids) → <NUM>. Returns per-doc redaction
+    counts plus the scrubbed text's hash + length (the hash proves the
+    replacement text itself matches cross-engine, not just the counts).
+    Pure per-row projection: JVM-side regexes, zero shuffles at any
+    scale; counts come from regexp_extract_all on the ORIGINAL text so
+    the two patterns count independently of replacement order."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_NUM_RE,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PII_EMAIL_RE), F.lit(0))
+        ).cast("long").alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PII_NUM_RE), F.lit(0))
+        ).cast("long").alias("n_long_nums"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 QUERIES = {
+    "text_pii_scrub": text_pii_scrub,
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
@@ -879,6 +914,22 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "text_pii_scrub": f"""
+        WITH s AS (
+          SELECT doc_id, text,
+                 regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PII_NUM_RE}', '<NUM>', 'g') AS scrubbed
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_NUM_RE}'))
+                    AS BIGINT) AS n_long_nums,
+               CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+               md5(scrubbed) AS scrubbed_md5
+        FROM s
+    """,
     "corpus_train_split": f"""
         WITH tagged AS (
           SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
