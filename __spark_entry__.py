@@ -88,7 +88,8 @@ def _operator_modules():
 # window_sliding_distinct_users, events_concurrency_hourly,
 # corpus_cluster_profiles, dbscan_flags_64d, events_ohlc_daily,
 # window_cume_dist_spend, skyline_pareto_parts, events_gapfill_interp,
-# similarity_range_search, graph_bfs_reach, text_pii_scrub
+# similarity_range_search, graph_bfs_reach, text_pii_scrub,
+# dedup_containment, basket_part_affinity, multimodal_chunk_dedup
 # — all pre-verified green at sf0.01 via tools/driver_sim.py), then (2)
 # the rounds-1/2 green set to re-confirm it.
 _R3_PRIORITY = [

@@ -148,6 +148,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle CONTAINMENT — the partial-duplication detector
+    Jaccard misses: a short doc pasted inside a long one scores
+    |A∩B|/|A| ≈ 1 while Jaccard stays tiny (the symmetric union term
+    swamps it). Flags pairs where either direction ≥ 0.7. Same
+    exact-anchor role and quadratic shape as dedup_ngram_jaccard (one
+    shingle self-join feeding BOTH queries' semantics); the MinHash-LSH
+    banding is the 100 TB path for this too, with the band recall then
+    re-verified against containment instead of Jaccard."""
+    hs = _doc_shingle_hashes(spark, sf_dir).persist()
+    sh = hs.select("doc_id", F.explode("hs").alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnt = hs.select("doc_id", F.size("hs").alias("n"))
+    n1 = cnt.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = cnt.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    c_1in2 = F.floor(F.col("c") / F.col("n1") * 10000 + F.lit(0.5)) / 10000
+    c_2in1 = F.floor(F.col("c") / F.col("n2") * 10000 + F.lit(0.5)) / 10000
+    return (
+        common.join(n1, "doc1")
+        .join(n2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            c_1in2.alias("containment_1in2"),
+            c_2in1.alias("containment_2in1"),
+        )
+        .filter(
+            (F.col("containment_1in2") >= CONTAINMENT_THRESHOLD)
+            | (F.col("containment_2in1") >= CONTAINMENT_THRESHOLD)
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH (the scale path for near-dup)
 # ---------------------------------------------------------------------------
@@ -628,6 +675,7 @@ QUERIES = {
     "dedup_minhash_lsh": _minhash_lsh_pairs_cached,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     # last on purpose: the iterative fixpoint re-runs the LSH pipeline and
     # is the most expensive dedup entry — it must never starve the cheap
@@ -648,6 +696,25 @@ ORACLE = {
                min(doc_id) AS keep_id,
                count(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    "dedup_containment": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc1, doc2,
+               floor(c * 1.0 / x.n * 10000 + 0.5) / 10000 AS containment_1in2,
+               floor(c * 1.0 / y.n * 10000 + 0.5) / 10000 AS containment_2in1
+        FROM common
+        JOIN cnt x ON doc1 = x.doc_id
+        JOIN cnt y ON doc2 = y.doc_id
+        WHERE floor(c * 1.0 / x.n * 10000 + 0.5) / 10000
+              >= {CONTAINMENT_THRESHOLD}
+           OR floor(c * 1.0 / y.n * 10000 + 0.5) / 10000
+              >= {CONTAINMENT_THRESHOLD}
     """,
     "dedup_ngram_jaccard": f"""
         WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),

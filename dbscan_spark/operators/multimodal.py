@@ -253,7 +253,35 @@ def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level (chunk) dedup over opaque payloads — the
+    content-addressable-storage primitive binary/multimodal stores use:
+    split each payload into fixed 256-unit chunks, hash each chunk, and
+    report chunks shared across documents (shared blocks get stored
+    once; production systems refine this with content-defined rolling
+    boundaries, same downstream shape). Chunking is a row-local HOF
+    transform + explode — ZERO shuffle until the one hash-aggregate on
+    chunk_hash, whose keys are fixed-width digests (perfectly
+    hash-partitionable at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        "transform(sequence(0, int(floor((length(text) - 1) / 256))),"
+        " i -> md5(substring(text, i * 256 + 1, 256)))"
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 QUERIES = {
+    "multimodal_chunk_dedup": multimodal_chunk_dedup,
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_size_histogram": multimodal_size_histogram,
     "multimodal_feature_extract": multimodal_feature_extract,
@@ -286,6 +314,21 @@ _E8 = ", ".join(
 )
 
 ORACLE = {
+    "multimodal_chunk_dedup": """
+        WITH ch AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(0, CAST(floor((length(text) - 1) / 256) AS BIGINT) + 1),
+                   i -> md5(substring(text, CAST(i * 256 + 1 AS INT), 256))))
+                 AS chunk_hash
+          FROM documents)
+        SELECT chunk_hash,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_copies,
+               min(doc_id) AS keep_doc
+        FROM ch GROUP BY chunk_hash
+        HAVING count(DISTINCT doc_id) > 1
+    """,
     # Arrow feature extraction is reproducible in SQL: integer byte sums
     # Σx and Σx² are float64-exact in any order, the mean/std derive
     # from them with single IEEE ops, and histo16's integers render

@@ -2984,6 +2984,66 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (association rules) over order baskets:
+    co-occurrence count + lift for part pairs bought together in ≥ 3
+    orders. The classic a-priori first stage, shaped for scale: ONE
+    shuffle collects each order's distinct part set, pairs expand
+    ROW-LOCALLY from the sorted array (HOF transform — no shingle-style
+    self-join, no second data-sized exchange), and item supports come
+    from a narrow explode+count whose output is #parts rows. Lift uses
+    the floor(x·10⁴+0.5) trick so both engines place pairs on the same
+    side of every rounding boundary. An order with P parts emits P²/2
+    pairs — bounded at 7 for TPC-H orders; on power-law baskets you'd
+    cap basket size exactly like _co_order_pairs does for suppliers."""
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = lp.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps)), y ->"
+            " named_struct('p1', x, 'p2', y))))"
+        )
+    )
+    pair_counts = (
+        baskets.select(pair.alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    item_counts = baskets.select(F.explode("ps").alias("pk")).groupBy(
+        "pk"
+    ).agg(F.count(F.lit(1)).alias("ci"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    lift = (
+        F.floor(
+            F.col("n_both")
+            * F.col("n_orders")
+            / (F.col("c1") * F.col("c2"))
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return (
+        # no broadcast hint on the item-support side: it is #parts rows
+        # (huge at catalog scale) — AQE's runtime stats pick broadcast
+        # when it actually fits
+        pair_counts.join(
+            item_counts.select(F.col("pk").alias("p1"), F.col("ci").alias("c1")),
+            "p1",
+        )
+        .join(
+            item_counts.select(F.col("pk").alias("p2"), F.col("ci").alias("c2")),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select("p1", "p2", "n_both", lift.alias("lift"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3102,9 +3162,28 @@ QUERIES = {
     "window_cume_dist_spend": window_cume_dist_spend,
     "skyline_pareto_parts": skyline_pareto_parts,
     "events_gapfill_interp": events_gapfill_interp,
+    "basket_part_affinity": basket_part_affinity,
 }
 
 ORACLE = {
+    "basket_part_affinity": """
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        pc AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+                      count(*) AS n_both
+               FROM b a JOIN b c
+                 ON a.l_orderkey = c.l_orderkey
+                AND a.l_partkey < c.l_partkey
+               GROUP BY 1, 2
+               HAVING count(*) >= 3),
+        ic AS (SELECT l_partkey, count(*) AS ci FROM b GROUP BY 1)
+        SELECT p1, p2, n_both,
+               floor(n_both * 1.0 * n_orders / (x.ci * y.ci) * 10000 + 0.5)
+                 / 10000 AS lift
+        FROM pc, n
+        JOIN ic x ON p1 = x.l_partkey
+        JOIN ic y ON p2 = y.l_partkey
+    """,
     "events_ohlc_daily": """
         WITH r AS (
           SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
