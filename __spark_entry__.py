@@ -89,7 +89,9 @@ def _operator_modules():
 # corpus_cluster_profiles, dbscan_flags_64d, events_ohlc_daily,
 # window_cume_dist_spend, skyline_pareto_parts, events_gapfill_interp,
 # similarity_range_search, graph_bfs_reach, text_pii_scrub,
-# dedup_containment, basket_part_affinity, multimodal_chunk_dedup
+# dedup_containment, basket_part_affinity, multimodal_chunk_dedup,
+# streaming_dedup_pairs, embedding_covariance, embedding_pca_2d,
+# orc_roundtrip_supplier
 # — all pre-verified green at sf0.01 via tools/driver_sim.py), then (2)
 # the rounds-1/2 green set to re-confirm it.
 _R3_PRIORITY = [

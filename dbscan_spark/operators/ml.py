@@ -502,8 +502,140 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_EMB_DIM = 64
+
+
+def _gram_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition (n, Σx, X'X) moment partials over the embedding
+    table via Arrow ``mapInPandas`` — ONE matrix multiply per Arrow
+    batch, emitting a single 1+64+4096-float row per partition. This is
+    the tree-aggregation shape for second moments at 100 TB: the shuffle
+    moves #partitions rows, never the data."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        as_double_array(F.col("embedding")).alias("v")
+    )
+
+    def gram(batches):
+        n = 0
+        s = np.zeros(_EMB_DIM)
+        g = np.zeros((_EMB_DIM, _EMB_DIM))
+        for pdf in batches:
+            if len(pdf):
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                n += m.shape[0]
+                s += m.sum(axis=0)
+                g += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+            )
+
+    return e.mapInPandas(
+        gram, "n long, s array<double>, g array<double>"
+    )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding columns (upper
+    triangle) — the moment computation under PCA/whitening/Mahalanobis,
+    done the way a 100 TB pipeline must: per-partition Gram partials
+    (:func:`_gram_partials`), then a fixed-width combine whose input is
+    #partitions rows of 64²+64+1 floats — data-volume-independent. The
+    DuckDB oracle computes the same 2080 values with covar_pop over the
+    exploded (vec_id, dim, val) stream; float64 summation-order noise
+    (~1e-15) is absorbed by the 6dp round."""
+    parts = _gram_partials(spark, sf_dir).persist()
+    g_tot = (
+        parts.select(F.posexplode("g").alias("pos", "gp"))
+        .groupBy("pos")
+        .agg(F.sum("gp").alias("g"))
+        .filter(
+            (F.col("pos") / _EMB_DIM).cast("long")
+            <= F.col("pos") % _EMB_DIM
+        )
+    )
+    s_tot = (
+        parts.select(F.posexplode("s").alias("dim", "sp"))
+        .groupBy("dim")
+        .agg(F.sum("sp").alias("s"))
+    )
+    n_tot = parts.agg(F.sum("n").alias("n_rows"))
+    mi = s_tot.select(F.col("dim").alias("dim_i"), F.col("s").alias("s_i"))
+    mj = s_tot.select(F.col("dim").alias("dim_j"), F.col("s").alias("s_j"))
+    return (
+        g_tot.select(
+            (F.col("pos") / _EMB_DIM).cast("long").alias("dim_i"),
+            (F.col("pos") % _EMB_DIM).cast("long").alias("dim_j"),
+            "g",
+        )
+        .join(F.broadcast(mi), "dim_i")
+        .join(F.broadcast(mj), "dim_j")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "dim_i",
+            "dim_j",
+            # + 0.0 canonicalizes IEEE -0.0 (a near-zero covariance can
+            # round to negative zero in one engine and positive in the
+            # other — equal values, different hash strings)
+            (
+                F.round(
+                    F.col("g") / F.col("n_rows")
+                    - (F.col("s_i") / F.col("n_rows"))
+                    * (F.col("s_j") / F.col("n_rows")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def embedding_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to the top-2 principal components — the
+    dimensionality-reduction step before visualization/coarse indexing.
+    The covariance matrix arrives via the same bounded Gram-partial
+    combine as :func:`embedding_covariance` (the ONLY driver-side data
+    is the 64×64 matrix — never rows); eigenvectors come from numpy
+    ``eigh`` on the driver, are sign-canonicalized (largest-|component|
+    coordinate made positive, ties to the lowest index) so the output
+    is deterministic, and are shipped back as literal arrays for a
+    zero-shuffle JVM-side projection. Eigendecomposition is not
+    SQL-expressible → rows-only driver check; tests pin the projection
+    against numpy's full PCA on the collected matrix."""
+    from dbscan_spark.functions import dot
+
+    parts = _gram_partials(spark, sf_dir).toPandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    g = np.sum(np.stack(parts["g"].to_numpy()), axis=0).reshape(
+        _EMB_DIM, _EMB_DIM
+    )
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = []
+    for k in (1, 2):
+        v = vecs[:, -k]
+        pivot = int(np.argmax(np.abs(np.round(v, 12))))
+        if v[pivot] < 0:
+            v = -v
+        comps.append(v)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with("v", mean_lit, lambda a, b: a - b)
+    out = e.select("vec_id", centered.alias("c"))
+    for name, comp in zip(("pc1", "pc2"), comps):
+        comp_lit = F.array(*[F.lit(float(x)) for x in comp])
+        out = out.withColumn(name, F.round(dot(F.col("c"), comp_lit), 4))
+    return out.select("vec_id", "pc1", "pc2")
+
+
 QUERIES = {
     "graph_bfs_reach": graph_bfs_reach,
+    "embedding_covariance": embedding_covariance,
+    "embedding_pca_2d": embedding_pca_2d,
     "kmeans_embeddings": kmeans_embeddings,
     "corpus_cluster_profiles": corpus_cluster_profiles,
     "graph_triangle_counts": graph_triangle_counts,
@@ -620,6 +752,17 @@ ORACLE: dict[str, str] = {
     # same co-order edge set (the skew cap is a no-op on TPC-H order
     # sizes — pinned by the skew unit test), BFS as a recursive CTE with
     # UNION dedup bounding each level by |V| × hops, min-hop via GROUP BY
+    "embedding_covariance": f"""
+        WITH dims AS (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i),
+        ex AS (SELECT vec_id, i - 1 AS dim,
+                      CAST(embedding[i] AS DOUBLE) AS val
+               FROM embeddings, dims)
+        SELECT a.dim AS dim_i, b.dim AS dim_j,
+               round(covar_pop(a.val, b.val), 6) + 0.0 AS cov
+        FROM ex a JOIN ex b
+          ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    """,
     "graph_bfs_reach": """
         WITH RECURSIVE pairs AS (
           SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2

@@ -3044,6 +3044,33 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round-trip under the driver's hash gate (the
+    csv/json twins grade the other text formats; this grades the
+    columnar sink path): write supplier to ORC, read it back, and
+    aggregate with a filter that ORC's stripe statistics can push down
+    (tests/test_io.py audits the PushedFilters entry on this exact
+    shape). The scratch write is per-call and content-identical, so the
+    query stays deterministic."""
+    import os
+    import tempfile
+
+    s = _t(spark, sf_dir, "supplier")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="dbscan_spark_orc_rt_"), "supplier_orc"
+    )
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3163,9 +3190,16 @@ QUERIES = {
     "skyline_pareto_parts": skyline_pareto_parts,
     "events_gapfill_interp": events_gapfill_interp,
     "basket_part_affinity": basket_part_affinity,
+    "orc_roundtrip_supplier": orc_roundtrip_supplier,
 }
 
 ORACLE = {
+    "orc_roundtrip_supplier": """
+        SELECT s_nationkey, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_acctbal
+        FROM supplier WHERE s_acctbal > 0
+        GROUP BY s_nationkey
+    """,
     "basket_part_affinity": """
         WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),

@@ -90,13 +90,37 @@ def streaming_merge_latest_state(
     )
 
 
+def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUPLICATION with bounded state, graded exactly: file
+    stream → ``dropDuplicatesWithinWatermark`` on (user_id, event_type)
+    → append-mode memory sink. The WithinWatermark variant is the 100 TB
+    shape — dedup state is EVICTED once the 1-hour watermark passes a
+    key, so state size tracks the watermark horizon, not the full
+    stream history (plain dropDuplicates would grow without bound). The
+    availableNow drain is one micro-batch, within which all state is
+    live, so the output equals the batch DISTINCT — the oracle."""
+    src = se.read_events_stream(spark, se.events_stream_dir(sf_dir))
+    ded = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"streaming_dedup_pairs_{next(_SEQ)}"
+    se.run_to_memory(ded, name, output_mode="append")
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling_totals": streaming_tumbling_totals,
     "streaming_session_totals": streaming_session_totals,
     "streaming_merge_latest_state": streaming_merge_latest_state,
+    "streaming_dedup_pairs": streaming_dedup_pairs,
 }
 
 ORACLE = {
+    "streaming_dedup_pairs": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
     "streaming_tumbling_totals": """
         SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
                  AS w_start,

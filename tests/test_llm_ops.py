@@ -648,3 +648,74 @@ def test_triangle_counts_match_bruteforce(spark):
                 tri[n] += 1
     want = {n: (len(adj[n]), tri[n]) for n in adj}
     assert got == want
+
+
+def test_pca_2d_matches_numpy(spark):
+    """embedding_pca_2d's projections must match a full numpy PCA
+    (population covariance → eigh → top-2, identical sign rule) to
+    4dp — and be invariant across runs (the Gram-partial summation
+    order must not leak into the rounded output)."""
+    import numpy as np
+
+    from dbscan_spark.io import load_table
+    from dbscan_spark.operators import ml
+
+    rows = load_table(spark, SF_TINY, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = [r["vec_id"] for r in rows]
+    m = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    mean = m.mean(axis=0)
+    cov = (m - mean).T @ (m - mean) / len(m)
+    _, vecs = np.linalg.eigh(cov)
+    comps = []
+    for k in (1, 2):
+        v = vecs[:, -k]
+        pivot = int(np.argmax(np.abs(np.round(v, 12))))
+        if v[pivot] < 0:
+            v = -v
+        comps.append(v)
+    proj = (m - mean) @ np.stack(comps).T
+    want = {i: (round(p[0], 4), round(p[1], 4)) for i, p in zip(ids, proj)}
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in ml.embedding_pca_2d(spark, SF_TINY).collect()
+    }
+    assert len(got) == len(want)
+    for i in want:
+        assert abs(got[i][0] - want[i][0]) <= 2e-4, i
+        assert abs(got[i][1] - want[i][1]) <= 2e-4, i
+
+
+def test_bfs_reach_matches_python_bfs(spark):
+    """graph_bfs_reach's (node, min_hops) set must equal a driver-side
+    BFS over the same co-order edge set."""
+    from collections import deque
+
+    from dbscan_spark.io import load_table
+    from dbscan_spark.operators import ml
+
+    got = {
+        r["suppkey"]: r["min_hops"]
+        for r in ml.graph_bfs_reach(spark, SF_TINY).collect()
+    }
+    l = load_table(spark, SF_TINY, "lineitem")
+    pairs = ml._co_order_pairs(
+        l.select("l_orderkey", "l_suppkey")
+    ).collect()
+    adj: dict[int, set[int]] = {}
+    for r in pairs:
+        adj.setdefault(r["s1"], set()).add(r["s2"])
+        adj.setdefault(r["s2"], set()).add(r["s1"])
+    seed = min(adj)
+    want = {seed: 0}
+    q = deque([(seed, 0)])
+    while q:
+        node, hop = q.popleft()
+        if hop >= 3:
+            continue
+        for nbr in adj[node]:
+            if nbr not in want:
+                want[nbr] = hop + 1
+                q.append((nbr, hop + 1))
+    assert got == want
