@@ -2997,9 +2997,12 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — bounded at 7 for TPC-H orders; on power-law baskets you'd
     cap basket size exactly like _co_order_pairs does for suppliers."""
     lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # persisted: pair expansion, item supports and the basket count all
+    # read the SAME collect_set result — one scan + one exchange total,
+    # not one per consumer
     baskets = lp.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
+    ).persist()
     pair = F.explode(
         F.expr(
             "flatten(transform(ps, (x, i) ->"

@@ -465,3 +465,86 @@ def test_dbscan_flags_projection_reuses_pipeline(spark):
     broadcast rect join feeding the kernel, as in the base pipeline)."""
     plan = plan_of(spark, "dbscan_flags")
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_is_single_aggregation_no_window(spark):
+    """events_ohlc_daily: open/close must come from min_by/max_by in the
+    SAME partial-aggregated pass as high/low — one agg exchange, no
+    Window node, no join."""
+    plan = plan_of(spark, "events_ohlc_daily")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "Join" not in tree
+    assert tree.count("Exchange") <= 1
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_skyline_is_broadcast_join_back_no_self_join(spark):
+    """skyline_pareto_parts: the dominance test must be the per-price
+    aggregate + running-max frame joined BACK by broadcast — never the
+    O(n²) part-to-part self-join the oracle runs."""
+    plan = plan_of(spark, "skyline_pareto_parts")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2  # part + per-price stats scan
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "NestedLoop" not in tree
+
+
+def test_basket_pairs_expand_row_locally(spark):
+    """basket_part_affinity: pair expansion must be the collect_set +
+    HOF transform (Generate over the basket array) — no basket-to-basket
+    or item-to-item self-join before pair counting — and all three
+    consumers (pairs, item supports, order count) must reuse ONE
+    persisted basket build (a single parquet scan node)."""
+    import re
+
+    plan = plan_of(spark, "basket_part_affinity")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1
+    assert "SortMergeJoin" not in tree
+    # the only nested-loop is the broadcast cross of the 1-row count
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_range_search_is_broadcast_no_sort(spark):
+    """similarity_range_search: broadcast query side, no window/sort —
+    the radius predicate is a plain filter over the streamed corpus."""
+    plan = plan_of(spark, "similarity_range_search")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "Window" not in tree
+    assert "Sort" not in tree.replace("SortAggregate", "")
+
+
+def test_covariance_combine_is_partition_bounded(spark):
+    """embedding_covariance: the data-sized stage must be ONE
+    mapInPandas over the scan; everything after operates on
+    #partitions × fixed-width rows (posexplode + small aggregates)."""
+    import re
+
+    plan = plan_of(spark, "embedding_covariance")
+    tree = plan.split("\n\n")[0]
+    # one MapInPandas node (repeated in the tree only via the cached
+    # InMemoryRelation rendering) over one parquet scan
+    assert len(set(re.findall(r"MapInPandas\s+\((\d+)\)", tree))) == 1
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1
+    assert "SortMergeJoin" not in tree
+
+
+def test_chunk_dedup_single_digest_exchange(spark):
+    """multimodal_chunk_dedup: chunking is a row-local transform+explode;
+    the only exchange is the digest-keyed aggregate."""
+    plan = plan_of(spark, "multimodal_chunk_dedup")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Exchange") <= 2  # agg exchange (+ distinct-count expand)
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    """text_pii_scrub: pure per-row projection — no exchange at all."""
+    plan = plan_of(spark, "text_pii_scrub")
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Join" not in tree
