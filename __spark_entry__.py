@@ -91,7 +91,8 @@ def _operator_modules():
 # similarity_range_search, graph_bfs_reach, text_pii_scrub,
 # dedup_containment, basket_part_affinity, multimodal_chunk_dedup,
 # streaming_dedup_pairs, embedding_covariance, embedding_pca_2d,
-# orc_roundtrip_supplier
+# orc_roundtrip_supplier, pysource_synthetic_events,
+# events_seasonality_profile
 # — all pre-verified green at sf0.01 via tools/driver_sim.py), then (2)
 # the rounds-1/2 green set to re-confirm it.
 _R3_PRIORITY = [

@@ -3074,6 +3074,71 @@ def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pysource_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A from-scratch Python DataSource (PySpark 4 connector API) under
+    the hash gate: register ``format("synthetic_events")``
+    (dbscan_spark/datasource.py), read 50k deterministic generated rows
+    across 8 independent partitions, and aggregate. The connector is the
+    shape of every custom Python source at scale — the driver plans only
+    the partition list; each executor generates its own range — and
+    because every field is exact integer arithmetic on the row id, the
+    DuckDB oracle regenerates the stream with range() and must hash
+    identically."""
+    from dbscan_spark import datasource
+
+    datasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 50000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile — the weekly template behind
+    traffic forecasting and anomaly baselines: per (event_type, day-of-
+    week, hour) event counts, mean value, and each cell's share of its
+    type's total. One grouped pass plus a broadcast per-type total
+    join-back (never a full-table window); the share uses the
+    floor(x·10⁶+0.5) trick so both engines round the exact rational
+    identically. Spark's dayofweek is 1-based (Sun=1), DuckDB's 0-based
+    — the -1 aligns them."""
+    e = _t(spark, sf_dir, "events")
+    # mean in exact integer cents (the values are 2dp): S·100/n rounded
+    # half-up at 4dp via one floor — float avg() lands on .00005
+    # midpoints that the engines' binary reps round apart
+    s_cents = F.sum(F.round(F.col("value") * 100).cast("long"))
+    n_c = F.count(F.lit(1))
+    cells = e.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        n_c.alias("n_events"),
+        (F.floor((200 * s_cents + n_c) / (2 * n_c)) / 10000.0).alias(
+            "avg_value"
+        ),
+    )
+    totals = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    share = F.floor(F.col("n_events") / F.col("n_total") * 1000000 + F.lit(0.5)) / 1000000
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        "hr",
+        "n_events",
+        "avg_value",
+        share.alias("pct_of_type"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3194,9 +3259,42 @@ QUERIES = {
     "events_gapfill_interp": events_gapfill_interp,
     "basket_part_affinity": basket_part_affinity,
     "orc_roundtrip_supplier": orc_roundtrip_supplier,
+    "pysource_synthetic_events": pysource_synthetic_events,
+    "events_seasonality_profile": events_seasonality_profile,
 }
 
 ORACLE = {
+    "pysource_synthetic_events": """
+        WITH g AS (SELECT unnest(range(0, 50000)) AS i),
+        rows_ AS (
+          SELECT i AS event_id,
+                 (i * 2654435761) % 997 AS user_id,
+                 (['view', 'click', 'purchase', 'signup', 'error'])[i % 5 + 1]
+                   AS event_type,
+                 ((i * 1103515245 + 12345) % 10000) / 100.0 AS value
+          FROM g)
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM rows_ GROUP BY event_type
+    """,
+    "events_seasonality_profile": """
+        WITH cells AS (
+          SELECT event_type,
+                 CAST(dayofweek(ts) AS BIGINT) AS dow,
+                 CAST(hour(ts) AS BIGINT) AS hr,
+                 count(*) AS n_events,
+                 floor((200 * sum(CAST(round(value * 100) AS BIGINT))
+                        + count(*)) / (2.0 * count(*))) / 10000.0
+                   AS avg_value
+          FROM events GROUP BY 1, 2, 3),
+        totals AS (
+          SELECT event_type, count(*) AS n_total FROM events GROUP BY 1)
+        SELECT event_type, dow, hr, n_events, avg_value,
+               floor(n_events * 1.0 / n_total * 1000000 + 0.5) / 1000000
+                 AS pct_of_type
+        FROM cells JOIN totals USING (event_type)
+    """,
     "orc_roundtrip_supplier": """
         SELECT s_nationkey, count(*) AS n_suppliers,
                round(sum(s_acctbal), 2) AS total_acctbal

@@ -207,3 +207,26 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
         return hit
 
     assert files_hit(zdir, 1, 20) < files_hit(rdir, 1, 20)
+
+
+def test_python_datasource_partition_parallelism(spark):
+    """The custom Python DataSource must expose its n_partitions option
+    as actual scan partitions (generation parallelism == partition
+    count) and generate exactly n_rows deterministic rows."""
+    from dbscan_spark import datasource
+
+    datasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 1000)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert len({r["event_id"] for r in rows}) == 1000
+    r7 = next(r for r in rows if r["event_id"] == 7)
+    assert r7["user_id"] == (7 * 2654435761) % 997
+    assert r7["event_type"] == "purchase"  # EVENT_TYPES[7 % 5]
+    assert r7["value"] == ((7 * 1103515245 + 12345) % 10000) / 100.0
