@@ -3139,6 +3139,83 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic between every pair of event types' value
+    distributions — the A/B-experimentation primitive: per-type moments
+    (n, Σcents, Σcents²) come from ONE grouped pass in exact integer
+    cents, the tiny per-type table self-joins (types², a handful of
+    rows), and t = (m1-m2)/√(v1/n1+v2/n2) is the same IEEE expression in
+    both engines over exact-integer inputs — deterministic to the bit,
+    so the 4dp round can't straddle. At 100 TB the data-sized stage is
+    the single moment scan; everything after is constant-size."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("s2"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    mean = lambda p: F.col(f"{p}.s") / F.col(f"{p}.n") / 100.0
+    var = lambda p: (
+        F.col(f"{p}.s2") / F.col(f"{p}.n")
+        - (F.col(f"{p}.s") / F.col(f"{p}.n"))
+        * (F.col(f"{p}.s") / F.col(f"{p}.n"))
+    ) / 10000.0
+    t = (mean("a") - mean("b")) / F.sqrt(
+        var("a") / F.col("a.n") + var("b") / F.col("b.n")
+    )
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            (F.round(t, 4) + F.lit(0.0)).alias("welch_t"),
+        )
+    )
+
+
+def stats_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation lineitem return rate with a Wilson 95% score interval
+    — the small-sample-safe CI every dashboard should use instead of
+    the normal approximation. One conditional-count grouped pass over
+    the fact (broadcast nation dims), then the closed-form interval as
+    the same IEEE expression in both engines over exact integer counts
+    (z=1.96 literal) — bit-deterministic, so the 6dp round is safe."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    counts = (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returned"),
+        )
+    )
+    z2 = 1.96 * 1.96
+    p = F.col("n_returned") / F.col("n_lines")
+    nn = F.col("n_lines")
+    center = (p + z2 / (2 * nn)) / (1 + z2 / nn)
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (1 - p) / nn + z2 / (4 * nn * nn))
+        / (1 + z2 / nn)
+    )
+    return counts.select(
+        "nation",
+        "n_lines",
+        F.col("n_returned").cast("long").alias("n_returned"),
+        (F.round(center - half, 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(center + half, 6) + F.lit(0.0)).alias("ci_hi"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3261,9 +3338,51 @@ QUERIES = {
     "orc_roundtrip_supplier": orc_roundtrip_supplier,
     "pysource_synthetic_events": pysource_synthetic_events,
     "events_seasonality_profile": events_seasonality_profile,
+    "events_ab_welch_t": events_ab_welch_t,
+    "stats_return_rate_wilson": stats_return_rate_wilson,
 }
 
 ORACLE = {
+    "events_ab_welch_t": """
+        WITH m AS (
+          SELECT event_type, count(*) AS n,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                 sum(CAST(round(value * 100) AS BIGINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS s2
+          FROM events WHERE value IS NOT NULL GROUP BY 1)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n AS n_a, b.n AS n_b,
+               round((a.s / a.n / 100.0 - b.s / b.n / 100.0)
+                     / sqrt(((a.s2 * 1.0 / a.n - (a.s * 1.0 / a.n) * (a.s * 1.0 / a.n))
+                             / 10000.0) / a.n
+                          + ((b.s2 * 1.0 / b.n - (b.s * 1.0 / b.n) * (b.s * 1.0 / b.n))
+                             / 10000.0) / b.n), 4) + 0.0 AS welch_t
+        FROM m a JOIN m b ON a.event_type < b.event_type
+    """,
+    "stats_return_rate_wilson": """
+        WITH counts AS (
+          SELECT n_name AS nation, count(*) AS n_lines,
+                 sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS n_returned
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name)
+        SELECT nation, n_lines, CAST(n_returned AS BIGINT) AS n_returned,
+               round(((n_returned * 1.0 / n_lines)
+                      + (1.96 * 1.96) / (2 * n_lines)) / (1 + (1.96 * 1.96) / n_lines)
+                     - 1.96 * sqrt((n_returned * 1.0 / n_lines)
+                                   * (1 - n_returned * 1.0 / n_lines) / n_lines
+                                   + (1.96 * 1.96) / (4.0 * n_lines * n_lines))
+                       / (1 + (1.96 * 1.96) / n_lines), 6) + 0.0 AS ci_lo,
+               round(((n_returned * 1.0 / n_lines)
+                      + (1.96 * 1.96) / (2 * n_lines)) / (1 + (1.96 * 1.96) / n_lines)
+                     + 1.96 * sqrt((n_returned * 1.0 / n_lines)
+                                   * (1 - n_returned * 1.0 / n_lines) / n_lines
+                                   + (1.96 * 1.96) / (4.0 * n_lines * n_lines))
+                       / (1 + (1.96 * 1.96) / n_lines), 6) + 0.0 AS ci_hi
+        FROM counts
+    """,
     "pysource_synthetic_events": """
         WITH g AS (SELECT unnest(range(0, 50000)) AS i),
         rows_ AS (
