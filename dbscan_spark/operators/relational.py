@@ -3216,6 +3216,84 @@ def stats_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def governance_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking view — the governance layer every shared
+    warehouse needs before analysts touch PII-ish columns: the name is
+    truncated to its stable prefix, the account balance is coarsened to
+    a 1000-unit band, and the row keeps a deterministic opaque join
+    token (keyed digest of the natural key) so masked extracts still
+    join to each other without exposing the key itself. Pure zero-
+    shuffle projection; the mask functions are engine-portable, so the
+    masked output itself is hash-gated."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.md5(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")))
+        .alias("cust_token"),
+        F.concat(F.substring("c_name", 1, 9), F.lit("***")).alias(
+            "name_masked"
+        ),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )
+
+
+def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection over each event type's daily
+    totals — the drift monitor on every ingestion dashboard: the
+    running statistic c_t = max(0, c_{t-1} + (x_t − μ)) accumulates
+    upward deviations and alerts when it exceeds 2μ. The recurrence is
+    order-dependent (not prefix-decomposable), so like the EWMA it
+    folds each type's day-ordered series inside ONE aggregate HOF after
+    a day-rollup — per-group state is #days, never raw events. All
+    arithmetic is exact integers: cents scaled by n_days clears the μ
+    = S/n division (c'_t = max(0, c'_{t-1} + n·x_t − S), alert at
+    2·n·μ = 2S), so both engines fold identical longs; the DuckDB
+    oracle replays the recurrence with a recursive CTE."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("ds"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("s_tot"),
+    )
+    # fold seeded with a sentinel 0 so element_at(acc, -1) is total; the
+    # seed is sliced off before the explode
+    fold = F.aggregate(
+        F.col("ds"),
+        F.expr("array(0L)"),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.element_at(acc, -1)
+                    + (F.col("n_days") * s["x"] - F.col("s_tot")),
+                )
+            ),
+        ),
+    )
+    run = series.select(
+        "event_type",
+        "s_tot",
+        F.arrays_zip(
+            F.expr("transform(ds, s -> s.day)").alias("day"),
+            F.slice(fold, 2, F.size("ds")).alias("c"),
+        ).alias("z"),
+    )
+    return run.select(
+        "event_type", F.explode("z").alias("zz"), "s_tot"
+    ).select(
+        "event_type",
+        F.col("zz.day").alias("day"),
+        F.col("zz.c").alias("cusum_scaled"),
+        (F.col("zz.c") > 2 * F.col("s_tot")).alias("alert"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3340,9 +3418,47 @@ QUERIES = {
     "events_seasonality_profile": events_seasonality_profile,
     "events_ab_welch_t": events_ab_welch_t,
     "stats_return_rate_wilson": stats_return_rate_wilson,
+    "governance_masked_customers": governance_masked_customers,
+    "events_cusum_alerts": events_cusum_alerts,
 }
 
 ORACLE = {
+    "governance_masked_customers": """
+        SELECT md5('cust:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+               substring(c_name, 1, 9) || '***' AS name_masked,
+               CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT)
+                 AS acctbal_band,
+               c_mktsegment
+        FROM customer
+    """,
+    "events_cusum_alerts": """
+        WITH RECURSIVE daily AS (
+          SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY CAST(ts AS DATE)) AS rn
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2, CAST(ts AS DATE)),
+        meta AS (
+          SELECT event_type, count(*) AS n_days, sum(x) AS s_tot
+          FROM daily GROUP BY 1),
+        rec(event_type, rn, c) AS (
+          SELECT d.event_type, d.rn,
+                 greatest(0, m.n_days * d.x - m.s_tot)
+          FROM daily d JOIN meta m USING (event_type)
+          WHERE d.rn = 1
+          UNION ALL
+          SELECT d.event_type, d.rn,
+                 greatest(0, r.c + (m.n_days * d.x - m.s_tot))
+          FROM rec r
+          JOIN daily d ON d.event_type = r.event_type AND d.rn = r.rn + 1
+          JOIN meta m ON m.event_type = d.event_type)
+        SELECT r.event_type, d.day, CAST(r.c AS BIGINT) AS cusum_scaled,
+               r.c > 2 * m.s_tot AS alert
+        FROM rec r
+        JOIN daily d ON d.event_type = r.event_type AND d.rn = r.rn
+        JOIN meta m ON m.event_type = r.event_type
+    """,
     "events_ab_welch_t": """
         WITH m AS (
           SELECT event_type, count(*) AS n,
