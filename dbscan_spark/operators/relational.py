@@ -3294,6 +3294,52 @@ def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over each event
+    type's daily totals, with a 3-day-ahead forecast — the step up from
+    the EWMA: a TWO-state sequential recurrence (α=0.25, β=0.5, both
+    exact binary fractions). Like the EWMA/CUSUM it folds the
+    day-ordered series inside ONE aggregate HOF with a struct
+    accumulator (per-group state = #days); each step's level and trend
+    are floor-half-up quantized at 1e-4 — the k-means trajectory-pinning
+    trick — so summation noise cannot compound and the DuckDB
+    recursive-CTE replay reproduces the exact doubles."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, x))),"
+            " s -> s.x / 100.0D)"
+        ).alias("xs")
+    ).filter(F.size("xs") >= 2)
+
+    def q(col):
+        return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+    x1 = F.element_at(F.col("xs"), 1)
+    x2 = F.element_at(F.col("xs"), 2)
+
+    def step(acc, x):
+        l_new = q(F.lit(0.25) * x + F.lit(0.75) * (acc["l"] + acc["b"]))
+        b_new = q(F.lit(0.5) * (l_new - acc["l"]) + F.lit(0.5) * acc["b"])
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.struct(x1.alias("l"), (x2 - x1).alias("b")),
+        step,
+    )
+    return series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        fold["l"].alias("level"),
+        fold["b"].alias("trend"),
+        q(fold["l"] + 3 * fold["b"]).alias("forecast_3"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3420,9 +3466,43 @@ QUERIES = {
     "stats_return_rate_wilson": stats_return_rate_wilson,
     "governance_masked_customers": governance_masked_customers,
     "events_cusum_alerts": events_cusum_alerts,
+    "events_holt_forecast": events_holt_forecast,
 }
 
 ORACLE = {
+    "events_holt_forecast": """
+        WITH RECURSIVE daily AS (
+          SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY CAST(ts AS DATE)) AS rn
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2, CAST(ts AS DATE)),
+        nd AS (SELECT event_type, count(*) AS n_days FROM daily
+               GROUP BY 1 HAVING count(*) >= 2),
+        init AS (
+          SELECT d1.event_type, d1.x / 100.0 AS l,
+                 d2.x / 100.0 - d1.x / 100.0 AS b
+          FROM daily d1
+          JOIN daily d2 ON d1.event_type = d2.event_type AND d2.rn = 2
+          WHERE d1.rn = 1),
+        rec(event_type, rn, l, b) AS (
+          SELECT event_type, 1, l, b FROM init
+          UNION ALL
+          SELECT r.event_type, r.rn + 1,
+                 floor((0.25 * (d.x / 100.0) + 0.75 * (r.l + r.b))
+                       * 10000 + 0.5) / 10000,
+                 floor((0.5 * (floor((0.25 * (d.x / 100.0)
+                                      + 0.75 * (r.l + r.b))
+                                     * 10000 + 0.5) / 10000 - r.l)
+                        + 0.5 * r.b) * 10000 + 0.5) / 10000
+          FROM rec r
+          JOIN daily d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+        SELECT r.event_type, n.n_days, r.l AS level, r.b AS trend,
+               floor((r.l + 3 * r.b) * 10000 + 0.5) / 10000 AS forecast_3
+        FROM rec r JOIN nd n USING (event_type)
+        WHERE r.rn = n.n_days
+    """,
     "governance_masked_customers": """
         SELECT md5('cust:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
                substring(c_name, 1, 9) || '***' AS name_masked,
