@@ -105,6 +105,14 @@ def test_query_matches_oracle(spark, con, name):
         "agg_heavy_hitters",
         "customers_rfm_segments",
         "parts_abc_analysis",
+        # round-3 additions with iteration / floats / Python stages
+        "graph_bfs_reach",
+        "embedding_covariance",
+        "embedding_pca_2d",
+        "events_holt_forecast",
+        "events_cusum_alerts",
+        "basket_part_affinity",
+        "pysource_synthetic_events",
     ],
 )
 def test_query_is_run_deterministic(spark, name):
