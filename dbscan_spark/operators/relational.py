@@ -3340,6 +3340,73 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_points_in_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's containment theta-join (O8, DBSCAN.scala:108-112)
+    exposed as a standalone graded spatial operator: assign 2-D points
+    to every rectangle that contains them (border-INCLUSIVE, like
+    DBSCANRectangle.contains, DBSCANRectangle.scala:34-36 — a point on
+    a shared edge lands in BOTH boxes, the duplication the margin logic
+    relies on) and count per box. The box list is tiny and broadcast;
+    the plan is a BroadcastNestedLoopJoin with a pure range predicate —
+    the same physical shape the DBSCAN pipeline uses, here hash-gated
+    directly. 4×4 grid over [-0.2, 0.2]²."""
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    cells = [
+        (4 * i + j, -0.2 + 0.1 * i, -0.2 + 0.1 * j)
+        for i in range(4)
+        for j in range(4)
+    ]
+    boxes = spark.createDataFrame(
+        [(b, x, y, x + 0.1, y + 0.1) for b, x, y in cells],
+        "box_id long, bx double, by double, bx2 double, by2 double",
+    )
+    cond = (
+        (F.col("x") >= F.col("bx"))
+        & (F.col("x") <= F.col("bx2"))
+        & (F.col("y") >= F.col("by"))
+        & (F.col("y") <= F.col("by2"))
+    )
+    return (
+        pts.join(F.broadcast(boxes), cond)
+        .groupBy("box_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-PRUNED read under the hash
+    gate: write events partitioned by event_type to scratch, read the
+    directory back, and aggregate ONE type — the reader must touch only
+    that partition's files (PartitionFilters, asserted in
+    tests/test_plans.py), which at 100 TB is the difference between
+    scanning 1/5th and 5/5ths of the table. Values are hash-checked
+    against the unpartitioned source."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="dbscan_spark_part_"), "events_by_type"
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3467,9 +3534,34 @@ QUERIES = {
     "governance_masked_customers": governance_masked_customers,
     "events_cusum_alerts": events_cusum_alerts,
     "events_holt_forecast": events_holt_forecast,
+    "geo_points_in_boxes": geo_points_in_boxes,
+    "partitioned_prune_events": partitioned_prune_events,
 }
 
 ORACLE = {
+    "geo_points_in_boxes": """
+        WITH pts AS (
+          SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                 CAST(embedding[2] AS DOUBLE) AS y
+          FROM embeddings),
+        boxes AS (
+          SELECT CAST(4 * i + j AS BIGINT) AS box_id,
+                 -0.2 + 0.1 * i AS bx, -0.2 + 0.1 * j AS by,
+                 -0.2 + 0.1 * i + 0.1 AS bx2, -0.2 + 0.1 * j + 0.1 AS by2
+          FROM (SELECT unnest(range(0, 4)) AS i),
+               (SELECT unnest(range(0, 4)) AS j))
+        SELECT box_id, count(*) AS n_points, min(vec_id) AS min_vec_id
+        FROM pts JOIN boxes
+          ON x >= bx AND x <= bx2 AND y >= by AND y <= by2
+        GROUP BY box_id
+    """,
+    "partitioned_prune_events": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
     "events_holt_forecast": """
         WITH RECURSIVE daily AS (
           SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

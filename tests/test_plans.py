@@ -548,3 +548,23 @@ def test_pii_scrub_zero_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "Join" not in tree
+
+
+def test_geo_containment_is_broadcast_nested_loop(spark):
+    """geo_points_in_boxes: the O8-shaped containment theta-join must be
+    a BroadcastNestedLoopJoin on the tiny box side — never a cartesian
+    of data-sized inputs or a shuffle."""
+    plan = plan_of(spark, "geo_points_in_boxes")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """partitioned_prune_events: the event_type filter must land in the
+    scan's PartitionFilters (directory pruning), not a post-scan
+    Filter over all partitions."""
+    plan = plan_of(spark, "partitioned_prune_events")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0]
