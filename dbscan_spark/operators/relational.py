@@ -3407,6 +3407,103 @@ def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_corrupt_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance — the ingestion reality every 100 TB
+    pipeline faces: a JSON-lines batch containing broken records must
+    parse in PERMISSIVE mode (bad lines captured in _corrupt_record,
+    good lines unaffected) instead of failing the job or silently
+    corrupting rows. The query materializes the events JSON mirror plus
+    three injected garbage lines, reads with an explicit schema +
+    columnNameOfCorruptRecord, REPORTS the corrupt count (pinned: 3,
+    proving capture), and aggregates only the clean rows — which must
+    hash-match the parquet source exactly (the oracle never sees the
+    garbage)."""
+    import os
+    import tempfile
+
+    from dbscan_spark.io import events_json_dir
+
+    src = events_json_dir(spark, sf_dir)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dbscan_spark_corrupt_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(scratch, exist_ok=True)
+    dst = os.path.join(scratch, "events_with_garbage.json")
+    if not os.path.exists(dst):
+        import shutil
+
+        json_files = [
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".json")
+        ]
+        with open(dst + ".tmp", "wb") as out:
+            for f in sorted(json_files):
+                with open(f, "rb") as i:
+                    shutil.copyfileobj(i, out)
+            out.write(
+                b'{"event_id": broken\nnot json at all\n{"ts": "}\n'
+            )
+        os.replace(dst + ".tmp", dst)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string, "
+        "_corrupt_record string"
+    )
+    e = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dst)
+    ).persist()
+    n_corrupt = e.filter(F.col("_corrupt_record").isNotNull()).count()
+    assert n_corrupt == 3, f"corrupt capture broke: {n_corrupt}"
+    return (
+        e.filter(F.col("_corrupt_record").isNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (mergeSchema) — the table-format reality: an old
+    batch written without a column and a new batch written with it must
+    read back as ONE table with the missing column null-filled. Writes
+    two parquet batches of events (the second adds value_band), reads
+    the directory with mergeSchema=true, and aggregates across both —
+    counts split by whether the evolved column is present, values
+    hash-checked against the single-source oracle."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="dbscan_spark_evo_"), "events_evo"
+    )
+    old = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    new = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.floor(F.col("value") / 25) * 25).cast("long").alias("value_band"),
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch=old"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "batch=new"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy(
+        "event_type", F.col("value_band").isNotNull().alias("has_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3536,9 +3633,24 @@ QUERIES = {
     "events_holt_forecast": events_holt_forecast,
     "geo_points_in_boxes": geo_points_in_boxes,
     "partitioned_prune_events": partitioned_prune_events,
+    "json_corrupt_tolerant_read": json_corrupt_tolerant_read,
+    "schema_evolution_read": schema_evolution_read,
 }
 
 ORACLE = {
+    "json_corrupt_tolerant_read": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "schema_evolution_read": """
+        SELECT event_type,
+               (event_id % 2 = 1 AND value IS NOT NULL) AS has_band,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
     "geo_points_in_boxes": """
         WITH pts AS (
           SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
