@@ -148,6 +148,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE exact dedup — the cross-crawl/cross-dump question a
+    multi-source corpus asks ("is this page in both CommonCrawl and the
+    curated set?"): texts whose identical content appears under MORE
+    than one source, with the per-source breakdown and the canonical
+    keeper. Same one-aggregate shape as dedup_exact (fixed-width md5
+    keys); the source set collects into a sorted array so the output is
+    order-insensitive."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.array_sort(F.collect_set("source")).alias("sources"),
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_sources") > 1)
+        .select(
+            "text_hash",
+            F.concat_ws("|", "sources").alias("sources"),
+            "n_sources",
+            "n_copies",
+            "keep_id",
+        )
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.7
 
 
@@ -676,6 +704,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "dedup_cross_source": dedup_cross_source,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     # last on purpose: the iterative fixpoint re-runs the LSH pipeline and
     # is the most expensive dedup entry — it must never starve the cheap
@@ -696,6 +725,16 @@ ORACLE = {
                min(doc_id) AS keep_id,
                count(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    "dedup_cross_source": """
+        SELECT md5(text) AS text_hash,
+               string_agg(DISTINCT source, '|' ORDER BY source) AS sources,
+               count(DISTINCT source) AS n_sources,
+               count(*) AS n_copies,
+               min(doc_id) AS keep_id
+        FROM documents
+        GROUP BY md5(text)
+        HAVING count(DISTINCT source) > 1
     """,
     "dedup_containment": f"""
         WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),

@@ -672,8 +672,55 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (hybrid search): top-5 cosine
+    neighbors restricted to corpus vectors sharing the query's label —
+    the filter-then-search problem every production vector store faces
+    (post-filtering a plain top-k under-returns when the filter is
+    selective; the correct exact semantics is filter-first, scored
+    here). The label equality rides in the join condition, so candidate
+    pruning happens BEFORE any dot product; at 100 TB the same shape
+    becomes a label-partitioned index with per-partition ANN. Exact →
+    hash-gated oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("v"),
+        F.col("label").cast("long").alias("label"),
+    )
+    e = e.select("vec_id", "v", "label", l2_norm(F.col("v")).alias("nv"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+        F.col("label").alias("qlabel"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(
+            e,
+            (F.col("qlabel") == F.col("label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_filtered": ann_topk_filtered,
     "similarity_range_search": similarity_range_search,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -683,6 +730,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ann_topk_filtered": f"""
+        SELECT query_id, label, neighbor_id, cos_sim, rnk FROM (
+            SELECT q.vec_id AS query_id,
+                   CAST(q.label AS BIGINT) AS label,
+                   e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]), 4) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                             e.embedding::DOUBLE[]), 4) DESC,
+                                e.vec_id) AS rnk
+            FROM embeddings q
+            JOIN embeddings e
+              ON e.vec_id <> q.vec_id AND e.label = q.label
+            WHERE q.vec_id < {N_QUERIES})
+        WHERE rnk <= {TOP_K}
+    """,
     "similarity_range_search": f"""
         SELECT q.vec_id AS query_id,
                e.vec_id AS neighbor_id,
