@@ -3504,6 +3504,80 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel CONVERSION LATENCY — the "how long does the funnel take"
+    companion to events_funnel's "how many convert": per converting
+    user, seconds from first view to the first in-order click and
+    purchase, rolled up to exact quartiles per stage. Same user-keyed
+    join chain as the funnel (co-partitioned after the first exchange);
+    the percentile aggregate runs over the (small) converted-user
+    latencies with exact integer-second inputs, quantized floor-half-up
+    so cross-engine interpolation can't diverge."""
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"), F.first("v_ts").alias("v_ts2"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks.select("user_id", "c_ts"), "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = (
+        views.join(clicks.select("user_id", "c_ts"), "user_id")
+        .join(purchases, "user_id")
+        .select(
+            (
+                F.col("c_ts").cast("timestamp").cast("long")
+                - F.col("v_ts").cast("timestamp").cast("long")
+            ).alias("view_to_click_s"),
+            (
+                F.col("p_ts").cast("timestamp").cast("long")
+                - F.col("c_ts").cast("timestamp").cast("long")
+            ).alias("click_to_purchase_s"),
+        )
+    )
+    # manual linear-interpolation quantiles over the sorted array:
+    # engines disagree on percentile() index conventions, so the
+    # (n-1)·p arithmetic is written out identically on both sides —
+    # exact-quarter fractions over integer seconds ⇒ exact doubles
+    arrs = lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.array_sort(F.collect_list("view_to_click_s")).alias("a_v2c"),
+        F.array_sort(F.collect_list("click_to_purchase_s")).alias("a_c2p"),
+    )
+
+    def qcol(arr: str, p: float):
+        idx = (F.size(arr) - 1) * F.lit(p)
+        lo_i = F.floor(idx).cast("int")
+        frac = idx - F.floor(idx)
+        lo = F.element_at(F.col(arr), lo_i + 1).cast("double")
+        hi = F.element_at(
+            F.col(arr), F.least(lo_i + 2, F.size(arr))
+        ).cast("double")
+        return lo + frac * (hi - lo)
+
+    return arrs.select(
+        "n_converted",
+        qcol("a_v2c", 0.25).alias("v2c_p25"),
+        qcol("a_v2c", 0.5).alias("v2c_p50"),
+        qcol("a_v2c", 0.75).alias("v2c_p75"),
+        qcol("a_c2p", 0.25).alias("c2p_p25"),
+        qcol("a_c2p", 0.5).alias("c2p_p50"),
+        qcol("a_c2p", 0.75).alias("c2p_p75"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3635,9 +3709,45 @@ QUERIES = {
     "partitioned_prune_events": partitioned_prune_events,
     "json_corrupt_tolerant_read": json_corrupt_tolerant_read,
     "schema_evolution_read": schema_evolution_read,
+    "events_funnel_latency": events_funnel_latency,
 }
 
 ORACLE = {
+    "events_funnel_latency": """
+        WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS c_ts
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.v_ts
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS p_ts
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+              GROUP BY e.user_id),
+        lat AS (
+          -- floor, not CAST: DuckDB's double->int cast ROUNDS while
+          -- Spark's timestamp->long cast truncates; sub-second event
+          -- times would drift +-1s between engines otherwise
+          SELECT CAST(floor(epoch(c.c_ts)) AS BIGINT)
+                 - CAST(floor(epoch(v.v_ts)) AS BIGINT) AS v2c,
+                 CAST(floor(epoch(p.p_ts)) AS BIGINT)
+                 - CAST(floor(epoch(c.c_ts)) AS BIGINT) AS c2p
+          FROM v JOIN c ON v.user_id = c.user_id
+          JOIN p ON c.user_id = p.user_id),
+        arrs AS (
+          SELECT count(*) AS n,
+                 list_sort(list(v2c)) AS a_v2c,
+                 list_sort(list(c2p)) AS a_c2p
+          FROM lat)
+        SELECT n AS n_converted,
+               list_extract(a_v2c, CAST(floor((n-1)*0.25) AS INT) + 1) * 1.0 + ((n-1)*0.25 - floor((n-1)*0.25)) * (list_extract(a_v2c, least(CAST(floor((n-1)*0.25) AS INT) + 2, n)) * 1.0 - list_extract(a_v2c, CAST(floor((n-1)*0.25) AS INT) + 1) * 1.0) AS v2c_p25,
+               list_extract(a_v2c, CAST(floor((n-1)*0.5) AS INT) + 1) * 1.0 + ((n-1)*0.5 - floor((n-1)*0.5)) * (list_extract(a_v2c, least(CAST(floor((n-1)*0.5) AS INT) + 2, n)) * 1.0 - list_extract(a_v2c, CAST(floor((n-1)*0.5) AS INT) + 1) * 1.0) AS v2c_p50,
+               list_extract(a_v2c, CAST(floor((n-1)*0.75) AS INT) + 1) * 1.0 + ((n-1)*0.75 - floor((n-1)*0.75)) * (list_extract(a_v2c, least(CAST(floor((n-1)*0.75) AS INT) + 2, n)) * 1.0 - list_extract(a_v2c, CAST(floor((n-1)*0.75) AS INT) + 1) * 1.0) AS v2c_p75,
+               list_extract(a_c2p, CAST(floor((n-1)*0.25) AS INT) + 1) * 1.0 + ((n-1)*0.25 - floor((n-1)*0.25)) * (list_extract(a_c2p, least(CAST(floor((n-1)*0.25) AS INT) + 2, n)) * 1.0 - list_extract(a_c2p, CAST(floor((n-1)*0.25) AS INT) + 1) * 1.0) AS c2p_p25,
+               list_extract(a_c2p, CAST(floor((n-1)*0.5) AS INT) + 1) * 1.0 + ((n-1)*0.5 - floor((n-1)*0.5)) * (list_extract(a_c2p, least(CAST(floor((n-1)*0.5) AS INT) + 2, n)) * 1.0 - list_extract(a_c2p, CAST(floor((n-1)*0.5) AS INT) + 1) * 1.0) AS c2p_p50,
+               list_extract(a_c2p, CAST(floor((n-1)*0.75) AS INT) + 1) * 1.0 + ((n-1)*0.75 - floor((n-1)*0.75)) * (list_extract(a_c2p, least(CAST(floor((n-1)*0.75) AS INT) + 2, n)) * 1.0 - list_extract(a_c2p, CAST(floor((n-1)*0.75) AS INT) + 1) * 1.0) AS c2p_p75
+        FROM arrs
+    """,
     "json_corrupt_tolerant_read": """
         SELECT event_type, count(*) AS n_events,
                round(sum(value), 2) AS sum_value

@@ -718,9 +718,72 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label inference + evaluation — the simplest embedding-space
+    classifier, run exactly: every vector's label is predicted by
+    majority vote of its 5 nearest neighbors (cosine; ties broken by
+    count desc, label asc) over a broadcast 200-vector probe sample,
+    then scored against the ground-truth label column per class. The
+    probe side broadcasts; scoring stays JVM-side; the vote and the
+    accuracy rollup are one window + one aggregate over probe×k rows.
+    Exact → hash-gated (DuckDB replays the same vote)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("v"),
+        F.col("label").cast("long").alias("label"),
+    )
+    e = e.select("vec_id", "v", "label", l2_norm(F.col("v")).alias("nv"))
+    probes = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nv").alias("np"),
+        F.col("label").alias("true_label"),
+    )
+    cos = F.round(
+        dot(F.col("pv"), F.col("v")) / (F.col("np") * F.col("nv")), 4
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    nbrs = (
+        F.broadcast(probes)
+        .join(e, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("label").alias("nbr_label"),
+            cos.alias("cos_sim"),
+            "vec_id",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    votes = nbrs.groupBy("probe_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.desc("n_votes"), F.asc("nbr_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "probe_id", "true_label", F.col("nbr_label").alias("pred_label")
+        )
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_filtered": ann_topk_filtered,
+    "knn_label_predict": knn_label_predict,
     "similarity_range_search": similarity_range_search,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -730,6 +793,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    "knn_label_predict": """
+        WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+                   FROM embeddings),
+        probes AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+        scored AS (
+          SELECT p.vec_id AS probe_id, p.label AS true_label,
+                 c.label AS nbr_label,
+                 row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                              p.embedding::DOUBLE[],
+                              c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rnk
+          FROM probes p JOIN e c ON c.vec_id <> p.vec_id),
+        votes AS (
+          SELECT probe_id, true_label, nbr_label, count(*) AS n_votes
+          FROM scored WHERE rnk <= 5
+          GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT probe_id, true_label, nbr_label AS pred_label,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY n_votes DESC, nbr_label) AS vr
+          FROM votes)
+        SELECT true_label, count(*) AS n_probes,
+               CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM pred WHERE vr = 1
+        GROUP BY true_label
+    """,
     "ann_topk_filtered": f"""
         SELECT query_id, label, neighbor_id, cos_sim, rnk FROM (
             SELECT q.vec_id AS query_id,
