@@ -3578,6 +3578,56 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of monthly order revenue:
+    observed = trend (centered 3-month moving average) + seasonal
+    (month-of-year mean of the detrended series) + residual — the
+    explainability workhorse behind every demand dashboard. The series
+    is ~80 monthly points (one narrow rollup of the fact), so the
+    windows run over a tiny frame; exactness comes from integer cents:
+    the detrended value is kept in cents×3 integer units (3·x −
+    window_sum) until the final floor-half-up rounding, and the
+    seasonal mean divides integer sums — so both engines place every
+    component on the same side of the 4dp boundary. Edge months
+    (incomplete centered window) carry NULL trend/seasonal/residual,
+    matching statsmodels' convention."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.month("o_orderdate").cast("long").alias("moy"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    w3 = Window.orderBy("month").rowsBetween(-1, 1)
+    with_t = monthly.select(
+        "month",
+        "moy",
+        "xc",
+        F.sum("xc").over(w3).alias("sw"),
+        F.count(F.lit(1)).over(w3).alias("cw"),
+    ).withColumn(
+        "detr3",
+        F.when(F.col("cw") == 3, 3 * F.col("xc") - F.col("sw")),
+    )
+    seas = with_t.filter(F.col("detr3").isNotNull()).groupBy("moy").agg(
+        F.sum("detr3").alias("sm"), F.count(F.lit(1)).alias("nm")
+    )
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    joined = with_t.join(F.broadcast(seas), "moy", "left")
+    trend = q4(F.col("sw") / (3 * 100.0))
+    seasonal = q4(F.col("sm") / (F.col("nm") * 3 * 100.0))
+    return joined.select(
+        "month",
+        (F.col("xc") / 100.0).alias("observed"),
+        F.when(F.col("cw") == 3, trend).alias("trend"),
+        F.when(F.col("cw") == 3, seasonal).alias("seasonal"),
+        F.when(
+            F.col("cw") == 3,
+            q4(F.col("xc") / 100.0 - trend - seasonal),
+        ).alias("residual"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3710,9 +3760,45 @@ QUERIES = {
     "json_corrupt_tolerant_read": json_corrupt_tolerant_read,
     "schema_evolution_read": schema_evolution_read,
     "events_funnel_latency": events_funnel_latency,
+    "orders_seasonal_decompose": orders_seasonal_decompose,
 }
 
 ORACLE = {
+    "orders_seasonal_decompose": """
+        WITH monthly AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 CAST(month(o_orderdate) AS BIGINT) AS moy,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+          FROM orders GROUP BY 1, 2),
+        with_t AS (
+          SELECT month, moy, xc,
+                 sum(xc) OVER w3 AS sw,
+                 count(*) OVER w3 AS cw
+          FROM monthly
+          WINDOW w3 AS (ORDER BY month ROWS BETWEEN 1 PRECEDING
+                        AND 1 FOLLOWING)),
+        detr AS (
+          SELECT *, CASE WHEN cw = 3 THEN 3 * xc - sw END AS detr3
+          FROM with_t),
+        seas AS (
+          SELECT moy, sum(detr3) AS sm, count(*) AS nm
+          FROM detr WHERE detr3 IS NOT NULL GROUP BY moy)
+        SELECT month,
+               xc / 100.0 AS observed,
+               CASE WHEN cw = 3
+                    THEN floor(sw / 300.0 * 10000 + 0.5) / 10000
+               END AS trend,
+               CASE WHEN cw = 3
+                    THEN floor(sm / (nm * 300.0) * 10000 + 0.5) / 10000
+               END AS seasonal,
+               CASE WHEN cw = 3
+                    THEN floor((xc / 100.0
+                                - floor(sw / 300.0 * 10000 + 0.5) / 10000
+                                - floor(sm / (nm * 300.0) * 10000 + 0.5)
+                                  / 10000) * 10000 + 0.5) / 10000
+               END AS residual
+        FROM detr LEFT JOIN seas USING (moy)
+    """,
     "events_funnel_latency": """
         WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
                    WHERE event_type = 'view' GROUP BY user_id),
