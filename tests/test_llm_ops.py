@@ -719,3 +719,46 @@ def test_bfs_reach_matches_python_bfs(spark):
                 want[nbr] = hop + 1
                 q.append((nbr, hop + 1))
     assert got == want
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark):
+    """The O(n log n) window-based skyline must equal the O(n²)
+    dominance definition on random (price, size) data, including
+    duplicate prices and duplicate points."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.operators import relational
+
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.uniform(1, 50), 2), rng.randint(1, 20))
+        for i in range(300)
+    ]
+    # force collisions: duplicate some prices and full points
+    rows += [(1000 + i, rows[i][1], rng.randint(1, 20)) for i in range(30)]
+    rows += [(2000 + i, rows[i][1], rows[i][2]) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+
+    import tempfile, os
+
+    d = os.path.join(tempfile.mkdtemp(prefix="skyline_prop_"), "part.parquet")
+    df.write.parquet(d)
+    # point the operator at a scratch sf_dir holding only this table
+    sf_dir = os.path.dirname(d)
+    got = {
+        r["p_partkey"]
+        for r in relational.skyline_pareto_parts(spark, sf_dir).collect()
+    }
+    want = set()
+    for k, p, s in rows:
+        dominated = any(
+            (q[1] <= p and q[2] >= s and (q[1] < p or q[2] > s))
+            for q in rows
+        )
+        if not dominated:
+            want.add(k)
+    assert got == want
