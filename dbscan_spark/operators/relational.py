@@ -3628,6 +3628,85 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention curve — the growth metric next to the weekly
+    cohort triangle (retention_cohorts): for each first-seen day, the
+    fraction of that day's new users active again exactly N days later,
+    N ∈ {1, 7, 14}. One per-user min-aggregation for the cohort day,
+    one distinct (user, day) activity set, and three conditional-count
+    joins ALL keyed on user_id — co-partitioned after the first
+    exchange, nothing quadratic. Rates use the floor(x·10⁶+0.5) trick
+    over exact counts."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0")
+    )
+    active = e.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    j = first.join(active, "user_id").select(
+        "user_id", "d0", F.datediff("d", "d0").alias("dn")
+    )
+    rate = lambda n: (
+        F.floor(
+            F.countDistinct(F.when(F.col("dn") == n, F.col("user_id")))
+            / F.countDistinct("user_id")
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return j.groupBy(
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(
+        F.countDistinct("user_id").alias("n_new_users"),
+        rate(1).alias("d1_retention"),
+        rate(7).alias("d7_retention"),
+        rate(14).alias("d14_retention"),
+    )
+
+
+def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — cumulative revenue per first-order-month
+    cohort by months-since-first-order: the customer-lifetime-value
+    curve every subscription/commerce dashboard tracks. Per-customer
+    first month (one rollup), month-index join back (user-keyed), then
+    a cumulative window over the per-(cohort, index) rollup — the
+    window runs over #cohorts × #indices rows, never raw orders.
+    Revenue accumulates in exact integer cents and converts once."""
+    o = _t(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        F.trunc("o_orderdate", "month").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    idx = om.join(first, "o_custkey").select(
+        "o_custkey",
+        "m0",
+        (
+            (F.year("m") - F.year("m0")) * 12
+            + (F.month("m") - F.month("m0"))
+        ).cast("long").alias("month_index"),
+        "cents",
+    )
+    cell = idx.groupBy(
+        F.date_format("m0", "yyyy-MM").alias("cohort_month"),
+        "month_index",
+    ).agg(F.sum("cents").alias("c"))
+    wc = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort_month",
+        "month_index",
+        (F.col("c") / 100.0).alias("month_revenue"),
+        (F.sum("c").over(wc) / 100.0).alias("cum_revenue"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3761,9 +3840,58 @@ QUERIES = {
     "schema_evolution_read": schema_evolution_read,
     "events_funnel_latency": events_funnel_latency,
     "orders_seasonal_decompose": orders_seasonal_decompose,
+    "events_dn_retention": events_dn_retention,
+    "customers_cohort_ltv": customers_cohort_ltv,
 }
 
 ORACLE = {
+    "events_dn_retention": """
+        WITH first AS (
+          SELECT user_id, CAST(min(ts) AS DATE) AS d0
+          FROM events GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        j AS (
+          SELECT f.user_id, f.d0, datediff('day', f.d0, a.d) AS dn
+          FROM first f JOIN active a ON f.user_id = a.user_id)
+        SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+               count(DISTINCT user_id) AS n_new_users,
+               floor(count(DISTINCT CASE WHEN dn = 1 THEN user_id END) * 1.0
+                     / count(DISTINCT user_id) * 1000000 + 0.5) / 1000000
+                 AS d1_retention,
+               floor(count(DISTINCT CASE WHEN dn = 7 THEN user_id END) * 1.0
+                     / count(DISTINCT user_id) * 1000000 + 0.5) / 1000000
+                 AS d7_retention,
+               floor(count(DISTINCT CASE WHEN dn = 14 THEN user_id END) * 1.0
+                     / count(DISTINCT user_id) * 1000000 + 0.5) / 1000000
+                 AS d14_retention
+        FROM j GROUP BY d0
+    """,
+    "customers_cohort_ltv": """
+        WITH om AS (
+          SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        first AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY 1),
+        idx AS (
+          SELECT om.o_custkey, f.m0,
+                 CAST((year(om.m) - year(f.m0)) * 12
+                      + (month(om.m) - month(f.m0)) AS BIGINT)
+                   AS month_index,
+                 om.cents
+          FROM om JOIN first f ON om.o_custkey = f.o_custkey),
+        cell AS (
+          SELECT strftime(m0, '%Y-%m') AS cohort_month, month_index,
+                 sum(cents) AS c
+          FROM idx GROUP BY 1, 2)
+        SELECT cohort_month, month_index,
+               c / 100.0 AS month_revenue,
+               CAST(sum(c) OVER (PARTITION BY cohort_month
+                                 ORDER BY month_index
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 / 100.0 AS cum_revenue
+        FROM cell
+    """,
     "orders_seasonal_decompose": """
         WITH monthly AS (
           SELECT strftime(o_orderdate, '%Y-%m') AS month,
