@@ -3707,6 +3707,31 @@ def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def governance_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure + audit — the other half of the
+    governance pair next to masking: given a tombstone list (here the
+    deterministic user_id % 100 == 7 cohort), anti-join the event log
+    and report, per event type, the surviving row count AND the purged
+    count (erasure jobs must prove both what remains and what was
+    removed). The tombstone side is a small broadcast; the purge is one
+    scan classifying each row — at 100 TB this runs as the rewrite job
+    that materializes the post-erasure table, with this exact audit as
+    its summary output."""
+    e = _t(spark, sf_dir, "events")
+    is_tomb = F.col("user_id") % 100 == 7
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(~is_tomb, 1).otherwise(0)).cast("long").alias(
+            "n_kept"
+        ),
+        F.sum(F.when(is_tomb, 1).otherwise(0)).cast("long").alias(
+            "n_purged"
+        ),
+        F.countDistinct(F.when(is_tomb, F.col("user_id"))).alias(
+            "n_users_erased"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3842,9 +3867,20 @@ QUERIES = {
     "orders_seasonal_decompose": orders_seasonal_decompose,
     "events_dn_retention": events_dn_retention,
     "customers_cohort_ltv": customers_cohort_ltv,
+    "governance_erasure_audit": governance_erasure_audit,
 }
 
 ORACLE = {
+    "governance_erasure_audit": """
+        SELECT event_type,
+               CAST(sum(CASE WHEN user_id % 100 <> 7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN user_id % 100 = 7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purged,
+               count(DISTINCT CASE WHEN user_id % 100 = 7
+                                   THEN user_id END) AS n_users_erased
+        FROM events GROUP BY event_type
+    """,
     "events_dn_retention": """
         WITH first AS (
           SELECT user_id, CAST(min(ts) AS DATE) AS d0
