@@ -233,6 +233,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(sample, _FRAME_SCHEMA)
 
 
+_RESIZE_DIM = 32
+
+
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample over the decoded payload — the missing quarter
+    of the decode → feature-extract → RESIZE → frame-sample multimodal
+    quartet: every payload is reduced to a fixed 32-element "thumbnail"
+    by averaging equal-width byte strides (what an image resize does per
+    channel row; the codec itself stays stubbed, see
+    :func:`decode_image`). ``mapInPandas`` keeps the Arrow batch shape
+    of a real resize (fixed-width output per input row, no Python-row
+    path). Output is the thumbnail's md5 (over the comma-joined
+    quantized values) + first/last cells, so the driver hash-gates the
+    RESIZED VALUES themselves; the DuckDB oracle recomputes the strided
+    means from the ASCII text with identical floor-half-up quantization."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_bytes": [],
+                "thumb_md5": [],
+                "thumb_first": [],
+                "thumb_last": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                pixels = _fake_decode(blob)
+                n = len(pixels)
+                cells = []
+                for k in range(_RESIZE_DIM):
+                    lo = (k * n) // _RESIZE_DIM
+                    hi = ((k + 1) * n) // _RESIZE_DIM
+                    if hi <= lo:
+                        cells.append(None)
+                        continue
+                    seg = pixels[lo:hi].astype(np.int64)
+                    # exact rational -> floor-half-up at 1e-4 (same rule
+                    # as the oracle; int sums keep it engine-exact)
+                    cells.append(
+                        float(
+                            (200000 * int(seg.sum()) + (hi - lo))
+                            // (2 * (hi - lo))
+                        )
+                        / 10000.0
+                    )
+                joined = ",".join(
+                    "null" if c is None else f"{c:.4f}" for c in cells
+                )
+                import hashlib
+
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(n)
+                out["thumb_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest()
+                )
+                out["thumb_first"].append(cells[0])
+                out["thumb_last"].append(cells[-1])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        resize,
+        "doc_id long, n_bytes long, thumb_md5 string, "
+        "thumb_first double, thumb_last double",
+    )
+
+
 def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-planning rollup over the binary payloads: 128-byte size
     buckets with per-bucket counts and byte totals — what capacity
@@ -283,6 +352,7 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "multimodal_chunk_dedup": multimodal_chunk_dedup,
     "multimodal_blob_meta": multimodal_blob_meta,
+    "multimodal_resize_stub": multimodal_resize_stub,
     "multimodal_size_histogram": multimodal_size_histogram,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_embed_stub": multimodal_embed_stub,
@@ -314,6 +384,37 @@ _E8 = ", ".join(
 )
 
 ORACLE = {
+    "multimodal_resize_stub": """
+        WITH ks AS (SELECT unnest(range(0, 32)) AS k),
+        base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        cells AS (
+          SELECT doc_id, n, k,
+                 (k * n) // 32 AS lo,
+                 ((k + 1) * n) // 32 AS hi,
+                 text
+          FROM base, ks),
+        vals AS (
+          SELECT doc_id, n, k,
+                 CASE WHEN hi <= lo THEN NULL
+                      ELSE CAST((200000 * list_sum(list_transform(
+                                   range(1, hi - lo + 1),
+                                   i -> ascii(text[CAST(lo + i AS INT)])))
+                                 + (hi - lo)) // (2 * (hi - lo)) AS BIGINT)
+                           / 10000.0
+                 END AS cell
+          FROM cells),
+        strs AS (
+          SELECT doc_id, any_value(n) AS n_bytes,
+                 string_agg(CASE WHEN cell IS NULL THEN 'null'
+                                 ELSE printf('%.4f', cell) END,
+                            ',' ORDER BY k) AS joined,
+                 max(CASE WHEN k = 0 THEN cell END) AS thumb_first,
+                 max(CASE WHEN k = 31 THEN cell END) AS thumb_last
+          FROM vals GROUP BY doc_id)
+        SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+               md5(joined) AS thumb_md5, thumb_first, thumb_last
+        FROM strs
+    """,
     "multimodal_chunk_dedup": """
         WITH ch AS (
           SELECT doc_id,
