@@ -3732,6 +3732,54 @@ def governance_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror of join_asof_last_click's
+    backward bound: for each purchase, the user's next 'view' STRICTLY
+    after it (post-purchase browsing latency). Same scale-correct
+    union + one keyed shuffle + one window composition; the forward
+    frame is ``first(ignorenulls)`` over [current, unbounded following]
+    with view rows sorted BEFORE purchases at equal timestamps, which
+    implements the exclusive (>) bound. Oracle: plain min-over-future
+    aggregate in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    l = purchases.select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_ts"),
+        F.lit(1).alias("_side"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("_vts"),
+    )
+    r = views.select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("_vts"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn("_next_v", F.first("_vts", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(
+            "event_id",
+            F.col("_k").alias("user_id"),
+            F.col("_next_v").alias("next_view_ts"),
+            F.expr(
+                "timestampdiff(MICROSECOND, _ts, _next_v)"
+            ).alias("micros_to_view"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3868,9 +3916,25 @@ QUERIES = {
     "events_dn_retention": events_dn_retention,
     "customers_cohort_ltv": customers_cohort_ltv,
     "governance_erasure_audit": governance_erasure_audit,
+    "join_asof_next_view": join_asof_next_view,
 }
 
 ORACLE = {
+    "join_asof_next_view": """
+        SELECT p.event_id, p.user_id,
+               min(v.ts) AS next_view_ts,
+               CASE WHEN min(v.ts) IS NOT NULL
+                    THEN CAST(epoch_us(min(v.ts)) - epoch_us(p.ts)
+                              AS BIGINT)
+               END AS micros_to_view
+        FROM events p
+        LEFT JOIN events v
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view'
+         AND v.ts > p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id, p.ts
+    """,
     "governance_erasure_audit": """
         SELECT event_type,
                CAST(sum(CASE WHEN user_id % 100 <> 7 THEN 1 ELSE 0 END)

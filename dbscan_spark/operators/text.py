@@ -881,8 +881,33 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity entropy — the mixture-diversity
+    metric next to corpus_mixture_weights' token masses: Shannon
+    entropy (nats) of each source's ground-truth language distribution,
+    H = ln(n) − (Σ c·ln c)/n over the exact integer counts (that
+    algebraic form holds every log on an exact integer — no p=c/n
+    division before the transcendental, so both engines' libm calls see
+    identical arguments). Two nested narrow aggregates: (source, lang)
+    counts then a source rollup — #sources×#langs rows after the first
+    exchange at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ent = F.log(F.sum("c").cast("double")) - F.sum(
+        F.col("c") * F.log(F.col("c").cast("double"))
+    ) / F.sum("c")
+    return cl.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.floor(ent * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "lang_entropy_nats"
+        ),
+    )
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
+    "corpus_language_entropy": corpus_language_entropy,
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
@@ -914,6 +939,18 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "corpus_language_entropy": """
+        WITH cl AS (
+          SELECT source, lang, count(*) AS c
+          FROM documents GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               floor((ln(CAST(sum(c) AS DOUBLE))
+                      - sum(c * ln(CAST(c AS DOUBLE))) / sum(c))
+                     * 1000000 + 0.5) / 1000000 AS lang_entropy_nats
+        FROM cl GROUP BY source
+    """,
     "text_pii_scrub": f"""
         WITH s AS (
           SELECT doc_id, text,
