@@ -905,9 +905,43 @@ def corpus_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law) — how many NEW word types
+    each 50-document slice of the corpus contributes, plus the running
+    vocabulary size: the saturation diagnostic for "is more data still
+    adding diversity". Each type is attributed to its FIRST document
+    (min doc_id over the per-doc distinct-token explode — one
+    token-keyed aggregation); the bucket rollup and cumulative window
+    then run over #buckets rows. At 100 TB the only data-sized exchange
+    is the token min-aggregation, with map-side partial mins."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok_first = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("t"),
+        )
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = tok_first.groupBy(
+        (F.col("first_doc") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_new_types"))
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_new_types",
+        F.sum("n_new_types").over(wc).alias("cum_vocab"),
+    )
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "corpus_language_entropy": corpus_language_entropy,
+    "text_vocab_growth": text_vocab_growth,
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
@@ -939,6 +973,21 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "text_vocab_growth": f"""
+        WITH tf AS (
+          SELECT t, min(doc_id) AS first_doc
+          FROM (SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS t
+                FROM documents)
+          GROUP BY t),
+        pb AS (
+          SELECT CAST(first_doc // 50 AS BIGINT) AS bucket,
+                 count(*) AS n_new_types
+          FROM tf GROUP BY 1)
+        SELECT bucket, n_new_types,
+               CAST(sum(n_new_types) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        FROM pb
+    """,
     "corpus_language_entropy": """
         WITH cl AS (
           SELECT source, lang, count(*) AS c
