@@ -100,7 +100,8 @@ def _operator_modules():
 # knn_label_predict, orders_seasonal_decompose, events_dn_retention,
 # customers_cohort_ltv, governance_erasure_audit, multimodal_resize_stub,
 # join_asof_next_view, corpus_language_entropy,
-# events_seasonal_anomalies, text_vocab_growth
+# events_seasonal_anomalies, text_vocab_growth, events_pattern_vvp,
+# text_bm25_search
 # — all pre-verified green at sf0.01 via tools/driver_sim.py), then (2)
 # the rounds-1/2 green set to re-confirm it.
 _R3_PRIORITY = [

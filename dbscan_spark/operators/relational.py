@@ -3846,6 +3846,29 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def events_pattern_vvp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-pattern detection (CEP): count, per
+    user, occurrences of the consecutive pattern view → view → purchase
+    in the (ts, event_id)-ordered stream — the "browsing burst converts"
+    motif. A fixed-length pattern needs no state machine: two lags over
+    ONE user-keyed sort exchange detect every match (the k-gram trick;
+    longer/variable patterns would fold the collected sequence like the
+    EWMA). Only matching users are returned."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hit = (
+        (F.col("event_type") == "purchase")
+        & (F.lag("event_type", 1).over(w) == "view")
+        & (F.lag("event_type", 2).over(w) == "view")
+    )
+    return (
+        e.select("user_id", hit.cast("long").alias("m"))
+        .groupBy("user_id")
+        .agg(F.sum("m").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3984,9 +4007,23 @@ QUERIES = {
     "governance_erasure_audit": governance_erasure_audit,
     "join_asof_next_view": join_asof_next_view,
     "events_seasonal_anomalies": events_seasonal_anomalies,
+    "events_pattern_vvp": events_pattern_vvp,
 }
 
 ORACLE = {
+    "events_pattern_vvp": """
+        WITH lagged AS (
+          SELECT user_id,
+                 CASE WHEN event_type = 'purchase'
+                       AND lag(event_type, 1) OVER w = 'view'
+                       AND lag(event_type, 2) OVER w = 'view'
+                      THEN 1 ELSE 0 END AS m
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, CAST(sum(m) AS BIGINT) AS n_matches
+        FROM lagged GROUP BY user_id
+        HAVING sum(m) > 0
+    """,
     "events_seasonal_anomalies": """
         WITH daily AS (
           SELECT event_type,

@@ -938,10 +938,78 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed retrieval query for the BM25 demo — three mid-frequency corpus
+#: terms; k1/b are the standard Robertson defaults
+_BM25_TERMS = ("hash", "join", "scan")
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval — the scoring function on top of
+    text_inverted_index's postings, run end-to-end for a fixed query
+    ("hash join scan"): Robertson idf · saturated tf with length
+    normalization, top-20 docs. Per-doc term frequencies come from
+    row-local array filters (NO explode of the token stream); the
+    corpus stats (N, total length, per-term document frequencies) are
+    ONE aggregate row broadcast back — so the whole query is one scan +
+    a 1-row join + a global top-k (TakeOrderedAndProject at scale).
+    Every input to the float expression is an exact integer or a shared
+    literal and the expression trees match the oracle token-for-token,
+    so both engines produce identical doubles; scores are floor-rounded
+    at 1e-4 with doc_id tie-breaks."""
+    k1, b = 1.2, 0.75
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    )
+    def _tf(term: str):
+        # closure, NOT a defaulted lambda arg: a 2-arg lambda makes
+        # F.filter pass (element, index) and the term would bind to the
+        # index column
+        return F.size(
+            F.filter(F.col("_toks"), lambda x: x == F.lit(term))
+        ).alias(f"tf_{term}")
+
+    tf_cols = [_tf(t) for t in _BM25_TERMS]
+    per_doc = d.select(
+        "doc_id", F.size("_toks").alias("dlen"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+        )
+        norm = 1 - b + b * F.col("dlen") * F.col("n_docs") / F.col(
+            "total_len"
+        )
+        term = idf * (tf * (k1 + 1)) / (tf + k1 * norm)
+        score = term if score is None else score + term
+    return (
+        scored.select(
+            "doc_id",
+            (F.floor(score * 10000 + F.lit(0.5)) / 10000).alias("bm25"),
+        )
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "corpus_language_entropy": corpus_language_entropy,
     "text_vocab_growth": text_vocab_growth,
+    "text_bm25_search": text_bm25_search,
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
@@ -973,6 +1041,43 @@ _SQL_EN_LIST = ", ".join(
 )
 
 ORACLE = {
+    "text_bm25_search": f"""
+        WITH per_doc AS (
+          SELECT doc_id, t,
+                 len(t) AS dlen,
+                 len(list_filter(t, x -> x = 'hash')) AS tf_hash,
+                 len(list_filter(t, x -> x = 'join')) AS tf_join,
+                 len(list_filter(t, x -> x = 'scan')) AS tf_scan
+          FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)),
+        stats AS (
+          SELECT count(*) AS n_docs,
+                 sum(dlen) AS total_len,
+                 sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+                 sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                 sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan
+          FROM per_doc),
+        scored AS (
+          SELECT doc_id,
+                 floor((
+                   ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+                     * (tf_hash * (1.2 + 1))
+                     / (tf_hash + 1.2 * (1 - 0.75 + 0.75 * dlen * n_docs
+                                         / total_len))
+                   + ln(1 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+                     * (tf_join * (1.2 + 1))
+                     / (tf_join + 1.2 * (1 - 0.75 + 0.75 * dlen * n_docs
+                                         / total_len))
+                   + ln(1 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+                     * (tf_scan * (1.2 + 1))
+                     / (tf_scan + 1.2 * (1 - 0.75 + 0.75 * dlen * n_docs
+                                         / total_len))
+                 ) * 10000 + 0.5) / 10000 AS bm25
+          FROM per_doc, stats)
+        SELECT doc_id, bm25 FROM scored
+        WHERE bm25 > 0
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """,
     "text_vocab_growth": f"""
         WITH tf AS (
           SELECT t, min(doc_id) AS first_doc
