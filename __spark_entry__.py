@@ -75,35 +75,37 @@ def _operator_modules():
 # pipeline's driver signal, and dedup_semantic_keep_best composes
 # dedup_embedding_lsh + dedup_keep_best, both graded above it.
 #
-# ROUND 4: flip back — front-load (1) the queries still dark after r3:
-# the 6 sacrifice entries below (cut by the 50-row budget) plus the 18
-# added during round 3 (corpus_train_split, text_contamination_bloom,
-# text_bpe_pair_merges, text_bigram_lm_quality, events_ewma_user_value,
-# events_scd2_user_state, layout_zorder_buckets, agg_incremental_daily,
-# streaming_tumbling_totals, streaming_session_totals,
-# streaming_merge_latest_state, corpus_boilerplate_ngrams,
-# text_lm_quality, embedding_quantize_int8, kmeans_embeddings,
-# graph_triangle_counts, stats_supplier_trend, dbscan_predict_canonical,
-# events_mad_outliers, snapshot_diff_orders, events_path_transitions,
-# window_sliding_distinct_users, events_concurrency_hourly,
-# corpus_cluster_profiles, dbscan_flags_64d, events_ohlc_daily,
-# window_cume_dist_spend, skyline_pareto_parts, events_gapfill_interp,
-# similarity_range_search, graph_bfs_reach, text_pii_scrub,
-# dedup_containment, basket_part_affinity, multimodal_chunk_dedup,
-# streaming_dedup_pairs, embedding_covariance, embedding_pca_2d,
-# orc_roundtrip_supplier, pysource_synthetic_events,
-# events_seasonality_profile, events_ab_welch_t, stats_return_rate_wilson,
-# governance_masked_customers, events_cusum_alerts, events_holt_forecast,
-# geo_points_in_boxes, partitioned_prune_events,
-# json_corrupt_tolerant_read, schema_evolution_read,
-# ann_topk_filtered, dedup_cross_source, events_funnel_latency,
-# knn_label_predict, orders_seasonal_decompose, events_dn_retention,
-# customers_cohort_ltv, governance_erasure_audit, multimodal_resize_stub,
-# join_asof_next_view, corpus_language_entropy,
-# events_seasonal_anomalies, text_vocab_growth, events_pattern_vvp,
-# text_bm25_search
-# — all pre-verified green at sf0.01 via tools/driver_sim.py), then (2)
-# the rounds-1/2 green set to re-confirm it.
+# ROUND 4 PLAN (generated at end of round 3; 209 registered, 88
+# green in r1/r2, 50 graded in r3 => 71 still dark). Replace
+# _R3_PRIORITY with the 50 names below (cheap exact-oracle queries
+# first, heavier streaming/ml/rows-only later so wall-clock truncation
+# costs least), all pre-verified green at sf0.01 via tools/driver_sim.py:
+#   text_pii_scrub, corpus_language_entropy, text_vocab_growth
+#   text_bm25_search, corpus_boilerplate_ngrams, text_lm_quality
+#   corpus_train_split, text_contamination_bloom, text_bpe_pair_merges
+#   text_bigram_lm_quality, multimodal_chunk_dedup, multimodal_resize_stub
+#   events_ewma_user_value, layout_zorder_buckets, agg_incremental_daily
+#   events_scd2_user_state, stats_supplier_trend, events_mad_outliers
+#   snapshot_diff_orders, events_path_transitions, window_sliding_distinct_users
+#   events_concurrency_hourly, events_ohlc_daily, window_cume_dist_spend
+#   skyline_pareto_parts, events_gapfill_interp, basket_part_affinity
+#   orc_roundtrip_supplier, pysource_synthetic_events, events_seasonality_profile
+#   events_ab_welch_t, stats_return_rate_wilson, governance_masked_customers
+#   events_cusum_alerts, events_holt_forecast, geo_points_in_boxes
+#   partitioned_prune_events, json_corrupt_tolerant_read, schema_evolution_read
+#   events_funnel_latency, orders_seasonal_decompose, events_dn_retention
+#   customers_cohort_ltv, governance_erasure_audit, join_asof_next_view
+#   events_seasonal_anomalies, events_pattern_vvp, rel_division_priorities
+#   ann_topk_filtered, knn_label_predict
+# ROUND 5: the remaining 21 dark entries:
+#   similarity_range_search, embedding_quantize_int8, dedup_containment
+#   dedup_cross_source, embedding_covariance, dbscan_predict_canonical
+#   dbscan_embeddings, dbscan_predict_holdout, dedup_semantic_keep_best
+#   dbscan_embeddings_64d, dbscan_predict_64d, graph_bfs_reach
+#   embedding_pca_2d, kmeans_embeddings, corpus_cluster_profiles
+#   graph_triangle_counts, dbscan_flags_64d, streaming_tumbling_totals
+#   streaming_session_totals, streaming_merge_latest_state, streaming_dedup_pairs
+# then rotate the r1/r2/r3 green set back in to re-confirm it.
 _R3_PRIORITY = [
     # fixed canonicalizer errors (r2 hard errors)
     "multimodal_feature_extract",

@@ -3869,6 +3869,28 @@ def events_pattern_vvp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_division_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — the "for all" operator classic engines
+    leave to rewrites: customers whose orders cover EVERY order-priority
+    class. The double-NOT-EXISTS textbook form becomes one grouped
+    count-distinct compared to the (1-row, broadcast) universe size —
+    a single fact shuffle on the dividend key, no nested anti-joins.
+    Returns each qualifying customer with their order count."""
+    o = _t(spark, sf_dir, "orders")
+    universe = o.select("o_orderpriority").distinct().agg(
+        F.count(F.lit(1)).alias("n_classes")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_covered"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(universe))
+        .filter(F.col("n_covered") == F.col("n_classes"))
+        .select("o_custkey", "n_orders")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -4008,9 +4030,18 @@ QUERIES = {
     "join_asof_next_view": join_asof_next_view,
     "events_seasonal_anomalies": events_seasonal_anomalies,
     "events_pattern_vvp": events_pattern_vvp,
+    "rel_division_priorities": rel_division_priorities,
 }
 
 ORACLE = {
+    "rel_division_priorities": """
+        WITH u AS (
+          SELECT count(DISTINCT o_orderpriority) AS n_classes FROM orders)
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders, u
+        GROUP BY o_custkey, n_classes
+        HAVING count(DISTINCT o_orderpriority) = n_classes
+    """,
     "events_pattern_vvp": """
         WITH lagged AS (
           SELECT user_id,
