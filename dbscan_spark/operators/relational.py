@@ -3150,11 +3150,13 @@ def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single moment scan; everything after is constant-size."""
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     c = F.round(F.col("value") * 100).cast("long")
+    # persisted: both sides of the pair self-join read the SAME moment
+    # rollup — one scan + one aggregation, not one per side
     m = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(c).alias("s"),
         F.sum(c * c).alias("s2"),
-    )
+    ).persist()
     a, b = m.alias("a"), m.alias("b")
     mean = lambda p: F.col(f"{p}.s") / F.col(f"{p}.n") / 100.0
     var = lambda p: (

@@ -568,3 +568,75 @@ def test_partitioned_read_prunes_partitions(spark):
     plan = plan_of(spark, "partitioned_prune_events")
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_type" in pf[0]
+
+
+def test_welch_is_single_moment_scan(spark):
+    """events_ab_welch_t: the data-sized stage must be ONE grouped
+    moment aggregation; the pair join runs over the tiny per-type
+    table."""
+    import re
+
+    plan = plan_of(spark, "events_ab_welch_t")
+    tree = plan.split("\n\n")[0]
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1
+    assert "SortMergeJoin" not in tree
+
+
+def test_seasonality_share_join_is_broadcast(spark):
+    """events_seasonality_profile: the per-type totals side must
+    broadcast — a full-table window over raw events would be the
+    anti-pattern."""
+    plan = plan_of(spark, "events_seasonality_profile")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "Window" not in tree
+
+
+def test_cusum_and_holt_fold_without_joins_per_round(spark):
+    """The sequential-recurrence family folds inside one aggregation —
+    no per-step joins, no Window over raw events."""
+    for name in ("events_cusum_alerts", "events_holt_forecast"):
+        tree = plan_of(spark, name).split("\n\n")[0]
+        assert "SortMergeJoin" not in tree, name
+        assert "Window" not in tree, name
+
+
+def test_dn_retention_all_user_keyed(spark):
+    """events_dn_retention: no cartesian/nested-loop anywhere — every
+    join is keyed on user_id."""
+    plan = plan_of(spark, "events_dn_retention")
+    tree = plan.split("\n\n")[0]
+    assert "NestedLoop" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_bm25_one_scan_one_broadcast_topk(spark):
+    """text_bm25_search: one documents scan feeding both per-doc tf and
+    the 1-row stats (reused via exchange/subplan), stats joined back by
+    broadcast, final global top-k (TakeOrderedAndProject) — no
+    token-stream explode, no sort-merge join."""
+    plan = plan_of(spark, "text_bm25_search")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "SortMergeJoin" not in tree
+    assert "Generate" not in tree  # tf via row-local array filters
+
+
+def test_seasonal_decompose_windows_over_monthly_rollup(spark):
+    """orders_seasonal_decompose: windows and the seasonal join run over
+    the ~80-row monthly rollup, never raw orders — exactly one
+    data-sized aggregation pair in the plan."""
+    plan = plan_of(spark, "orders_seasonal_decompose")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastHashJoin" in tree
+
+
+def test_pattern_vvp_single_sort_exchange(spark):
+    """events_pattern_vvp: both lags and the per-user rollup share ONE
+    (user_id) exchange."""
+    plan = plan_of(spark, "events_pattern_vvp")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
+    ex = [l for l in plan.splitlines() if "hashpartitioning(user_id" in l]
+    assert ex, "no user-keyed exchange:\n" + plan
