@@ -3893,6 +3893,78 @@ def rel_division_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def users_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization — the per-entity feature vector a
+    training pipeline snapshots: one user-keyed pass assembling
+    per-type event counts (conditional aggregation = a static pivot),
+    total/mean spend in exact cents, activity span in days, and
+    recency rank. ONE shuffle on user_id for the whole vector; the
+    recency ntile is a second pass over the per-user rollup (#users
+    rows), never raw events."""
+    e = _t(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    ).cast("long").alias(f"n_{t}")
+    base = e.groupBy("user_id").agg(
+        cnt("view"),
+        cnt("click"),
+        cnt("purchase"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.coalesce(F.round(F.col("value") * 100).cast("long"), F.lit(0))
+        ).alias("cents"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+        .cast("long")
+        .alias("active_days_span"),
+        F.max("ts").alias("_last_ts"),
+    )
+    w = Window.orderBy(F.desc("_last_ts"), F.asc("user_id"))
+    return base.select(
+        "user_id",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        "n_events",
+        (F.col("cents") / 100.0).alias("total_value"),
+        "active_days_span",
+        F.ntile(10).over(w).cast("long").alias("recency_decile"),
+    )
+
+
+def text_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/packing chunker: split every document into overlapping
+    200-char chunks with a 50-char stride overlap (chunk k covers
+    [150k, 150k+200)) — the retrieval-corpus preparation step between
+    cleaning and embedding. Chunking is a row-local transform+explode
+    (zero shuffle at any scale); each chunk carries its offset, length
+    and content hash so the downstream embedder/indexer joins back
+    exactly. Char-based substring semantics match across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks = F.expr(
+        "int(greatest(floor((length(text) - 51) / 150), 0)) + 1"
+    )
+    chunk = F.expr(
+        "transform(sequence(0, int(greatest(floor((length(text) - 51)"
+        " / 150), 0))),"
+        " k -> named_struct("
+        "   'chunk_idx', CAST(k AS BIGINT),"
+        "   'start', CAST(k * 150 AS BIGINT),"
+        "   'chunk_len', CAST(length(substring(text, k * 150 + 1, 200))"
+        "                     AS BIGINT),"
+        "   'chunk_md5', md5(substring(text, k * 150 + 1, 200))))"
+    )
+    return (
+        d.select("doc_id", F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start").alias("start"),
+            F.col("c.chunk_len").alias("chunk_len"),
+            F.col("c.chunk_md5").alias("chunk_md5"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -4033,9 +4105,52 @@ QUERIES = {
     "events_seasonal_anomalies": events_seasonal_anomalies,
     "events_pattern_vvp": events_pattern_vvp,
     "rel_division_priorities": rel_division_priorities,
+    "users_feature_assembly": users_feature_assembly,
+    "text_rag_chunking": text_rag_chunking,
 }
 
 ORACLE = {
+    "users_feature_assembly": """
+        WITH base AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_view,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_click,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_purchase,
+                 count(*) AS n_events,
+                 CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0))
+                      AS BIGINT) AS cents,
+                 CAST(datediff('day', CAST(min(ts) AS DATE),
+                               CAST(max(ts) AS DATE)) AS BIGINT)
+                   AS active_days_span,
+                 max(ts) AS _last_ts
+          FROM events GROUP BY user_id)
+        SELECT user_id, n_view, n_click, n_purchase, n_events,
+               cents / 100.0 AS total_value,
+               active_days_span,
+               CAST(ntile(10) OVER (ORDER BY _last_ts DESC, user_id)
+                    AS BIGINT) AS recency_decile
+        FROM base
+    """,
+    "text_rag_chunking": """
+        WITH d AS (
+          SELECT doc_id, text,
+                 CAST(greatest(floor((length(text) - 51) / 150), 0)
+                      AS BIGINT) AS mk
+          FROM documents),
+        ex AS (
+          SELECT doc_id, text, unnest(range(0, mk + 1)) AS k FROM d)
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_idx,
+               CAST(k * 150 AS BIGINT) AS start,
+               CAST(length(substring(text, CAST(k * 150 + 1 AS INT), 200))
+                    AS BIGINT) AS chunk_len,
+               md5(substring(text, CAST(k * 150 + 1 AS INT), 200))
+                 AS chunk_md5
+        FROM ex
+    """,
     "rel_division_priorities": """
         WITH u AS (
           SELECT count(DISTINCT o_orderpriority) AS n_classes FROM orders)
