@@ -3965,6 +3965,69 @@ def text_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_udf_value_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDF registered INTO the SQL surface —
+    ``spark.udf.register`` of an Arrow-batched pandas UDF, then invoked
+    from a plain ``spark.sql`` string (the taxonomy leg where analysts
+    call Python logic from SQL they write themselves; the DataFrame-API
+    legs are covered by the UDTF/UDAF/mapInPandas queries). The tier
+    rule is deliberately trivial so the oracle states it as a CASE — the
+    graded property is the registration + SQL-invocation path, with
+    Arrow batching confirmed by the no-BatchEvalPython plan audit that
+    sweeps every query."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them and pandas_udf can't resolve 'pd.Series' against
+    # a function-local import
+    @pandas_udf("string")
+    def value_tier(v):
+        return pd.Series(
+            np.where(
+                v.isna(), "none",
+                np.where(v < 10, "low", np.where(v < 60, "mid", "high")),
+            )
+        )
+
+    spark.udf.register("value_tier", value_tier)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type, value_tier(value) AS tier,
+               count(*) AS n_events
+        FROM events_v
+        GROUP BY event_type, value_tier(value)
+        """
+    )
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the lag-12 companion to
+    the day-over-day deltas: monthly totals in exact cents, each month
+    compared to the same month one year earlier (lag 12 over the
+    ~80-row monthly rollup; NULL for the first year). Growth is the
+    exact-integer ratio floor-rounded at 1e-4."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("c", 12).over(w)
+    return monthly.select(
+        "month",
+        (F.col("c") / 100.0).alias("revenue"),
+        F.when(
+            prev.isNotNull(),
+            F.floor((F.col("c") - prev) / prev * 10000 + F.lit(0.5))
+            / 10000,
+        ).alias("yoy_growth"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -4107,9 +4170,33 @@ QUERIES = {
     "rel_division_priorities": rel_division_priorities,
     "users_feature_assembly": users_feature_assembly,
     "text_rag_chunking": text_rag_chunking,
+    "sql_udf_value_tier": sql_udf_value_tier,
+    "orders_yoy_growth": orders_yoy_growth,
 }
 
 ORACLE = {
+    "sql_udf_value_tier": """
+        SELECT event_type,
+               CASE WHEN value IS NULL THEN 'none'
+                    WHEN value < 10 THEN 'low'
+                    WHEN value < 60 THEN 'mid'
+                    ELSE 'high' END AS tier,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "orders_yoy_growth": """
+        WITH monthly AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+          FROM orders GROUP BY 1)
+        SELECT month, c / 100.0 AS revenue,
+               CASE WHEN lag(c, 12) OVER w IS NOT NULL
+                    THEN floor((c - lag(c, 12) OVER w) * 1.0
+                               / lag(c, 12) OVER w * 10000 + 0.5) / 10000
+               END AS yoy_growth
+        FROM monthly
+        WINDOW w AS (ORDER BY month)
+    """,
     "users_feature_assembly": """
         WITH base AS (
           SELECT user_id,
