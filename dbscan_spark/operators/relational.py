@@ -4028,6 +4028,103 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the engagement-
+    inequality / dataset-skew metric (a Gini near 1 means a handful of
+    power users dominate the corpus, which biases training data): G =
+    2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the ascending-sorted counts. The
+    rank window runs over the per-user ROLLUP (#users rows), all sums
+    are exact integers, and the final expression is one identical
+    rational → the floor-1e-6 round is engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            F.floor(
+                (
+                    2 * F.sum(F.col("i") * F.col("x"))
+                    / (F.count(F.lit(1)) * F.sum("x"))
+                    - (F.count(F.lit(1)) + 1) / F.count(F.lit(1))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("gini"),
+    )
+
+
+def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation:
+    Σ shareᵢ² × 10000 over each nation's supplier revenue shares — the
+    antitrust-style concentration screen (HHI > 2500 = concentrated).
+    Revenue accumulates in exact cents; shares divide by the nation
+    total via a broadcast join-back, and the share-square sum is the
+    only float aggregation (noise ~1e-16 under the 1e-4 floor)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("c")
+        )
+    )
+    tot = rev.groupBy("nation").agg(F.sum("c").alias("t"))
+    share2 = (F.col("c") / F.col("t")) * (F.col("c") / F.col("t"))
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (
+                F.floor(F.sum(share2) * 10000 * 10000 + F.lit(0.5)) / 10000
+            ).alias("hhi_points"),
+        )
+    )
+
+
+def lineitem_chi2_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between line status and return flag —
+    the categorical-association member of the inference family (Welch's
+    t for means, Wilson for rates, χ² for contingency): observed cell
+    counts vs the rank-1 expected r·c/N, χ² = Σ(o−e)²/e over the contingency
+    cells. One grouped count of the fact table; marginals broadcast;
+    every arithmetic input is an exact integer so the per-cell terms
+    are engine-identical rationals (summation of 21 terms under a 1e-4
+    floor)."""
+    l = _t(spark, sf_dir, "lineitem")
+    cells = l.groupBy("l_linestatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows = cells.groupBy("l_linestatus").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("l_returnflag").agg(F.sum("o").alias("cc"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e_exp = F.col("r") * F.col("cc") / F.col("n")
+    term = (F.col("o") - e_exp) * (F.col("o") - e_exp) / e_exp
+    joined = (
+        cells.join(F.broadcast(rows), "l_linestatus")
+        .join(F.broadcast(cols), "l_returnflag")
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.agg(
+        (F.floor(F.sum(term) * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
+        (
+            (F.countDistinct("l_linestatus") - 1)
+            * (F.countDistinct("l_returnflag") - 1)
+        ).alias("dof"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -4172,9 +4269,55 @@ QUERIES = {
     "text_rag_chunking": text_rag_chunking,
     "sql_udf_value_tier": sql_udf_value_tier,
     "orders_yoy_growth": orders_yoy_growth,
+    "events_user_gini": events_user_gini,
+    "supplier_hhi_concentration": supplier_hhi_concentration,
+    "lineitem_chi2_status_flag": lineitem_chi2_status_flag,
 }
 
 ORACLE = {
+    "events_user_gini": """
+        WITH pu AS (
+          SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+        ranked AS (
+          SELECT x, CAST(row_number() OVER (ORDER BY x, user_id)
+                         AS BIGINT) AS i
+          FROM pu)
+        SELECT count(*) AS n_users,
+               floor((2.0 * sum(i * x) / (count(*) * sum(x))
+                      - (count(*) + 1.0) / count(*)) * 1000000 + 0.5)
+                 / 1000000 AS gini
+        FROM ranked
+    """,
+    "supplier_hhi_concentration": """
+        WITH rev AS (
+          SELECT n_name AS nation, s_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        tot AS (SELECT nation, sum(c) AS t FROM rev GROUP BY 1)
+        SELECT nation, count(*) AS n_suppliers,
+               floor(sum((c * 1.0 / t) * (c * 1.0 / t)) * 10000 * 10000
+                     + 0.5) / 10000 AS hhi_points
+        FROM rev JOIN tot USING (nation)
+        GROUP BY nation
+    """,
+    "lineitem_chi2_status_flag": """
+        WITH cells AS (
+          SELECT l_linestatus, l_returnflag, count(*) AS o
+          FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT l_linestatus, sum(o) AS r FROM cells GROUP BY 1),
+        c AS (SELECT l_returnflag, sum(o) AS cc FROM cells GROUP BY 1),
+        n AS (SELECT sum(o) AS n FROM cells)
+        SELECT floor(sum((o - r * cc * 1.0 / n) * (o - r * cc * 1.0 / n)
+                         / (r * cc * 1.0 / n)) * 10000 + 0.5) / 10000
+                 AS chi2,
+               CAST((count(DISTINCT l_linestatus) - 1)
+                    * (count(DISTINCT l_returnflag) - 1) AS BIGINT) AS dof
+        FROM cells JOIN r USING (l_linestatus)
+        JOIN c USING (l_returnflag), n
+    """,
     "sql_udf_value_tier": """
         SELECT event_type,
                CASE WHEN value IS NULL THEN 'none'
