@@ -1005,8 +1005,53 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio as a quality signal — the production
+    filter family Gopher/CCNet popularized: highly compressible text is
+    repetitive boilerplate, incompressible text is noise; the healthy
+    band sits in between. Runs zlib (level 6, fixed) inside an
+    Arrow-batched ``mapInPandas`` — a pure zero-shuffle map, the same
+    scale shape as the multimodal decoders. DEFLATE output is fully
+    deterministic for a fixed level and zlib build, but it is genuinely
+    not SQL-expressible → rows-only driver check; the unit test pins
+    ratios against direct zlib calls, and the quality band flag is
+    derived from the rounded ratio."""
+    import zlib
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def comp(batches):
+        for pdf in batches:
+            ids, ns, rs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                n = len(raw)
+                c = len(zlib.compress(raw, 6))
+                ids.append(doc_id)
+                ns.append(n)
+                # floor-half-up, consistent with the repo's rounding rule
+                rs.append(((20000 * c + n) // (2 * n)) / 10000.0 if n else None)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": ns, "compress_ratio": rs}
+            )
+
+    out = d.mapInPandas(
+        comp, "doc_id long, n_bytes long, compress_ratio double"
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "compress_ratio",
+        F.when(F.col("compress_ratio") < 0.25, "too_repetitive")
+        .when(F.col("compress_ratio") > 0.9, "too_random")
+        .otherwise("ok")
+        .alias("quality_band"),
+    )
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
+    "text_compression_ratio": text_compression_ratio,
     "corpus_language_entropy": corpus_language_entropy,
     "text_vocab_growth": text_vocab_growth,
     "text_bm25_search": text_bm25_search,

@@ -762,3 +762,35 @@ def test_skyline_matches_bruteforce_on_random_points(spark):
         if not dominated:
             want.add(k)
     assert got == want
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """text_compression_ratio's per-doc ratios must equal direct zlib
+    calls on the same text (level 6, floor-half-up at 1e-4), and bands
+    must follow the rounded ratio."""
+    import zlib
+
+    from dbscan_spark.io import load_table
+    from dbscan_spark.operators import text as t
+
+    rows = {
+        r["doc_id"]: (r["n_bytes"], r["compress_ratio"], r["quality_band"])
+        for r in t.text_compression_ratio(spark, SF_TINY).collect()
+    }
+    src = load_table(spark, SF_TINY, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(rows) == len(src)
+    for r in src:
+        raw = r["text"].encode("utf-8")
+        n = len(raw)
+        c = len(zlib.compress(raw, 6))
+        want = ((20000 * c + n) // (2 * n)) / 10000.0
+        got_n, got_r, got_band = rows[r["doc_id"]]
+        assert got_n == n
+        assert got_r == want, r["doc_id"]
+        expected_band = (
+            "too_repetitive" if want < 0.25
+            else "too_random" if want > 0.9 else "ok"
+        )
+        assert got_band == expected_band
