@@ -4125,6 +4125,59 @@ def lineitem_chi2_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_bot_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection — the trust-and-safety screen a
+    training-data pipeline runs before user-generated text enters the
+    corpus: users whose inter-arrival gaps are suspiciously regular
+    (machine cadence) at volume. Gaps in exact epoch seconds via one
+    user-keyed lag window; per-user mean/variance of gaps from exact
+    integer sums (n·Σg² − (Σg)² stays integral — no float until the
+    final scaled comparison); every user with ≥ 20 gaps is returned with an
+    is_suspect flag (cv below 0.1, the cv² compared cross-multiplied
+    in exact integers, never divided) — the flag logic stays
+    hash-verified even on an organic corpus with no bots."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    st = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"),
+    )
+    # cv² = var/mean² = (n·Σg² − (Σg)²) / (Σg)²  <  0.01
+    # ⇔ 100·(n·Σg² − (Σg)²) < (Σg)²   — exact integer comparison
+    var_num = F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")
+    return (
+        st.filter(F.col("n_gaps") >= 20)
+        .select(
+            "user_id",
+            "n_gaps",
+            (100 * var_num < F.col("sg") * F.col("sg")).alias("is_suspect"),
+            (
+                F.floor(F.col("sg") / F.col("n_gaps") * 100 + F.lit(0.5))
+                / 100
+            ).alias("mean_gap_s"),
+            (
+                F.floor(
+                    F.sqrt(
+                        var_num
+                        / (F.col("n_gaps") * F.col("n_gaps"))
+                    )
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("stddev_gap_s"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -4272,9 +4325,31 @@ QUERIES = {
     "events_user_gini": events_user_gini,
     "supplier_hhi_concentration": supplier_hhi_concentration,
     "lineitem_chi2_status_flag": lineitem_chi2_status_flag,
+    "events_bot_suspects": events_bot_suspects,
 }
 
 ORACLE = {
+    "events_bot_suspects": """
+        WITH gaps AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS g
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        st AS (
+          SELECT user_id, count(*) AS n_gaps,
+                 sum(g) AS sg, sum(g * g) AS sg2
+          FROM gaps WHERE g IS NOT NULL
+          GROUP BY user_id)
+        SELECT user_id, n_gaps,
+               100 * (n_gaps * sg2 - sg * sg) < sg * sg AS is_suspect,
+               floor(sg * 1.0 / n_gaps * 100 + 0.5) / 100 AS mean_gap_s,
+               floor(sqrt((n_gaps * sg2 - sg * sg) * 1.0
+                          / (n_gaps * n_gaps)) * 100 + 0.5) / 100
+                 AS stddev_gap_s
+        FROM st
+        WHERE n_gaps >= 20
+    """,
     "events_user_gini": """
         WITH pu AS (
           SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
