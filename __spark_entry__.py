@@ -75,8 +75,8 @@ def _operator_modules():
 # pipeline's driver signal, and dedup_semantic_keep_best composes
 # dedup_embedding_lsh + dedup_keep_best, both graded above it.
 #
-# ROUND 4 PLAN (generated at end of round 3; 209 registered, 88
-# green in r1/r2, 50 graded in r3 => 71 still dark). Replace
+# ROUND 4 PLAN (generated at end of round 3; 218 registered, 88
+# green in r1/r2, 50 graded in r3 => 80 still dark). Replace
 # _R3_PRIORITY with the 50 names below (cheap exact-oracle queries
 # first, heavier streaming/ml/rows-only later so wall-clock truncation
 # costs least), all pre-verified green at sf0.01 via tools/driver_sim.py:
@@ -96,12 +96,15 @@ def _operator_modules():
 #   events_funnel_latency, orders_seasonal_decompose, events_dn_retention
 #   customers_cohort_ltv, governance_erasure_audit, join_asof_next_view
 #   events_seasonal_anomalies, events_pattern_vvp, rel_division_priorities
-#   ann_topk_filtered, knn_label_predict
-# ROUND 5: the remaining 21 dark entries:
-#   similarity_range_search, embedding_quantize_int8, dedup_containment
-#   dedup_cross_source, embedding_covariance, dbscan_predict_canonical
-#   dbscan_embeddings, dbscan_predict_holdout, dedup_semantic_keep_best
-#   dbscan_embeddings_64d, dbscan_predict_64d, graph_bfs_reach
+#   users_feature_assembly, text_rag_chunking
+# ROUND 5: the remaining 30 dark entries:
+#   sql_udf_value_tier, orders_yoy_growth, events_user_gini
+#   supplier_hhi_concentration, lineitem_chi2_status_flag, events_bot_suspects
+#   ann_topk_filtered, knn_label_predict, similarity_range_search
+#   embedding_quantize_int8, dedup_containment, dedup_cross_source
+#   embedding_covariance, dbscan_predict_canonical, dbscan_embeddings
+#   dbscan_predict_holdout, dedup_semantic_keep_best, dbscan_embeddings_64d
+#   dbscan_predict_64d, text_compression_ratio, graph_bfs_reach
 #   embedding_pca_2d, kmeans_embeddings, corpus_cluster_profiles
 #   graph_triangle_counts, dbscan_flags_64d, streaming_tumbling_totals
 #   streaming_session_totals, streaming_merge_latest_state, streaming_dedup_pairs
