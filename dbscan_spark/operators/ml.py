@@ -177,6 +177,27 @@ def dbscan_predict_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_SUPPLIERS_PER_ORDER = 64  # S² pair-expansion guard (see below)
 
 
+def _pagerank_round(
+    norm_edges: DataFrame, ranks: DataFrame, n_nodes: int, d: float = 0.85
+) -> DataFrame:
+    """One PageRank power-iteration round: inflow = Σ p·rank over
+    in-edges, plus the teleport term. With ``norm_edges`` cached
+    hash-partitioned on ``s1`` and ``ranks`` keyed by the previous
+    round's groupBy, the equi-join is exchange-free on both sides — the
+    round's ONLY shuffle is the node-keyed sum (plan-audited in
+    tests/test_plans.py)."""
+    return (
+        norm_edges.join(ranks, norm_edges.s1 == ranks.node)
+        .groupBy(F.col("s2").alias("node"))
+        .agg(
+            (
+                F.lit((1.0 - d) / n_nodes)
+                + F.lit(d) * F.sum(F.col("p") * F.col("rank"))
+            ).alias("rank")
+        )
+    )
+
+
 def _co_order_pairs(
     so: DataFrame, max_suppliers_per_order: int | None = _MAX_SUPPLIERS_PER_ORDER
 ) -> DataFrame:
@@ -300,16 +321,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the symmetrized edge list gives EVERY node at least one
             # in-edge, so the inflow aggregation alone re-covers the full
             # node set — no dangling-node left join needed per round
-            ranks = (
-                norm_edges.join(ranks, norm_edges.s1 == ranks.node)
-                .groupBy(F.col("s2").alias("node"))
-                .agg(
-                    (
-                        F.lit((1.0 - d) / n_nodes)
-                        + F.lit(d) * F.sum(F.col("p") * F.col("rank"))
-                    ).alias("rank")
-                )
-            )
+            ranks = _pagerank_round(norm_edges, ranks, n_nodes, d)
             # cut lineage every 5th round, not every round: the chain is
             # LINEAR (no self-join blowup), so five stacked rounds compile
             # fine, and each localCheckpoint costs a full eager job

@@ -7,6 +7,8 @@ value check at test SF.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import SF_TINY
@@ -640,3 +642,73 @@ def test_pattern_vvp_single_sort_exchange(spark):
     assert tree.count("Window") == 1
     ex = [l for l in plan.splitlines() if "hashpartitioning(user_id" in l]
     assert ex, "no user-keyed exchange:\n" + plan
+
+
+def test_pagerank_round_is_single_exchange(spark):
+    """supplier_pagerank's iteration: with the normalized edge list
+    cached hash-partitioned (and window-sorted) on s1 and ranks keyed by
+    the previous round's groupBy, a round's equi-join is exchange-free on
+    BOTH sides — the only shuffle a round adds is the node-keyed inflow
+    sum. Audited over two chained rounds under the loop's config (AQE
+    off, state-sized width) with broadcast disabled to force the
+    at-scale sort-merge shape: unique shuffle exchanges == 1 cache build
+    + 1 per round, and the joins compile to SortMergeJoin whose edge side
+    reuses the cache's ordering."""
+    from pyspark.sql import Window, functions as F
+
+    from dbscan_spark.operators.ml import _pagerank_round
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        raw = spark.range(100).select(
+            (F.col("id") % 10).alias("s1"),
+            ((F.col("id") + 3) % 10).alias("s2"),
+            F.lit(1.0).alias("w"),
+        )
+        ne = (
+            raw.repartition(8, "s1")
+            .withColumn("ow", F.sum("w").over(Window.partitionBy("s1")))
+            .select("s1", "s2", (F.col("w") / F.col("ow")).alias("p"))
+            .persist()
+        )
+        ne.count()
+        ranks = (
+            ne.select(F.col("s1").alias("node"))
+            .distinct()
+            .withColumn("rank", F.lit(0.1))
+        )
+        r1 = _pagerank_round(ne, ranks, 10)
+        r2 = _pagerank_round(ne, r1, 10)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            r2._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        # the formatted tree re-prints the cached relation's build plan
+        # under every InMemoryTableScan, so count UNIQUE exchange node
+        # ids, not textual occurrences
+        shuffles = set()
+        for line in tree.splitlines():
+            m = re.search(r"\bExchange \((\d+)\)", line)
+            if m and "BroadcastExchange" not in line:
+                shuffles.add(m.group(1))
+        assert len(shuffles) == 3, tree  # cache build + one per round
+        assert tree.count("SortMergeJoin") >= 2, tree
+        # the cached edge side must come back sorted — each round sorts
+        # only the rank side (1 row/node), never |edges| (unique ids:
+        # the cache-build sort + one rank-side sort per round)
+        sorts = set(re.findall(r"\bSort \((\d+)\)", tree))
+        assert len(sorts) <= 1 + tree.count("SortMergeJoin"), tree
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        ne.unpersist()
