@@ -607,46 +607,65 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py pins the exact component structure against a
     driver-side union-find at sf0.001."""
     pairs = _minhash_lsh_pairs_cached(spark, sf_dir).select("doc1", "doc2")
-    edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
-            )
+    sym = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).toDF("src", "dst")
+    # loop-scoped config, same rationale as supplier_pagerank: size the
+    # iteration's shuffles to the label state (near-dup docs only — tiny
+    # versus the corpus), and drop AQE's per-exchange stage barriers for
+    # the fixed-shape rounds; the edge cache is born hash-partitioned on
+    # the join key so each round's join and the changed-count probe are
+    # exchange-free — a round's only shuffle is the dst-keyed min
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
         )
-        .toDF("src", "dst")
-        .persist()
+    }
+    n_hint = load_table(spark, sf_dir, "documents").count()
+    loop_shuffle = min(
+        int(saved["spark.sql.shuffle.partitions"]),
+        max(8, n_hint // 65536 + 1),
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    while True:
-        neigh_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh_min, labels.node == neigh_min.dst, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", "label")
-                ).alias("label"),
-            )
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = sym.repartition(loop_shuffle, "src").persist()
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        while True:
+            neigh_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(neigh_min, labels.node == neigh_min.dst, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
