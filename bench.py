@@ -89,6 +89,26 @@ def main() -> None:
     ).applyInPandas(
         lambda pdf: pdf, "id long, g long"
     ).write.format("noop").mode("overwrite").save()
+    # warm the sort-merge-join / window / localCheckpoint codepaths the
+    # iterative graph loops (pagerank, connected components) compile to —
+    # codegen + JIT warm-up on toy data, same rationale as the UDF-worker
+    # warm-up above (a long-running cluster pays this once, not per query)
+    from pyspark.sql import Window
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    toy = spark.range(1024).select(
+        (F.col("id") % 64).alias("k"), F.col("id").alias("v")
+    )
+    part = toy.repartition(8, "k").withColumn(
+        "s", F.sum("v").over(Window.partitionBy("k"))
+    )
+    part.join(
+        toy.groupBy("k").agg(F.sum("v").alias("w")), "k"
+    ).groupBy("k").agg(F.sum("s").alias("t")).localCheckpoint().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
     # materialize the JSON mirror once so json_source_events times the
     # JSON *scan*, not the one-time mirror write
     from dbscan_spark.io import events_json_dir
