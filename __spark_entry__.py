@@ -60,26 +60,24 @@ def _operator_modules():
     return mods
 
 
-# REGISTRATION_ORDER — round-3 rotation.
+# REGISTRATION_ORDER — self-rotating.
 #
 # The driver grades exactly 50 queries per round, in registration order.
-# Rounds 1+2 covered 88 of 141 (CORRECTNESS_r01/r02); 51 queries never
-# received a driver row, and 2 multimodal queries errored on array-typed
-# output columns (now stringified). This list front-loads those 53 so
-# CORRECTNESS_r03 grades the dark set: the 2 fixed multimodal queries
-# first (to prove the fix), then the never-graded cohort — cheap
-# SQL-oracle relational queries before the heavier rows-only
-# similarity/dedup/ml tail so a wall-clock truncation costs the least
-# hash signal. The last 3 entries of the priority list are deliberate
-# sacrifices if only 50 rows fit: dbscan_*_64d duplicate the 2-D
-# pipeline's driver signal, and dedup_semantic_keep_best composes
-# dedup_embedding_lsh + dedup_keep_best, both graded above it.
+# `_ordered` below therefore orders the registry dynamically from the
+# CORRECTNESS_r*.json files present in the repo:
+#   1. `_PRIORITY` entries not yet graded green (hand-ordered hot list —
+#      round 3's dark-set cohort; mostly emptied by the r3 file);
+#   2. every other never-graded query, oracle-backed (exact hash signal)
+#      before rows-only, in module registration order;
+#   3. already-graded queries, stalest grading round first, so greens
+#      are re-confirmed cyclically once the dark set drains.
+# No manual swap is needed between rounds: when CORRECTNESS_r03.json
+# lands, the round-4 cohort self-assembles (and so on). The lists below
+# are the EXPECTED cohorts at 218 registered queries, kept as
+# documentation and as the verification target for
+# tools/driver_sim.py --first 50; all pre-verified green at sf0.01.
 #
-# ROUND 4 PLAN (generated at end of round 3; 218 registered, 88
-# green in r1/r2, 50 graded in r3 => 80 still dark). Replace
-# _R3_PRIORITY with the 50 names below (cheap exact-oracle queries
-# first, heavier streaming/ml/rows-only later so wall-clock truncation
-# costs least), all pre-verified green at sf0.01 via tools/driver_sim.py:
+# ROUND 4 EXPECTED (88 green r1/r2 + 50 graded r3 => 80 dark):
 #   text_pii_scrub, corpus_language_entropy, text_vocab_growth
 #   text_bm25_search, corpus_boilerplate_ngrams, text_lm_quality
 #   corpus_train_split, text_contamination_bloom, text_bpe_pair_merges
@@ -97,7 +95,7 @@ def _operator_modules():
 #   customers_cohort_ltv, governance_erasure_audit, join_asof_next_view
 #   events_seasonal_anomalies, events_pattern_vvp, rel_division_priorities
 #   users_feature_assembly, text_rag_chunking
-# ROUND 5: the remaining 30 dark entries:
+# ROUND 5 EXPECTED: the remaining 30 dark entries, then re-greens:
 #   sql_udf_value_tier, orders_yoy_growth, events_user_gini
 #   supplier_hhi_concentration, lineitem_chi2_status_flag, events_bot_suspects
 #   ann_topk_filtered, knn_label_predict, similarity_range_search
@@ -108,8 +106,8 @@ def _operator_modules():
 #   embedding_pca_2d, kmeans_embeddings, corpus_cluster_profiles
 #   graph_triangle_counts, dbscan_flags_64d, streaming_tumbling_totals
 #   streaming_session_totals, streaming_merge_latest_state, streaming_dedup_pairs
-# then rotate the r1/r2/r3 green set back in to re-confirm it.
-_R3_PRIORITY = [
+# then the r1/r2/r3 green set rotates back in stalest-first.
+_PRIORITY = [
     # fixed canonicalizer errors (r2 hard errors)
     "multimodal_feature_extract",
     "multimodal_embed_stub",
@@ -178,11 +176,70 @@ _R3_PRIORITY = [
 ]
 
 
+def _grading_history() -> dict[str, int]:
+    """{query name: latest round with a clean driver row} from the
+    CORRECTNESS_r*.json files beside this module. Rows with a non-null
+    ``err`` don't count — an erroring query must stay in the dark set
+    until a round proves it clean."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("err") is None:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _oracle_backed() -> set[str]:
+    out: set[str] = set()
+    for mod in _operator_modules():
+        out.update(getattr(mod, "ORACLE", {}))
+    return out
+
+
+def _canonical_names() -> list[str]:
+    """Module registration order of the QUERIES registry — the one
+    ordering both queries() and oracle_sql() are sorted by (a module's
+    ORACLE dict may list keys in a different order than its QUERIES)."""
+    names: list[str] = []
+    for mod in _operator_modules():
+        names.extend(
+            n for n in getattr(mod, "QUERIES", {}) if n not in names
+        )
+    return names
+
+
 def _ordered(raw: dict) -> dict:
-    """Priority entries first (in _R3_PRIORITY order), then the
-    already-green remainder in module order."""
-    out = {k: raw[k] for k in _R3_PRIORITY if k in raw}
-    out.update({k: v for k, v in raw.items() if k not in out})
+    """Self-rotating registration order (see REGISTRATION_ORDER above):
+    ungraded `_PRIORITY` entries, then the rest of the never-graded set
+    (oracle-backed first), then graded queries stalest-first."""
+    graded = _grading_history()
+    with_oracle = _oracle_backed()
+    canon = {n: i for i, n in enumerate(_canonical_names())}
+    names = sorted(raw, key=lambda n: canon.get(n, len(canon)))
+    dark_priority = [n for n in _PRIORITY if n in raw and n not in graded]
+    dark_rest = [
+        n for n in names if n not in graded and n not in dark_priority
+    ]
+    dark_rest.sort(key=lambda n: (n not in with_oracle, canon.get(n, 0)))
+    green = [n for n in names if n in graded]
+    green.sort(key=lambda n: (graded[n], canon.get(n, 0)))
+    out = {}
+    for n in dark_priority + dark_rest + green:
+        out[n] = raw[n]
     return out
 
 
