@@ -275,9 +275,11 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC loop); the iteration count is fixed, not data-driven, as in every
     production PageRank.
 
-    Not SQL-expressible (iterative fixpoint) → rows-only driver check;
-    tests/test_llm_ops.py pins every rank against a numpy power
-    iteration on the same graph to 1e-6."""
+    EXACT oracle: the fixed 10-round iteration is replayed as a DuckDB
+    RECURSIVE CTE over the same co-order graph (see ORACLE), so the
+    driver hash-gates the rounded ranks; tests/test_llm_ops.py
+    additionally pins every rank against a numpy power iteration on the
+    same graph to 1e-6."""
     d = 0.85
     saved = {
         "spark.sql.shuffle.partitions": spark.conf.get(
