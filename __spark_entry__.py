@@ -65,122 +65,109 @@ def _operator_modules():
 # The driver grades exactly 50 queries per round, in registration order.
 # `_ordered` below therefore orders the registry dynamically from the
 # CORRECTNESS_r*.json files present in the repo:
-#   1. `_PRIORITY` entries not yet graded green (hand-ordered hot list —
-#      round 3's dark-set cohort; mostly emptied by the r3 file);
+#   1. `_PRIORITY` entries not yet graded clean (hand-ordered hot list —
+#      round 4's dark-set cohort, all oracle-backed);
 #   2. every other never-graded query, oracle-backed (exact hash signal)
 #      before rows-only, in module registration order;
 #   3. already-graded queries, stalest grading round first, so greens
 #      are re-confirmed cyclically once the dark set drains.
-# No manual swap is needed between rounds: when CORRECTNESS_r03.json
-# lands, the round-4 cohort self-assembles (and so on). The lists below
-# are the EXPECTED cohorts at 218 registered queries, kept as
-# documentation and as the verification target for
-# tools/driver_sim.py --first 50; all pre-verified green at sf0.01.
+# A driver row with err == "no_oracle" counts as graded — that is the
+# driver's success stamp for rows-only queries (the query ran; only the
+# check is weaker). Counting it as dark would re-grade the same
+# rows-only queries at the head of every round forever (the round-3
+# rotation bug, VERDICT r3 "What's wrong #1").
 #
-# ROUND 4 EXPECTED (88 green r1/r2 + 50 graded r3 => 80 dark):
-#   text_pii_scrub, corpus_language_entropy, text_vocab_growth
-#   text_bm25_search, corpus_boilerplate_ngrams, text_lm_quality
-#   corpus_train_split, text_contamination_bloom, text_bpe_pair_merges
-#   text_bigram_lm_quality, multimodal_chunk_dedup, multimodal_resize_stub
-#   events_ewma_user_value, layout_zorder_buckets, agg_incremental_daily
-#   events_scd2_user_state, stats_supplier_trend, events_mad_outliers
-#   snapshot_diff_orders, events_path_transitions, window_sliding_distinct_users
-#   events_concurrency_hourly, events_ohlc_daily, window_cume_dist_spend
-#   skyline_pareto_parts, events_gapfill_interp, basket_part_affinity
-#   orc_roundtrip_supplier, pysource_synthetic_events, events_seasonality_profile
-#   events_ab_welch_t, stats_return_rate_wilson, governance_masked_customers
-#   events_cusum_alerts, events_holt_forecast, geo_points_in_boxes
-#   partitioned_prune_events, json_corrupt_tolerant_read, schema_evolution_read
-#   events_funnel_latency, orders_seasonal_decompose, events_dn_retention
-#   customers_cohort_ltv, governance_erasure_audit, join_asof_next_view
-#   events_seasonal_anomalies, events_pattern_vvp, rel_division_priorities
-#   users_feature_assembly, text_rag_chunking
-# ROUND 5 EXPECTED: the remaining 30 dark entries, then re-greens:
-#   sql_udf_value_tier, orders_yoy_growth, events_user_gini
-#   supplier_hhi_concentration, lineitem_chi2_status_flag, events_bot_suspects
-#   ann_topk_filtered, knn_label_predict, similarity_range_search
-#   embedding_quantize_int8, dedup_containment, dedup_cross_source
-#   embedding_covariance, dbscan_predict_canonical, dbscan_embeddings
-#   dbscan_predict_holdout, dedup_semantic_keep_best, dbscan_embeddings_64d
-#   dbscan_predict_64d, text_compression_ratio, graph_bfs_reach
-#   embedding_pca_2d, kmeans_embeddings, corpus_cluster_profiles
-#   graph_triangle_counts, dbscan_flags_64d, streaming_tumbling_totals
-#   streaming_session_totals, streaming_merge_latest_state, streaming_dedup_pairs
-# then the r1/r2/r3 green set rotates back in stalest-first.
+# No manual swap is needed between rounds: when CORRECTNESS_r04.json
+# lands, the round-5 cohort self-assembles (and so on). _PRIORITY below
+# IS the expected round-4 cohort (50 names, all oracle-backed, heavy
+# queries last so a budget truncation never starves cheap rows), kept
+# as the verification target for tools/driver_sim.py --first 50; all
+# pre-verified green at sf0.01 in the round-3 full-registry sim.
+#
+# ROUND 5 EXPECTED (138 graded r1-r3 + 50 r4 => 30 dark): the
+# remaining 23 oracle-backed entries in canonical order —
+#   users_feature_assembly, text_rag_chunking, sql_udf_value_tier
+#   orders_yoy_growth, events_user_gini, supplier_hhi_concentration
+#   lineitem_chi2_status_flag, events_bot_suspects, ann_topk_filtered
+#   knn_label_predict, similarity_range_search, embedding_quantize_int8
+#   dedup_containment, dedup_cross_source, graph_bfs_reach
+#   embedding_covariance, kmeans_embeddings, corpus_cluster_profiles
+#   graph_triangle_counts, streaming_tumbling_totals
+#   streaming_session_totals, streaming_merge_latest_state
+#   streaming_dedup_pairs
+# — then the 7 rows-only dark entries —
+#   text_compression_ratio, dbscan_embeddings, dbscan_predict_holdout
+#   dedup_semantic_keep_best, dbscan_embeddings_64d, dbscan_predict_64d
+#   embedding_pca_2d
+# — then 20 re-greens, stalest (round 1) first.
 _PRIORITY = [
-    # fixed canonicalizer errors (r2 hard errors)
-    "multimodal_feature_extract",
-    "multimodal_embed_stub",
-    # never-graded relational (SQL oracles — strongest signal, cheapest)
-    "window_ntile_deciles",
-    "unpivot_part_measures",
-    "scalar_regex",
-    "agg_filtered_counts",
-    "window_first_last",
-    "window_range_30d_spend",
-    "agg_share_of_total",
-    "json_source_events",
-    "csv_source_events",
-    "profile_lineitem",
-    "events_hypertable_rollup",
-    "events_gapfill_hourly",
-    "events_gapfill_locf",
-    "join_range_clicks_before_purchase",
-    "agg_approx_percentiles",
-    "embedding_label_centroids",
-    "join_salted_skew",
-    "sample_hash_orders",
-    "merge_upsert_orders",
-    "sample_stratified_orders",
-    "fuzzy_join_part_names",
-    "events_dod_change",
-    "events_funnel",
-    "retention_cohorts",
-    "events_sessionize_lag",
-    "stats_corr_lineitem",
-    "histogram_order_totals",
-    "zscore_outlier_orders",
-    "agg_heavy_hitters",
-    "sql_api_nation_revenue",
-    "agg_decimal_exact",
-    "scalar_array_hof",
-    "scalar_null_handling",
-    "agg_argmax_orders",
-    "quality_expectations_orders",
-    "customers_rfm_segments",
-    "parts_abc_analysis",
-    "events_audience_overlap",
-    # never-graded similarity / dedup tail / ml (rows-only or recall-pinned)
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "ann_topk_pq",
-    "ann_topk_ivfpq",
-    "dedup_keep_best",
-    "dedup_embedding_lsh",
-    "dedup_cluster_cc",
-    "supplier_pagerank",
-    # flagship DBSCAN under the EXACT hash gate: flags and canonical
-    # core components are traversal-invariant (SURVEY §2.3 P3), so the
-    # whole distributed pipeline is checkable against brute-force /
-    # recursive-CTE DuckDB oracles — strictly stronger driver signal
-    # than the rows-only dbscan_embeddings row would be
-    "dbscan_flags",
-    "dbscan_core_components",
-    # deliberate sacrifices if the 50-row budget cuts here
+    # O22 driver row (DBSCAN.scala:244-251 predict) — the last
+    # reference-API touchpoint without driver signal; first in line.
     "dbscan_predict_canonical",
-    "dbscan_embeddings",
-    "dbscan_predict_holdout",
-    "dedup_semantic_keep_best",
-    "dbscan_embeddings_64d",
-    "dbscan_predict_64d",
+    # never-graded text / multimodal tail (SQL oracles)
+    "text_pii_scrub",
+    "corpus_language_entropy",
+    "text_vocab_growth",
+    "text_bm25_search",
+    "corpus_boilerplate_ngrams",
+    "text_lm_quality",
+    "corpus_train_split",
+    "text_contamination_bloom",
+    "text_bpe_pair_merges",
+    "text_bigram_lm_quality",
+    "multimodal_chunk_dedup",
+    "multimodal_resize_stub",
+    # never-graded relational / time-series / stats / governance
+    "events_ewma_user_value",
+    "layout_zorder_buckets",
+    "agg_incremental_daily",
+    "events_scd2_user_state",
+    "stats_supplier_trend",
+    "events_mad_outliers",
+    "snapshot_diff_orders",
+    "events_path_transitions",
+    "window_sliding_distinct_users",
+    "events_concurrency_hourly",
+    "events_ohlc_daily",
+    "window_cume_dist_spend",
+    "skyline_pareto_parts",
+    "events_gapfill_interp",
+    "basket_part_affinity",
+    "orc_roundtrip_supplier",
+    "events_seasonality_profile",
+    "events_ab_welch_t",
+    "stats_return_rate_wilson",
+    "governance_masked_customers",
+    "events_cusum_alerts",
+    "events_holt_forecast",
+    "geo_points_in_boxes",
+    "partitioned_prune_events",
+    "json_corrupt_tolerant_read",
+    "schema_evolution_read",
+    "events_funnel_latency",
+    "orders_seasonal_decompose",
+    "events_dn_retention",
+    "customers_cohort_ltv",
+    "governance_erasure_audit",
+    "join_asof_next_view",
+    "events_seasonal_anomalies",
+    "events_pattern_vvp",
+    "rel_division_priorities",
+    # heavy tail (8-9 s each at sf0.01) — last, so a time-budget
+    # truncation can only cost these two rows, never the cheap ones
+    "pysource_synthetic_events",
+    "dbscan_flags_64d",
 ]
 
 
 def _grading_history() -> dict[str, int]:
     """{query name: latest round with a clean driver row} from the
-    CORRECTNESS_r*.json files beside this module. Rows with a non-null
+    CORRECTNESS_r*.json files beside this module. Rows with a real
     ``err`` don't count — an erroring query must stay in the dark set
-    until a round proves it clean."""
+    until a round proves it clean. ``err == "no_oracle"`` IS a clean
+    row: the driver stamps it on every rows-only success (the query ran
+    and produced rows; only the check is weaker), so counting it as
+    dark would re-grade the same rows-only queries forever."""
     import glob
     import json
     import re
@@ -198,7 +185,10 @@ def _grading_history() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("err") is None:
+            if isinstance(row, dict) and row.get("err") in (
+                None,
+                "no_oracle",
+            ):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
@@ -234,9 +224,11 @@ def _ordered(raw: dict) -> dict:
     dark_rest = [
         n for n in names if n not in graded and n not in dark_priority
     ]
-    dark_rest.sort(key=lambda n: (n not in with_oracle, canon.get(n, 0)))
+    dark_rest.sort(
+        key=lambda n: (n not in with_oracle, canon.get(n, len(canon)))
+    )
     green = [n for n in names if n in graded]
-    green.sort(key=lambda n: (graded[n], canon.get(n, 0)))
+    green.sort(key=lambda n: (graded[n], canon.get(n, len(canon))))
     out = {}
     for n in dark_priority + dark_rest + green:
         out[n] = raw[n]

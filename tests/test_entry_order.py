@@ -9,14 +9,37 @@ import __spark_entry__ as entry_mod
 
 
 def test_priority_dark_set_leads_with_current_history():
-    """With the repo's real CORRECTNESS_r01/r02 files, the first 50
-    registered names must be exactly the first 50 of the hand-ordered
-    priority list (the round-3 dark cohort, pre-verified via
-    tools/driver_sim.py) — none of them has a green row yet."""
+    """Whatever CORRECTNESS_r*.json files are in the repo, the
+    never-graded (per _grading_history) _PRIORITY entries must lead the
+    registration order, in _PRIORITY order — derived from the same
+    history function the rotation uses, so a new driver file can never
+    desynchronize this test from the rotation itself."""
     names = list(entry_mod.queries())
-    assert names[:50] == [
-        n for n in entry_mod._PRIORITY if n in set(names)
-    ][:50]
+    graded = entry_mod._grading_history()
+    expected_head = [
+        n
+        for n in entry_mod._PRIORITY
+        if n in set(names) and n not in graded
+    ]
+    assert names[: len(expected_head)] == expected_head
+    # and nothing graded may sit inside the dark block
+    dark_len = sum(n not in graded for n in names)
+    assert all(n not in graded for n in names[:dark_len])
+
+
+def test_priority_is_the_full_round4_cohort():
+    """_PRIORITY documents the expected round-4 cohort: exactly 50
+    names, all registered, all oracle-backed, none with a clean driver
+    row yet (as long as only r01-r03 files are present)."""
+    names = set(entry_mod.queries())
+    oracle = entry_mod._oracle_backed()
+    assert len(entry_mod._PRIORITY) == 50
+    assert len(set(entry_mod._PRIORITY)) == 50
+    assert all(n in names for n in entry_mod._PRIORITY)
+    assert all(n in oracle for n in entry_mod._PRIORITY)
+    graded = entry_mod._grading_history()
+    if max(graded.values(), default=0) <= 3:
+        assert all(n not in graded for n in entry_mod._PRIORITY)
 
 
 def test_queries_and_oracles_share_one_order():
@@ -54,8 +77,13 @@ def test_rotation_after_next_round(monkeypatch):
     assert rounds == sorted(rounds)
 
 
-def test_erroring_rows_stay_dark(monkeypatch, tmp_path):
-    """A CORRECTNESS row with a non-null err must NOT count as graded."""
+def test_erroring_rows_stay_dark_but_no_oracle_counts(
+    monkeypatch, tmp_path
+):
+    """A CORRECTNESS row with a real err must NOT count as graded, but
+    err == 'no_oracle' is the driver's rows-only SUCCESS stamp and must
+    count — otherwise rows-only queries re-grade forever (the round-3
+    rotation bug)."""
     import json
 
     f = tmp_path / "CORRECTNESS_r07.json"
@@ -63,6 +91,7 @@ def test_erroring_rows_stay_dark(monkeypatch, tmp_path):
         json.dumps(
             {
                 "good_query": {"rows_match": True, "err": None},
+                "rows_only_query": {"rows_match": None, "err": "no_oracle"},
                 "bad_query": {"rows_match": None, "err": "boom"},
             }
         )
@@ -71,4 +100,4 @@ def test_erroring_rows_stay_dark(monkeypatch, tmp_path):
         entry_mod.os.path, "dirname", lambda p: str(tmp_path)
     )
     hist = entry_mod._grading_history()
-    assert hist == {"good_query": 7}
+    assert hist == {"good_query": 7, "rows_only_query": 7}
