@@ -682,15 +682,17 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor, and whether it would be dropped.
 
     Scale shape: the cluster table is |near-dup docs|-sized (tiny versus
-    the corpus), so the survivor pick is one window over it and the
-    final join back to documents is a broadcast. Rows-only (the CC step
-    is iterative); the union-find pin in tests covers the clustering and
-    this adds the survivor rule on top."""
+    the corpus), so the survivor pick is one window over it and the join
+    against documents BROADCASTS THE CLUSTER SIDE — the documents
+    projection is the 100 TB side and must stay put while the small
+    cluster map ships to it. Rows-only (the CC step is iterative); the
+    union-find pin in tests covers the clustering and this adds the
+    survivor rule on top."""
     clusters = dedup_cluster_cc(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
-    labeled = clusters.join(F.broadcast(d), "doc_id")
+    labeled = d.join(F.broadcast(clusters), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )

@@ -712,3 +712,22 @@ def test_pagerank_round_is_single_exchange(spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
         ne.unpersist()
+
+
+def test_semantic_keep_best_broadcasts_cluster_side(spark):
+    """dedup_semantic_keep_best: the documents projection is the 100 TB
+    side and must stay streamed; the |near-dup docs|-sized cluster table
+    is the side that broadcasts. A broadcast hint on the documents side
+    works at test SF and OOMs the driver at scale (VERDICT r3 item 2)."""
+    plan = plan_of(spark, "dedup_semantic_keep_best")
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    bx = [i for i, l in enumerate(lines) if "BroadcastExchange" in l]
+    assert bx, tree
+    # formatted tree prints the streamed (left/build-opposite) side
+    # first: the parquet documents scan must appear BEFORE the
+    # BroadcastExchange, never inside its subtree
+    scan = [i for i, l in enumerate(lines) if "Scan parquet" in l]
+    assert scan and scan[0] < bx[0], tree
+    # and the broadcast subtree holds the checkpointed cluster labels
+    assert any("Scan ExistingRDD" in l for l in lines[bx[0]:]), tree
