@@ -96,19 +96,21 @@ def main() -> None:
     from pyspark.sql import Window
 
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    toy = spark.range(1024).select(
-        (F.col("id") % 64).alias("k"), F.col("id").alias("v")
-    )
-    part = toy.repartition(8, "k").withColumn(
-        "s", F.sum("v").over(Window.partitionBy("k"))
-    )
-    part.join(
-        toy.groupBy("k").agg(F.sum("v").alias("w")), "k"
-    ).groupBy("k").agg(F.sum("s").alias("t")).localCheckpoint().write.format(
-        "noop"
-    ).mode("overwrite").save()
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        toy = spark.range(1024).select(
+            (F.col("id") % 64).alias("k"), F.col("id").alias("v")
+        )
+        part = toy.repartition(8, "k").withColumn(
+            "s", F.sum("v").over(Window.partitionBy("k"))
+        )
+        part.join(
+            toy.groupBy("k").agg(F.sum("v").alias("w")), "k"
+        ).groupBy("k").agg(
+            F.sum("s").alias("t")
+        ).localCheckpoint().write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
     # materialize the JSON mirror once so json_source_events times the
     # JSON *scan*, not the one-time mirror write
     from dbscan_spark.io import events_json_dir

@@ -334,7 +334,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
-    norm_edges.unpersist()
+        norm_edges.unpersist()
     return ranks.select(
         F.col("node").alias("s_suppkey"),
         F.round("rank", 6).alias("pagerank"),

@@ -1521,11 +1521,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the supplier(s) with maximum revenue over one quarter.
-    The revenue aggregate is computed once and self-compared via an
-    unpartitioned max window over the (tiny, post-agg) supplier rollup —
-    cheaper and shuffle-free versus re-aggregating for the scalar
-    subquery. Revenue is rounded BEFORE the max-comparison so the
-    equality cannot be flipped by float summation order."""
+    The scalar max is a 1-row aggregate broadcast back onto the
+    per-supplier rollup — never an unpartitioned window over #suppliers
+    (15M rows through one task at sf100; caught by the global
+    single-partition-window sweep). Revenue is rounded BEFORE the
+    max-comparison so the equality cannot be flipped by float summation
+    order."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev = (
@@ -1540,8 +1541,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    w = Window.partitionBy()
-    best = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    best = rev.join(F.broadcast(top)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (
@@ -2577,11 +2578,18 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency / frequency / monetary quintile
-    scores and the concatenated segment code. The quintile windows run
-    over the per-customer ROLLUP (orders-of-magnitude smaller than the
-    fact table) — the same deliberate trade window_ntile_deciles makes;
-    every ntile order carries a custkey tie-break so both engines place
-    tied customers identically."""
+    scores and the concatenated segment code. Each quintile is an EXACT
+    global ntile(5) computed scale-safe: bucketed global row_number
+    (functions.ranking.global_order_stats — percentile-cut buckets +
+    partitioned windows + broadcast prefix offsets, never a
+    single-partition window over the #customers rollup) fed through the
+    standard ntile bucket formula; every order carries a custkey
+    tie-break so both engines place tied customers identically."""
+    from dbscan_spark.functions.ranking import (
+        global_order_stats,
+        ntile_from_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     ref = F.lit("2001-08-01").cast("timestamp")
     per_cust = o.groupBy("o_custkey").agg(
@@ -2591,17 +2599,43 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    r_w = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
-    scored = per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r_w).cast("long").alias("r_score"),
-        F.ntile(5).over(f_w).cast("long").alias("f_score"),
-        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    # three INDEPENDENT flat rank branches (2-col projections of the
+    # rollup) joined back on custkey — chaining the three helpers
+    # instead compounds plan depth multiplicatively (each level's cut
+    # branch re-analyzes the whole previous level)
+    r = global_order_stats(
+        per_cust.select("o_custkey", "recency_days"),
+        [F.desc("recency_days"), F.asc("o_custkey")],
+        -F.col("recency_days"),
+        rn="_r_rn",
+        total_count="_n",
+    ).select("o_custkey", "_r_rn", "_n")
+    f = global_order_stats(
+        per_cust.select("o_custkey", "frequency"),
+        [F.asc("frequency"), F.asc("o_custkey")],
+        F.col("frequency"),
+        rn="_f_rn",
+    ).select("o_custkey", "_f_rn")
+    m = global_order_stats(
+        per_cust.select("o_custkey", "monetary"),
+        [F.asc("monetary"), F.asc("o_custkey")],
+        F.col("monetary"),
+        rn="_m_rn",
+    ).select("o_custkey", "_m_rn")
+    n = F.col("_n")
+    scored = (
+        per_cust.join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            ntile_from_rank(5, F.col("_r_rn"), n).alias("r_score"),
+            ntile_from_rank(5, F.col("_f_rn"), n).alias("f_score"),
+            ntile_from_rank(5, F.col("_m_rn"), n).alias("m_score"),
+        )
     )
     return scored.select(
         "*",
@@ -2636,13 +2670,28 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("revenue")
     )
-    total = per_part.agg(F.sum("revenue").alias("grand"))
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # the running sum is EXACT-INTEGER cents so the bucketed partial
+    # sums (which add in a different order than one global left-to-right
+    # window) cannot differ from the oracle by a float ulp at the 6dp
+    # rounding boundary; the scale-safe cumulative itself comes from
+    # functions.ranking.global_order_stats (percentile-cut buckets +
+    # partitioned windows + broadcast prefix offsets — never a
+    # single-partition window over the #parts rollup)
+    from dbscan_spark.functions.ranking import global_order_stats
+
+    per_part = per_part.withColumn(
+        "_cents", F.round(F.col("revenue") * 100).cast("long")
     )
-    cum_share = F.round(F.sum("revenue").over(w) / F.col("grand"), 6)
+    total = per_part.agg(F.sum("_cents").alias("grand"))
+    g = global_order_stats(
+        per_part,
+        [F.desc("revenue"), F.asc("l_partkey")],
+        -F.col("revenue"),
+        running_sums={"_cum_cents": F.col("_cents")},
+    )
+    cum_share = F.round(F.col("_cum_cents") / F.col("grand"), 6)
     return (
-        per_part.join(F.broadcast(total))
+        g.join(F.broadcast(total))
         .select(
             "l_partkey",
             "revenue",
@@ -3899,8 +3948,10 @@ def users_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type event counts (conditional aggregation = a static pivot),
     total/mean spend in exact cents, activity span in days, and
     recency rank. ONE shuffle on user_id for the whole vector; the
-    recency ntile is a second pass over the per-user rollup (#users
-    rows), never raw events."""
+    recency decile is an exact global ntile(10) over the per-user
+    rollup computed scale-safe via functions.ranking.global_order_stats
+    (bucketed row_number + ntile formula — never a single-partition
+    window over #users rows)."""
     e = _t(spark, sf_dir, "events")
     cnt = lambda t: F.sum(
         F.when(F.col("event_type") == t, 1).otherwise(0)
@@ -3918,8 +3969,19 @@ def users_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("active_days_span"),
         F.max("ts").alias("_last_ts"),
     )
-    w = Window.orderBy(F.desc("_last_ts"), F.asc("user_id"))
-    return base.select(
+    from dbscan_spark.functions.ranking import (
+        global_order_stats,
+        ntile_from_rank,
+    )
+
+    g = global_order_stats(
+        base,
+        [F.desc("_last_ts"), F.asc("user_id")],
+        -F.col("_last_ts").cast("timestamp").cast("double"),
+        rn="_rn",
+        total_count="_n",
+    )
+    return g.select(
         "user_id",
         "n_view",
         "n_click",
@@ -3927,7 +3989,9 @@ def users_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("cents") / 100.0).alias("total_value"),
         "active_days_span",
-        F.ntile(10).over(w).cast("long").alias("recency_decile"),
+        ntile_from_rank(10, F.col("_rn"), F.col("_n")).alias(
+            "recency_decile"
+        ),
     )
 
 
@@ -4033,15 +4097,18 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality / dataset-skew metric (a Gini near 1 means a handful of
     power users dominate the corpus, which biases training data): G =
     2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the ascending-sorted counts. The
-    rank window runs over the per-user ROLLUP (#users rows), all sums
-    are exact integers, and the final expression is one identical
-    rational → the floor-1e-6 round is engine-exact."""
+    exact global rank i comes from functions.ranking.global_order_stats
+    over the per-user ROLLUP (#users rows; bucketed partitioned
+    windows, never one global window task), all sums are exact
+    integers, and the final expression is one identical rational → the
+    floor-1e-6 round is engine-exact."""
+    from dbscan_spark.functions.ranking import global_order_stats
+
     e = _t(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    w = Window.orderBy("x", "user_id")
-    ranked = per_user.select(
-        "x", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = global_order_stats(
+        per_user, [F.asc("x"), F.asc("user_id")], F.col("x"), rn="i"
+    ).select("x", "i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
         (
@@ -4982,13 +5049,17 @@ ORACLE = {
                  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
                    / 100 AS revenue
           FROM lineitem GROUP BY l_partkey),
-        tot AS (SELECT sum(revenue) AS grand FROM per_part),
+        cents AS (
+          SELECT l_partkey, revenue,
+                 CAST(round(revenue * 100) AS BIGINT) AS c
+          FROM per_part),
+        tot_c AS (SELECT sum(c) AS grand_c FROM cents),
         shares AS (
           SELECT l_partkey, revenue,
-                 round(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                                          ROWS UNBOUNDED PRECEDING)
-                       / grand, 6) AS cum_share
-          FROM per_part, tot)
+                 round(sum(c) OVER (ORDER BY revenue DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING)
+                       * 1.0 / grand_c, 6) AS cum_share
+          FROM cents, tot_c)
         SELECT l_partkey, revenue, cum_share,
                CASE WHEN cum_share <= 0.8 THEN 'A'
                     WHEN cum_share <= 0.95 THEN 'B'

@@ -130,13 +130,80 @@ def test_no_python_udfs_in_hot_paths(spark, name):
     assert "ArrowEvalPython" not in plan
 
 
-def test_no_row_at_a_time_python_udfs_anywhere(spark):
+@pytest.fixture(scope="session")
+def all_plans(spark):
+    """Formatted physical plan of every registered query, built once
+    per test session (building a plan runs any eager pre-passes a query
+    has, so sharing the dict across global sweeps matters)."""
+    return {
+        name: plan_of(spark, name) for name in entry_mod.queries()
+    }
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(all_plans):
     """Python in a plan is allowed ONLY in Arrow-batched form
     (ArrowEvalPython / mapInPandas / applyInPandas); a BatchEvalPython
     (row-at-a-time pickle UDF) anywhere is a regression."""
-    for name in entry_mod.queries():
-        plan = plan_of(spark, name)
+    for name, plan in all_plans.items():
         assert "BatchEvalPython" not in plan, name
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Node ids of Window/WindowGroupLimit operators fed by an
+    ``Exchange SinglePartition`` — the "Moving all data to a single
+    partition" shape."""
+    sp_ids = set()
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        m = re.match(r"\((\d+)\) Exchange\b", block)
+        if m and "SinglePartition" in block:
+            sp_ids.add(m.group(1))
+    hits = []
+    lines = plan.split("\n\n")[0].splitlines()
+    for i, ln in enumerate(lines):
+        m = re.search(r"\bWindow(?:GroupLimit)? \((\d+)\)", ln)
+        if not m:
+            continue
+        # the window's input exchange sits 1 line (no sort) or 2 lines
+        # (through the Sort) below it in the tree
+        for nxt in lines[i + 1 : i + 3]:
+            em = re.search(r"\bExchange \((\d+)\)", nxt)
+            if em and em.group(1) in sp_ids:
+                hits.append(m.group(1))
+    return hits
+
+
+#: queries whose single-partition window runs over a GENUINELY BOUNDED
+#: domain (it cannot grow with the fact data), reviewed case by case —
+#: everything else must use a partitioned window or
+#: functions.ranking.global_order_stats
+_BOUNDED_SINGLE_WINDOWS = {
+    # running max over DISTINCT retail prices (fixed TPC-H price grid)
+    "skyline_pareto_parts",
+    # lag/rolling over the monthly rollup (#months)
+    "orders_yoy_growth",
+    "orders_seasonal_decompose",
+    # cumulative over fixed-width doc-id buckets (#docs / 50, a
+    # deliberate curve-resolution constant, not per-row)
+    "text_vocab_growth",
+    # grand-total share over the 3-row split rollup
+    "corpus_train_split",
+    # rank over the 25-row per-nation rollup (fixed TPC-H dimension)
+    "sql_api_nation_revenue",
+}
+
+
+def test_no_unbounded_single_partition_windows_anywhere(all_plans):
+    """No registered query may funnel an unbounded-domain input through
+    an unpartitioned window (one task does all the work at 100 TB).
+    Exact global ranks/cumulatives must go through
+    functions.ranking.global_order_stats instead (VERDICT r3 item 3)."""
+    offenders = {
+        name: hits
+        for name, plan in all_plans.items()
+        if name not in _BOUNDED_SINGLE_WINDOWS
+        and (hits := _single_partition_windows(plan))
+    }
+    assert not offenders, offenders
 
 
 def test_profile_is_single_pass_no_join(spark):
