@@ -341,6 +341,92 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("pagerank"), "s_suppkey")
 
 
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous weighted label-propagation communities (LPA) over the
+    supplier co-order graph — the third iterative graph operator next to
+    PageRank and connected components, and the standard cheap community
+    detector (Raghavan et al. 2007) a pipeline runs before per-community
+    sampling or dedup.
+
+    Semantics (fully deterministic, so EXACT-oracle-checkable): labels
+    start as the node id; each of 5 fixed SYNCHRONOUS rounds every node
+    adopts the neighbor label with the highest incident edge weight,
+    ties broken toward the SMALLEST label (classic async LPA breaks
+    ties randomly — useless for a reproducible pipeline). The output is
+    the whole (round × node) label trajectory, not just the converged
+    state: on TPC-H's dense co-order graph every run converges to one
+    community, and the trajectory is the discriminating face the driver
+    can hash-gate (all-integer — no rounding tolerance at all).
+
+    Scale shape = the repo's iterative-loop recipe (supplier_pagerank /
+    dedup_cluster_cc): edge cache born hash-partitioned on the per-round
+    join key, loop shuffle width sized to the label state, AQE's stage
+    barriers off inside the fixed-shape rounds (restored on exit). Each
+    round pays two label-state-bounded shuffles — the (node, label)
+    vote sum and the per-node argmax (max_by over a (weight, -label)
+    struct, one aggregation, never a window over the vote table)."""
+    n_rounds = 5
+    saved = {
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+    }
+    n_hint = load_table(spark, sf_dir, "supplier").count()
+    loop_shuffle = min(
+        int(saved["spark.sql.shuffle.partitions"]),
+        max(8, n_hint // 65536 + 1),
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = _co_order_pairs(l.select("l_orderkey", "l_suppkey"))
+    edges = pairs.union(
+        pairs.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"), "w")
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        e = edges.repartition(loop_shuffle, "s1").persist()
+        labels = (
+            e.select(F.col("s1").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        trajectory = [labels.withColumn("round", F.lit(0).cast("long"))]
+        for i in range(n_rounds):
+            votes = (
+                e.join(labels, e.s1 == labels.node)
+                .groupBy(F.col("s2").alias("vnode"), "label")
+                .agg(F.sum("w").alias("c"))
+            )
+            labels = votes.groupBy(F.col("vnode").alias("node")).agg(
+                F.max_by(
+                    "label",
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+                ).alias("label")
+            )
+            # each round is cheap and the trajectory is unioned below,
+            # so cut lineage every round to keep the union plan flat
+            labels = labels.localCheckpoint()
+            trajectory.append(
+                labels.withColumn("round", F.lit(i + 1).cast("long"))
+            )
+        out = trajectory[0]
+        for t in trajectory[1:]:
+            out = out.union(t)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        e.unpersist()
+    return out.select(
+        "round",
+        F.col("node").alias("s_suppkey"),
+        F.col("label").cast("long").alias("community"),
+    ).orderBy("round", "s_suppkey")
+
+
 _KM_K = 8
 _KM_ITERS = 5
 
@@ -705,6 +791,7 @@ QUERIES = {
     "dbscan_embeddings_64d": dbscan_embeddings_64d,
     "dbscan_predict_64d": dbscan_predict_64d,
     "supplier_pagerank": supplier_pagerank,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 # Shared CTE prefix for the DBSCAN oracles: brute-force ε-neighborhood
@@ -992,5 +1079,44 @@ ORACLE: dict[str, str] = {
         SELECT node AS s_suppkey, round(rank, 6) AS pagerank
         FROM it WHERE i = 10
         ORDER BY pagerank DESC, s_suppkey
+    """,
+    # Synchronous LPA replay: same graph build, 5 fixed rounds, argmax
+    # by (vote weight DESC, label ASC) via a row_number over the
+    # per-round vote aggregate — all-integer arithmetic, so the whole
+    # (round × node) trajectory compares exactly, no rounding.
+    "graph_label_propagation": f"""
+        WITH RECURSIVE
+        su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        ok AS (SELECT l_orderkey FROM su GROUP BY l_orderkey
+               HAVING count(*) <= {_MAX_SUPPLIERS_PER_ORDER}),
+        pairs AS (
+          SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+          FROM su a
+          JOIN su b USING (l_orderkey)
+          JOIN ok USING (l_orderkey)
+          WHERE a.l_suppkey < b.l_suppkey
+          GROUP BY 1, 2),
+        edges AS (SELECT s1, s2, w FROM pairs
+                  UNION ALL
+                  SELECT s2 AS s1, s1 AS s2, w FROM pairs),
+        it(i, node, label) AS (
+          SELECT 0, s1, s1
+          FROM (SELECT DISTINCT s1 FROM edges) nodes(s1)
+          UNION ALL
+          SELECT i + 1, node, lbl
+          FROM (
+            SELECT v.i AS i, v.node AS node, v.lbl AS lbl,
+                   row_number() OVER (PARTITION BY v.i, v.node
+                                      ORDER BY v.c DESC, v.lbl ASC) AS rn
+            FROM (SELECT r.i AS i, e.s2 AS node, r.label AS lbl,
+                         sum(e.w) AS c
+                  FROM it r JOIN edges e ON r.node = e.s1
+                  GROUP BY 1, 2, 3) v
+          ) q
+          WHERE rn = 1 AND i < 5
+        )
+        SELECT CAST(i AS BIGINT) AS round, node AS s_suppkey,
+               CAST(label AS BIGINT) AS community
+        FROM it ORDER BY round, s_suppkey
     """,
 }

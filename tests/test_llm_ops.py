@@ -794,3 +794,51 @@ def test_compression_ratio_matches_direct_zlib(spark):
             else "too_random" if want > 0.9 else "ok"
         )
         assert got_band == expected_band
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """The full (round × node) LPA trajectory must match a driver-side
+    pure-python synchronous replay on the same weighted graph — exact
+    integer labels, no tolerance (same 5 rounds, same max-weight /
+    min-label tie-break)."""
+    from collections import defaultdict
+
+    from dbscan_spark.operators import ml
+
+    rows = ml.graph_label_propagation(spark, SF_TINY).collect()
+    got = {(r["round"], r["s_suppkey"]): r["community"] for r in rows}
+    assert got, "empty graph"
+    from dbscan_spark.io import load_table
+
+    l = load_table(spark, SF_TINY, "lineitem")
+    so = l.select("l_orderkey", "l_suppkey").distinct().collect()
+    by_order = defaultdict(set)
+    for r in so:
+        by_order[r["l_orderkey"]].add(r["l_suppkey"])
+    w = defaultdict(int)
+    for supps in by_order.values():
+        ss = sorted(supps)
+        if len(ss) > ml._MAX_SUPPLIERS_PER_ORDER:
+            continue
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                w[(ss[i], ss[j])] += 1
+                w[(ss[j], ss[i])] += 1
+    neigh = defaultdict(dict)
+    for (a, b), wt in w.items():
+        neigh[b][a] = wt  # node b hears a's label with weight wt
+    label = {n: n for n in neigh}
+    want = {(0, n): lbl for n, lbl in label.items()}
+    for rnd in range(1, 6):
+        votes = {n: defaultdict(int) for n in neigh}
+        for n, nbrs in neigh.items():
+            for src, wt in nbrs.items():
+                votes[n][label[src]] += wt
+        label = {
+            n: min(
+                (lbl for lbl, c in v.items() if c == max(v.values()))
+            )
+            for n, v in votes.items()
+        }
+        want.update({(rnd, n): lbl for n, lbl in label.items()})
+    assert got == want
