@@ -84,22 +84,15 @@ def _operator_modules():
 # as the verification target for tools/driver_sim.py --first 50; all
 # pre-verified green at sf0.01 in the round-3 full-registry sim.
 #
-# ROUND 5 EXPECTED (138 graded r1-r3 + 50 r4 => 30 dark): the
-# remaining 23 oracle-backed entries in canonical order —
-#   users_feature_assembly, text_rag_chunking, sql_udf_value_tier
-#   orders_yoy_growth, events_user_gini, supplier_hhi_concentration
-#   lineitem_chi2_status_flag, events_bot_suspects, ann_topk_filtered
-#   knn_label_predict, similarity_range_search, embedding_quantize_int8
-#   dedup_containment, dedup_cross_source, graph_bfs_reach
-#   embedding_covariance, kmeans_embeddings, corpus_cluster_profiles
-#   graph_triangle_counts, streaming_tumbling_totals
-#   streaming_session_totals, streaming_merge_latest_state
-#   streaming_dedup_pairs
-# — then the 7 rows-only dark entries —
-#   text_compression_ratio, dbscan_embeddings, dbscan_predict_holdout
-#   dedup_semantic_keep_best, dbscan_embeddings_64d, dbscan_predict_64d
-#   embedding_pca_2d
-# — then 20 re-greens, stalest (round 1) first.
+# ROUND 5 EXPECTED (188 graded r1-r4 => 31 dark): the dark set in
+# canonical order with cheap oracle-backed entries first, then cheap
+# rows-only, then the `_HEAVY` tail (multi-second iterative/DBSCAN
+# queries, so a time-budget truncation can only cost those rows) —
+# then the two `_REGRADE` bumps (customers_rfm_segments,
+# parts_abc_analysis: graded green r3 BEFORE the round-4
+# global_order_stats rewrite changed their physical plans; the driver
+# must re-certify the new code, VERDICT r4 "Next round" #2) — then
+# 17 re-greens, stalest (round 1) first.
 _PRIORITY = [
     # O22 driver row (DBSCAN.scala:244-251 predict) — the last
     # reference-API touchpoint without driver signal; first in line.
@@ -159,6 +152,40 @@ _PRIORITY = [
     "dbscan_flags_64d",
 ]
 
+# _REGRADE — queries whose implementation (or oracle) changed after
+# their last driver grade; the value is the last round whose grades
+# are stale. A graded entry n with graded_round <= _REGRADE[n] jumps
+# to the head of the green block so the driver re-certifies the new
+# code; it falls back into the normal stalest-first rotation
+# automatically once a newer grade lands.
+_REGRADE = {
+    # round-4 bucketed global-ranking rewrite (functions/ranking.py
+    # global_order_stats) replaced the single-partition windows these
+    # r3-graded queries were certified under.
+    "customers_rfm_segments": 4,
+    "parts_abc_analysis": 4,
+    # round 5 upgraded this from rows-only (r1 stamp) to an EXACT
+    # oracle (the quadratic ground-truth SQL — recall pinned at 1 in
+    # CI); the driver should hash-certify it this round.
+    "dedup_minhash_lsh": 4,
+}
+
+# _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
+# DBSCAN embedding family). Sorted last within the dark set so a
+# time-budget truncation can only cost these rows, never cheap ones.
+_HEAVY = {
+    "kmeans_embeddings",
+    "corpus_cluster_profiles",
+    "graph_label_propagation",
+    "graph_triangle_counts",
+    "dbscan_embeddings",
+    "dbscan_predict_holdout",
+    "dbscan_embeddings_64d",
+    "dbscan_predict_64d",
+    "pysource_synthetic_events",
+    "dbscan_flags_64d",
+}
+
 
 def _grading_history() -> dict[str, int]:
     """{query name: latest round with a clean driver row} from the
@@ -215,7 +242,8 @@ def _canonical_names() -> list[str]:
 def _ordered(raw: dict) -> dict:
     """Self-rotating registration order (see REGISTRATION_ORDER above):
     ungraded `_PRIORITY` entries, then the rest of the never-graded set
-    (oracle-backed first), then graded queries stalest-first."""
+    (cheap before `_HEAVY`, oracle-backed first within each), then
+    graded queries — `_REGRADE` bumps first, then stalest-first."""
     graded = _grading_history()
     with_oracle = _oracle_backed()
     canon = {n: i for i, n in enumerate(_canonical_names())}
@@ -225,10 +253,20 @@ def _ordered(raw: dict) -> dict:
         n for n in names if n not in graded and n not in dark_priority
     ]
     dark_rest.sort(
-        key=lambda n: (n not in with_oracle, canon.get(n, len(canon)))
+        key=lambda n: (
+            n in _HEAVY,
+            n not in with_oracle,
+            canon.get(n, len(canon)),
+        )
     )
     green = [n for n in names if n in graded]
-    green.sort(key=lambda n: (graded[n], canon.get(n, len(canon))))
+    green.sort(
+        key=lambda n: (
+            graded[n] > _REGRADE.get(n, -1),  # pending re-grades first
+            graded[n],
+            canon.get(n, len(canon)),
+        )
+    )
     out = {}
     for n in dark_priority + dark_rest + green:
         out[n] = raw[n]

@@ -53,7 +53,11 @@ def global_order_stats(
         output column: exact global 1-based row_number over the sort.
     ``running_sums``
         {output column: value column} exact inclusive running sums over
-        the sort.
+        the sort. Exact-oracle callers must pass integer / decimal
+        value columns: bucket partials add in a different order than a
+        single global window would, so float/double sums are not
+        bit-identical and can flip a round() at a boundary (convert
+        money to integer cents first, as parts_abc_analysis does).
     ``total_count``
         output column: the exact total row count (for ntile-style
         bucket formulas), attached via a 1-row broadcast — never a
@@ -69,8 +73,15 @@ def global_order_stats(
         ).alias("_cuts")
     )
     # strict < : rows equal to a cut value share one bucket, so the
-    # bucket id is well-defined on ties regardless of cut placement
-    key = bucket_on.cast("double")
+    # bucket id is well-defined on ties regardless of cut placement.
+    # A null key would silently land in bucket 0 (null comparisons drop
+    # out of F.filter) and mis-rank — fail loudly instead.
+    key = F.when(
+        bucket_on.isNull(),
+        F.raise_error(
+            F.lit("global_order_stats: bucket_on key must be non-null")
+        ),
+    ).otherwise(bucket_on.cast("double"))
     b = df.join(F.broadcast(cuts)).withColumn(
         "_b", F.size(F.filter(F.col("_cuts"), lambda c: c < key))
     ).drop("_cuts")

@@ -268,8 +268,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed ONLY over the candidate pairs (never the full quadratic
     shingle self-join dedup_ngram_jaccard pays — that is the whole point
     of LSH at scale). Output is a subset of dedup_ngram_jaccard's
-    (recall < 1 in theory, ≈1 at this band count), hence rows-only
-    checked; a pytest pins recall against the exact baseline.
+    (recall < 1 in theory, = 1 at this band count on the test corpora —
+    a pytest pins recall against the exact baseline, which lets the
+    driver hash-gate this query against the quadratic ground-truth SQL
+    as an exact oracle).
     """
     hs = _doc_shingle_hashes(spark, sf_dir).persist()
     sh = hs.select("doc_id", F.explode("hs").alias("s"))
@@ -367,7 +369,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pigeonhole: split 64 bits into 4 bands of 16; distance<=3 implies at
     least one identical band, so an equi-join per band finds all such
     pairs without an all-pairs scan; exact hamming filter via
-    bit_count(xor)."""
+    bit_count(xor). Rows-only: the 64-bit simhash folds Python string
+    hashes no SQL engine reproduces; tests pin band recall and the
+    exact hamming verify instead."""
     sigs = simhash_signatures(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
@@ -576,6 +580,12 @@ _LSH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _minhash_lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of dedup_minhash_lsh (cached: the CC and
+    keep-best queries recompose the same pair graph). Exact-oracle
+    checked against the quadratic ground-truth SQL: every emitted pair
+    is exact-Jaccard verified (exact precision by construction), and
+    recall is pinned at 1 vs the exact baseline in CI, so the driver
+    hash-gates both values and completeness."""
     key = (id(spark), sf_dir)
     if key not in _LSH_PAIRS_CACHE:
         _LSH_PAIRS_CACHE[key] = dedup_minhash_lsh(spark, sf_dir).persist()
@@ -630,8 +640,15 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # bound before try so the finally's unpersist can never NameError;
+    # sorted on the per-round join key so each round's sort-merge join
+    # re-sorts only the label state, never |edges|
+    edges = (
+        sym.repartition(loop_shuffle, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     try:
-        edges = sym.repartition(loop_shuffle, "src").persist()
         labels = (
             edges.select(F.col("src").alias("node"))
             .distinct()
@@ -792,8 +809,32 @@ ORACLE = {
         WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
               >= {JACCARD_THRESHOLD}
     """,
-    # dedup_minhash_lsh, dedup_simhash: probabilistic candidate generation —
-    # rows-only check; unit tests pin recall against the exact baseline.
+    # dedup_minhash_lsh emits exact-Jaccard-verified pairs (precision is
+    # exact by construction), and CI pins band recall = 1 vs the exact
+    # baseline at test SFs — so the quadratic ground-truth SQL doubles as
+    # an EXACT oracle here: it hash-gates both the verified jaccard
+    # values and the completeness of the candidate generation. The
+    # in-theory recall < 1 caveat lives in the docstring; the recall pin
+    # (tests/test_llm_ops.py) keeps guarding it independently.
+    "dedup_minhash_lsh": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc1, doc2,
+               floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000 AS jaccard
+        FROM common
+        JOIN cnt x ON doc1 = x.doc_id
+        JOIN cnt y ON doc2 = y.doc_id
+        WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
+              >= {JACCARD_THRESHOLD}
+    """,
+    # dedup_simhash: probabilistic candidate generation over
+    # Spark-specific 64-bit token hashes — rows-only check; unit tests
+    # pin recall against the exact baseline.
     "dedup_keep_best": f"""
         WITH fp AS (
             SELECT doc_id, n_chars,

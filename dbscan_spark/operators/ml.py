@@ -41,7 +41,10 @@ def _points_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the embeddings table projected to 2-D (the reference's
-    own 2-D rule, DBSCANPoint.scala:23-24): (vec_id, cluster, flag)."""
+    own 2-D rule, DBSCANPoint.scala:23-24): (vec_id, cluster, flag).
+    Rows-only: cluster IDS are traversal-dependent (no SQL restatement);
+    the traversal-INVARIANT faces are hash-gated by dbscan_flags /
+    dbscan_core_components instead."""
     pts = _points_2d(spark, sf_dir)
     out = dbscan(pts, eps=0.05, min_points=5, max_points_per_partition=250)
     return out.select("vec_id", "cluster", "flag")
@@ -52,7 +55,9 @@ def dbscan_predict_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     declares but never implements (predict throws NotImplementedError,
     DBSCAN.scala:244-251). Fit on 90% of the vectors, label the held-out
     10% against the fitted cores via the cell-ring join in
-    dbscan_spark.dbscan.predict."""
+    dbscan_spark.dbscan.predict. Rows-only: labels carry the fit's
+    traversal-dependent cluster ids; the canonicalized variant
+    dbscan_predict_canonical is the exact-oracle face."""
     pts = _points_2d(spark, sf_dir)
     train = pts.filter(F.col("vec_id") % 10 != 0)
     test = pts.filter(F.col("vec_id") % 10 == 0)
@@ -65,7 +70,9 @@ def dbscan_embeddings_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalization the reference lacks (it hardwires 2-D,
     DBSCANPoint.scala:33-34). Distance is Euclidean over all 64
     components; spatial partitioning stays on the first two (projection
-    distance <= full distance keeps the margin merge correct)."""
+    distance <= full distance keeps the margin merge correct).
+    Rows-only: traversal-dependent ids — dbscan_flags_64d hash-gates
+    the invariant roles with an exact 64-D ε-graph oracle."""
     out = dbscan(
         _points_64d(spark, sf_dir),
         eps=1.15,
@@ -81,7 +88,8 @@ def dbscan_predict_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
     label the held-out 10% with the FULL-vector distance (candidates from
     the (x, y) cell ring — a superset of the n-D ε-neighborhood by the
     projection bound). Exercises the features_col predict path the 2-D
-    reference can't express."""
+    reference can't express. Rows-only: traversal-dependent fit ids
+    (the canonicalized 2-D variant carries the exact oracle)."""
     pts = _points_64d(spark, sf_dir)
     fit = pts.filter(F.col("vec_id") % 10 != 0)
     held = pts.filter(F.col("vec_id") % 10 == 0)
@@ -198,6 +206,28 @@ def _pagerank_round(
     )
 
 
+def _lpa_round(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous weighted-LPA round: every node adopts the
+    neighbor label with the highest incident edge weight, ties toward
+    the SMALLEST label. With ``e`` cached hash-partitioned on ``s1``
+    and ``labels`` keyed by the previous round's groupBy, the equi-join
+    is exchange-free on both sides — a round's only shuffles are the
+    two label-state-bounded aggregations: the (node, label) vote sum
+    and the per-node argmax (max_by in one grouped pass, never a window
+    over the vote table). Plan-pinned in tests/test_plans.py."""
+    votes = (
+        e.join(labels, e.s1 == labels.node)
+        .groupBy(F.col("s2").alias("vnode"), "label")
+        .agg(F.sum("w").alias("c"))
+    )
+    return votes.groupBy(F.col("vnode").alias("node")).agg(
+        F.max_by(
+            "label",
+            F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+        ).alias("label")
+    )
+
+
 def _co_order_pairs(
     so: DataFrame, max_suppliers_per_order: int | None = _MAX_SUPPLIERS_PER_ORDER
 ) -> DataFrame:
@@ -303,13 +333,16 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # bind the cached DF BEFORE the try: the finally unpersists it, and
+    # an exception between try-entry and the binding would otherwise
+    # raise NameError there, masking the real error
+    norm_edges = (
+        edges.repartition(loop_shuffle, "s1")
+        .withColumn("ow", F.sum("w").over(Window.partitionBy("s1")))
+        .select("s1", "s2", (F.col("w") / F.col("ow")).alias("p"))
+        .persist()
+    )
     try:
-        norm_edges = (
-            edges.repartition(loop_shuffle, "s1")
-            .withColumn("ow", F.sum("w").over(Window.partitionBy("s1")))
-            .select("s1", "s2", (F.col("w") / F.col("ow")).alias("p"))
-            .persist()
-        )
         # one action materializes the cache AND yields the exact node
         # count (symmetrized edges: every node appears as a source)
         n_nodes = norm_edges.select("s1").distinct().count()
@@ -386,8 +419,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # bound before try so the finally's unpersist can never NameError.
+    # The cache is born hash-partitioned AND sorted on the per-round
+    # join key, so each round's sort-merge join re-sorts only the
+    # 1-row-per-node label side, never |edges| (pagerank gets the same
+    # property from its WindowExec partition sort).
+    e = (
+        edges.repartition(loop_shuffle, "s1")
+        .sortWithinPartitions("s1")
+        .persist()
+    )
     try:
-        e = edges.repartition(loop_shuffle, "s1").persist()
         labels = (
             e.select(F.col("s1").alias("node"))
             .distinct()
@@ -396,17 +438,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         trajectory = [labels.withColumn("round", F.lit(0).cast("long"))]
         for i in range(n_rounds):
-            votes = (
-                e.join(labels, e.s1 == labels.node)
-                .groupBy(F.col("s2").alias("vnode"), "label")
-                .agg(F.sum("w").alias("c"))
-            )
-            labels = votes.groupBy(F.col("vnode").alias("node")).agg(
-                F.max_by(
-                    "label",
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl")),
-                ).alias("label")
-            )
+            labels = _lpa_round(e, labels)
             # each round is cheap and the trajectory is unioned below,
             # so cut lineage every round to keep the union plan flat
             labels = labels.localCheckpoint()

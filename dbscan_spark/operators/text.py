@@ -911,10 +911,14 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size: the saturation diagnostic for "is more data still
     adding diversity". Each type is attributed to its FIRST document
     (min doc_id over the per-doc distinct-token explode — one
-    token-keyed aggregation); the bucket rollup and cumulative window
-    then run over #buckets rows. At 100 TB the only data-sized exchange
-    is the token min-aggregation, with map-side partial mins."""
-    from pyspark.sql.window import Window
+    token-keyed aggregation with map-side partial mins — the only
+    data-sized exchange at 100 TB). The bucket domain grows linearly
+    with the corpus (#docs/50 rows at 10B docs is 200M buckets), so the
+    cumulative vocabulary is computed through the partitioned
+    global_order_stats primitive — exact integer running sums, one hash
+    shuffle on a derived bucket id plus a bucket-count-bounded
+    broadcast, never a single-partition window."""
+    from dbscan_spark.functions.ranking import global_order_stats
 
     d = load_table(spark, sf_dir, "documents")
     tok_first = (
@@ -928,14 +932,12 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bucket = tok_first.groupBy(
         (F.col("first_doc") / 50).cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_new_types"))
-    wc = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return per_bucket.select(
-        "bucket",
-        "n_new_types",
-        F.sum("n_new_types").over(wc).alias("cum_vocab"),
-    )
+    return global_order_stats(
+        per_bucket,
+        order_by=[F.asc("bucket")],
+        bucket_on=F.col("bucket"),
+        running_sums={"cum_vocab": F.col("n_new_types")},
+    ).select("bucket", "n_new_types", "cum_vocab")
 
 
 #: fixed retrieval query for the BM25 demo — three mid-frequency corpus

@@ -50,8 +50,9 @@ def test_queries_and_oracles_share_one_order():
 
 def test_rotation_after_next_round(monkeypatch):
     """Simulate the next round: once every priority entry has a green
-    row, the never-graded remainder must lead (oracle-backed before
-    rows-only), and graded queries must re-enter stalest-first."""
+    row, the never-graded remainder must lead (cheap before _HEAVY,
+    oracle-backed before rows-only), and graded queries must re-enter
+    stalest-first (after any pending _REGRADE bumps)."""
     raw = dict.fromkeys(entry_mod.queries(), lambda s, d: None)
     history = {n: 3 for n in list(raw)[:50]}  # this round's cohort
     history.update(
@@ -61,20 +62,103 @@ def test_rotation_after_next_round(monkeypatch):
     ordered = list(entry_mod._ordered(raw))
     dark = [n for n in raw if n not in history]
     # leftover ungraded priority entries lead, then the rest of the
-    # dark set with oracle-backed queries first
+    # dark set: cheap before heavy, oracle-backed queries first
     prio_dark = [n for n in entry_mod._PRIORITY if n not in history]
     rest = [n for n in dark if n not in prio_dark]
     canon = {n: i for i, n in enumerate(entry_mod._canonical_names())}
     rest.sort(
         key=lambda n: (
+            n in entry_mod._HEAVY,
             n not in entry_mod._oracle_backed(),
             canon.get(n, 0),
         )
     )
     assert ordered[: len(dark)] == prio_dark + rest
     green = ordered[len(dark) :]
-    rounds = [history[n] for n in green]
+    pending = [
+        n
+        for n in green
+        if history[n] <= entry_mod._REGRADE.get(n, -1)
+    ]
+    assert green[: len(pending)] == sorted(
+        pending, key=lambda n: (history[n], canon.get(n, 0))
+    )
+    rounds = [history[n] for n in green[len(pending) :]]
     assert rounds == sorted(rounds)
+
+
+def test_regrade_bump_leads_greens_then_expires(monkeypatch):
+    """A graded query listed in _REGRADE with grade <= the recorded
+    rewrite round must lead the green block; once a newer grade lands
+    it falls back into the normal stalest-first rotation."""
+    raw = dict.fromkeys(
+        ["a", "b", "rfm", "abc", "z"], lambda s, d: None
+    )
+    monkeypatch.setattr(
+        entry_mod, "_canonical_names", lambda: list(raw)
+    )
+    monkeypatch.setattr(entry_mod, "_oracle_backed", lambda: set(raw))
+    monkeypatch.setattr(entry_mod, "_REGRADE", {"rfm": 4, "abc": 4})
+    monkeypatch.setattr(entry_mod, "_PRIORITY", [])
+    # pre-rewrite grades: rfm/abc at r3 must outrank even r1 greens
+    hist = {"a": 1, "b": 2, "rfm": 3, "abc": 3, "z": 4}
+    monkeypatch.setattr(entry_mod, "_grading_history", lambda: hist)
+    assert list(entry_mod._ordered(raw)) == [
+        "rfm",
+        "abc",
+        "a",
+        "b",
+        "z",
+    ]
+    # post-re-certification (r5 > 4): normal stalest-first again
+    hist2 = {"a": 1, "b": 2, "rfm": 5, "abc": 5, "z": 4}
+    monkeypatch.setattr(entry_mod, "_grading_history", lambda: hist2)
+    assert list(entry_mod._ordered(raw)) == [
+        "a",
+        "b",
+        "z",
+        "rfm",
+        "abc",
+    ]
+
+
+def test_round5_cohort_with_current_history():
+    """With the r1-r4 driver files in the repo, the first 50 entries
+    must be: the 31-query dark set (heavy tail last), then the three
+    _REGRADE bumps, then r1 re-greens — the exact VERDICT r4 ask."""
+    graded = entry_mod._grading_history()
+    if not graded or max(graded.values()) != 4:
+        return  # history has moved on; the generic tests still pin logic
+    names = list(entry_mod.queries())
+    dark = [n for n in names if n not in graded]
+    assert names[: len(dark)] == dark  # dark block leads, contiguous
+    heavy_dark = [n for n in dark if n in entry_mod._HEAVY]
+    assert dark[-len(heavy_dark) :] == heavy_dark  # heavy tail last
+    nxt = names[len(dark) : len(dark) + 3]
+    assert sorted(nxt) == [
+        "customers_rfm_segments",
+        "dedup_minhash_lsh",
+        "parts_abc_analysis",
+    ]
+    assert all(graded[n] == 1 for n in names[len(dark) + 3 : 50])
+
+
+def test_every_query_oracle_backed_or_rows_only_justified():
+    """No operator may land unverifiable by accident: every QUERIES key
+    must carry either an ORACLE entry (exact DuckDB hash gate) or an
+    explicit 'rows-only' justification in its own docstring explaining
+    why no SQL restatement exists (VERDICT r4 'Next round' #8)."""
+    import inspect
+
+    qs = entry_mod.queries()
+    oracles = entry_mod._oracle_backed()
+    missing = [
+        name
+        for name, fn in qs.items()
+        if name not in oracles
+        and "rows-only" not in (inspect.getdoc(fn) or "").lower()
+    ]
+    assert not missing, missing
 
 
 def test_erroring_rows_stay_dark_but_no_oracle_counts(

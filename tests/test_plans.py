@@ -159,16 +159,34 @@ def _single_partition_windows(plan: str) -> list[str]:
             sp_ids.add(m.group(1))
     hits = []
     lines = plan.split("\n\n")[0].splitlines()
+    # partition-preserving unary ops a Window's input chain may route
+    # through before its Exchange (Sort/Project/Filter interpositions)
+    _PASS = {
+        "Sort",
+        "Project",
+        "Filter",
+        "Window",
+        "WindowGroupLimit",
+        "ColumnarToRow",
+        "InputAdapter",
+        "AQEShuffleRead",
+    }
     for i, ln in enumerate(lines):
         m = re.search(r"\bWindow(?:GroupLimit)? \((\d+)\)", ln)
         if not m:
             continue
-        # the window's input exchange sits 1 line (no sort) or 2 lines
-        # (through the Sort) below it in the tree
-        for nxt in lines[i + 1 : i + 3]:
+        # walk the unary input chain below the Window until the
+        # partition-establishing node — a fixed lookahead misses an
+        # Exchange behind extra interposed nodes (ADVICE r4)
+        for nxt in lines[i + 1 :]:
             em = re.search(r"\bExchange \((\d+)\)", nxt)
-            if em and em.group(1) in sp_ids:
-                hits.append(m.group(1))
+            if em:
+                if em.group(1) in sp_ids:
+                    hits.append(m.group(1))
+                break
+            op = re.search(r"([A-Za-z]+) \(\d+\)", nxt)
+            if not op or op.group(1) not in _PASS:
+                break  # join/scan/agg boundary — chain ends unpartitioned
     return hits
 
 
@@ -182,9 +200,6 @@ _BOUNDED_SINGLE_WINDOWS = {
     # lag/rolling over the monthly rollup (#months)
     "orders_yoy_growth",
     "orders_seasonal_decompose",
-    # cumulative over fixed-width doc-id buckets (#docs / 50, a
-    # deliberate curve-resolution constant, not per-row)
-    "text_vocab_growth",
     # grand-total share over the 3-row split rollup
     "corpus_train_split",
     # rank over the 25-row per-nation rollup (fixed TPC-H dimension)
@@ -779,6 +794,81 @@ def test_pagerank_round_is_single_exchange(spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
         ne.unpersist()
+
+
+def test_lpa_round_is_two_exchanges_edge_cache_reused(spark):
+    """graph_label_propagation's iteration: with the edge list cached
+    hash-partitioned AND sorted on s1 and labels keyed by the previous
+    round's argmax groupBy, the round's equi-join is exchange-free on
+    BOTH sides — a steady-state round adds exactly TWO
+    label-state-bounded shuffles (the (node, label) vote sum and the
+    per-node argmax; round 1 skips the vote exchange because the seed
+    labels are the node ids, so label co-partitioning rides the join
+    key). Audited over two chained rounds under the loop's config (AQE
+    off, state-sized width, broadcast disabled to force the at-scale
+    shape): unique shuffle exchanges == 1 cache build + 1 (round 1) +
+    2 (round 2), the cached edge side never re-sorted, all joins
+    equi-joins, no Window over the vote table."""
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.operators.ml import _lpa_round
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    e = None
+    try:
+        raw = spark.range(100).select(
+            (F.col("id") % 10).alias("s1"),
+            ((F.col("id") + 3) % 10).alias("s2"),
+            F.lit(1.0).alias("w"),
+        )
+        e = raw.repartition(8, "s1").sortWithinPartitions("s1").persist()
+        e.count()
+        labels = (
+            e.select(F.col("s1").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
+        r2 = _lpa_round(e, _lpa_round(e, labels))
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            r2._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        shuffles = set()
+        for line in tree.splitlines():
+            m = re.search(r"\bExchange \((\d+)\)", line)
+            if m and "BroadcastExchange" not in line:
+                shuffles.add(m.group(1))
+        # cache build + round-1 argmax + round-2 (vote sum, argmax);
+        # the seed distinct and round-1 vote sum ride the cache's s1
+        # partitioning (node/label are both the s1 attribute there)
+        assert len(shuffles) == 4, tree
+        # the rounds' joins must be equi-joins reusing the cache
+        assert "BroadcastNestedLoopJoin" not in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        assert " Window " not in tree, tree
+        # the sorted cache means no per-round |edges| re-sort: every
+        # Sort in the tree belongs to a SortAggregate/label side, and
+        # the InMemoryTableScans must NOT be wrapped in a Sort feeding
+        # the join directly
+        lines = tree.splitlines()
+        for i, l in enumerate(lines):
+            if "InMemoryTableScan" in l and i >= 1:
+                assert "Sort" not in lines[i - 1], tree
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        if e is not None:
+            e.unpersist()
 
 
 def test_semantic_keep_best_broadcasts_cluster_side(spark):
