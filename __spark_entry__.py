@@ -88,11 +88,11 @@ def _operator_modules():
 # canonical order with cheap oracle-backed entries first, then cheap
 # rows-only, then the `_HEAVY` tail (multi-second iterative/DBSCAN
 # queries, so a time-budget truncation can only cost those rows) —
-# then the two `_REGRADE` bumps (customers_rfm_segments,
+# then the four `_REGRADE` bumps (customers_rfm_segments,
 # parts_abc_analysis: graded green r3 BEFORE the round-4
-# global_order_stats rewrite changed their physical plans; the driver
-# must re-certify the new code, VERDICT r4 "Next round" #2) — then
-# 17 re-greens, stalest (round 1) first.
+# global_order_stats rewrite changed their physical plans, VERDICT r4
+# "Next round" #2; dedup_minhash_lsh, dedup_cluster_cc: upgraded to
+# exact oracles in r5) — then 15 re-greens, stalest (round 1) first.
 _PRIORITY = [
     # O22 driver row (DBSCAN.scala:244-251 predict) — the last
     # reference-API touchpoint without driver signal; first in line.
@@ -164,16 +164,18 @@ _REGRADE = {
     # r3-graded queries were certified under.
     "customers_rfm_segments": 4,
     "parts_abc_analysis": 4,
-    # round 5 upgraded this from rows-only (r1 stamp) to an EXACT
-    # oracle (the quadratic ground-truth SQL — recall pinned at 1 in
-    # CI); the driver should hash-certify it this round.
+    # round 5 upgraded these from rows-only (r1/r3 stamps) to EXACT
+    # oracles (quadratic ground-truth SQL / recursive-CTE label
+    # closure); the driver should hash-certify them this round.
     "dedup_minhash_lsh": 4,
+    "dedup_cluster_cc": 4,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
 # DBSCAN embedding family). Sorted last within the dark set so a
 # time-budget truncation can only cost these rows, never cheap ones.
 _HEAVY = {
+    "dedup_semantic_keep_best",
     "kmeans_embeddings",
     "corpus_cluster_profiles",
     "graph_label_propagation",

@@ -613,9 +613,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard guard against plan-exponential iterative DataFrames).
     Driver state is ONE scalar (the changed-label count) per round.
 
-    Not SQL-expressible (iterative fixpoint) → rows-only driver check;
-    tests/test_llm_ops.py pins the exact component structure against a
-    driver-side union-find at sf0.001."""
+    The fixpoint is deterministic (exact min doc_id per component), so
+    a DuckDB recursive-CTE label closure over the exact pair graph
+    replays it — EXACT oracle since r5; tests/test_llm_ops.py
+    additionally pins the component structure against a driver-side
+    union-find at sf0.001."""
     pairs = _minhash_lsh_pairs_cached(spark, sf_dir).select("doc1", "doc2")
     sym = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
@@ -702,9 +704,10 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus), so the survivor pick is one window over it and the join
     against documents BROADCASTS THE CLUSTER SIDE — the documents
     projection is the 100 TB side and must stay put while the small
-    cluster map ships to it. Rows-only (the CC step is iterative); the
-    union-find pin in tests covers the clustering and this adds the
-    survivor rule on top."""
+    cluster map ships to it. EXACT oracle since r5: the recursive-CTE
+    closure that replays the CC fixpoint plus the deterministic
+    survivor window; the union-find pin in tests covers the clustering
+    independently."""
     clusters = dedup_cluster_cc(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
@@ -746,10 +749,40 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     # last on purpose: the iterative fixpoint re-runs the LSH pipeline and
     # is the most expensive dedup entry — it must never starve the cheap
-    # queries of a driver correctness row (rows-only checked anyway)
+    # queries of a driver correctness row
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_semantic_keep_best": dedup_semantic_keep_best,
 }
+
+# Shared oracle scaffolding for the connected-component family: the
+# exact near-dup pair graph (the same ground truth the minhash oracle
+# uses), symmetrized, then a UNION-based recursive label closure whose
+# min per node IS the converged min-label-propagation fixpoint the
+# Spark loop computes.
+_CC_PAIR_GRAPH_CTES = f"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc1, doc2 FROM common
+            JOIN cnt x ON doc1 = x.doc_id
+            JOIN cnt y ON doc2 = y.doc_id
+            WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
+                  >= {JACCARD_THRESHOLD}),
+        edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc2 AS src, doc1 AS dst FROM pairs),
+        reach(node, label) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM edges) n(src)
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        rep AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+"""
 
 ORACLE = {
     "dedup_exact": """
@@ -861,5 +894,34 @@ ORACLE = {
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 4)
               >= {COSINE_DEDUP_THRESHOLD}
+    """,
+    # dedup_cluster_cc / dedup_semantic_keep_best: the iterative
+    # min-label propagation converges to the exact min doc_id per
+    # connected component — a deterministic fixpoint a DuckDB recursive
+    # CTE replays exactly (UNION-based transitive closure of labels,
+    # then min per node), over the same exact pair graph that backs the
+    # dedup_minhash_lsh oracle (recall pinned at 1 in CI). The survivor
+    # rule on top is an ordinary deterministic window. Upgraded from
+    # rows-only in r5.
+    "dedup_cluster_cc": _CC_PAIR_GRAPH_CTES
+    + """
+        SELECT node AS doc_id, cluster_id FROM rep
+    """,
+    "dedup_semantic_keep_best": _CC_PAIR_GRAPH_CTES
+    + """
+        , lab AS (
+            SELECT d.doc_id, d.n_chars, rep.cluster_id
+            FROM documents d JOIN rep ON d.doc_id = rep.node),
+        ranked AS (
+            SELECT doc_id, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+                   first_value(doc_id) OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id) AS survivor_id
+            FROM lab)
+        SELECT doc_id, cluster_id, survivor_id, rn > 1 AS "drop"
+        FROM ranked
     """,
 }
