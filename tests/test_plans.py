@@ -221,6 +221,75 @@ def test_no_unbounded_single_partition_windows_anywhere(all_plans):
     assert not offenders, offenders
 
 
+#: queries whose BroadcastNestedLoopJoin is a REVIEWED BOUNDED shape —
+#: every entry's broadcast side cannot grow with the fact data (or the
+#: quadratic form is the documented exact baseline). Anything new that
+#: plans a nested loop must be reviewed and added here consciously.
+_REVIEWED_NESTED_LOOPS = {
+    # 1-row scalar-aggregate broadcast (global stat / total / bucket
+    # cuts crossJoined back onto the stream)
+    "users_feature_assembly",
+    "events_user_gini",
+    "lineitem_chi2_status_flag",
+    "embedding_covariance",
+    "customers_rfm_segments",
+    "parts_abc_analysis",
+    "text_tfidf_top_terms",
+    "corpus_mixture_weights",
+    "q22_dormant_customers",
+    "q11_important_parts",
+    "agg_share_of_total",
+    "quality_expectations_orders",
+    "text_vocab_growth",
+    "text_bm25_search",
+    "text_lm_quality",
+    "text_bigram_lm_quality",
+    "basket_part_affinity",
+    "events_ab_welch_t",
+    # bounded probe/query side (fixed query vectors, box list, sampled
+    # codebook, labeled seed set)
+    "knn_label_predict",
+    "similarity_range_search",
+    "ann_topk_bruteforce",
+    "ann_topk_pq",
+    "geo_points_in_boxes",
+    # DBSCAN choreography: the broadcast side is the BSP rectangle
+    # table (#partitions-bounded, reference O7/O8 shape)
+    "dbscan_embeddings",
+    "dbscan_predict_holdout",
+    "dbscan_embeddings_64d",
+    "dbscan_predict_64d",
+    "dbscan_flags",
+    "dbscan_flags_64d",
+    "dbscan_core_components",
+    "dbscan_predict_canonical",
+    # deliberate quadratic exact baseline (the anchor the bucketed
+    # dedup_embedding_lsh path is judged against)
+    "dedup_embedding_cosine",
+}
+
+
+def test_nested_loops_only_where_reviewed(all_plans):
+    """Global sweep: no CartesianProduct anywhere, and a
+    BroadcastNestedLoopJoin may appear only in queries whose nested-loop
+    shape has been reviewed as bounded (see _REVIEWED_NESTED_LOOPS) — an
+    unreviewed nested loop is an all-pairs scan waiting to happen at
+    100 TB."""
+    cart = [
+        n
+        for n, p in all_plans.items()
+        if "CartesianProduct" in p.split("\n\n")[0]
+    ]
+    assert not cart, cart
+    unreviewed = [
+        n
+        for n, p in all_plans.items()
+        if "BroadcastNestedLoopJoin" in p.split("\n\n")[0]
+        and n not in _REVIEWED_NESTED_LOOPS
+    ]
+    assert not unreviewed, unreviewed
+
+
 def test_profile_is_single_pass_no_join(spark):
     """Table profiling must be one aggregate over one scan — a join or a
     second scan means a statistic escaped the single-pass form."""
