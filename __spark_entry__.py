@@ -88,11 +88,13 @@ def _operator_modules():
 # canonical order with cheap oracle-backed entries first, then cheap
 # rows-only, then the `_HEAVY` tail (multi-second iterative/DBSCAN
 # queries, so a time-budget truncation can only cost those rows) —
-# then the four `_REGRADE` bumps (customers_rfm_segments,
+# then the six `_REGRADE` bumps (customers_rfm_segments,
 # parts_abc_analysis: graded green r3 BEFORE the round-4
 # global_order_stats rewrite changed their physical plans, VERDICT r4
 # "Next round" #2; dedup_minhash_lsh, dedup_cluster_cc: upgraded to
-# exact oracles in r5) — then 15 re-greens, stalest (round 1) first.
+# exact oracles in r5; agg_approx_distinct, multimodal_frame_sample:
+# exact oracles landed after their early rows-only stamps) — then 13
+# re-greens, stalest (round 1) first.
 _PRIORITY = [
     # O22 driver row (DBSCAN.scala:244-251 predict) — the last
     # reference-API touchpoint without driver signal; first in line.
@@ -169,6 +171,11 @@ _REGRADE = {
     # closure); the driver should hash-certify them this round.
     "dedup_minhash_lsh": 4,
     "dedup_cluster_cc": 4,
+    # gained exact oracles after their early rows-only driver stamps
+    # (VERDICT r4 item 7) — re-certify with the hash gate now instead
+    # of waiting for the stalest-first rotation to reach them.
+    "agg_approx_distinct": 4,
+    "multimodal_frame_sample": 4,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

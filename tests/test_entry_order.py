@@ -134,14 +134,12 @@ def test_round5_cohort_with_current_history():
     assert names[: len(dark)] == dark  # dark block leads, contiguous
     heavy_dark = [n for n in dark if n in entry_mod._HEAVY]
     assert dark[-len(heavy_dark) :] == heavy_dark  # heavy tail last
-    nxt = names[len(dark) : len(dark) + 4]
-    assert sorted(nxt) == [
-        "customers_rfm_segments",
-        "dedup_cluster_cc",
-        "dedup_minhash_lsh",
-        "parts_abc_analysis",
-    ]
-    assert all(graded[n] == 1 for n in names[len(dark) + 4 : 50])
+    n_bumps = len(entry_mod._REGRADE)
+    nxt = names[len(dark) : len(dark) + n_bumps]
+    assert sorted(nxt) == sorted(entry_mod._REGRADE)
+    assert all(
+        graded[n] == 1 for n in names[len(dark) + n_bumps : 50]
+    )
 
 
 def test_every_query_oracle_backed_or_rows_only_justified():
