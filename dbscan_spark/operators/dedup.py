@@ -691,6 +691,39 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit — the check a pipeline runs right after
+    corpus_train_split: a NEAR-duplicate pair whose two documents land
+    in different deterministic train/val/test splits leaks evaluation
+    content into training (the cross-split contamination exact dedup
+    can't see). Takes the verified MinHash-LSH near-dup pairs (the
+    bucketed scale path, never all-pairs) and tags each side with its
+    split — split assignment is a PURE FUNCTION of doc_id (the
+    md5-bucket rule shared verbatim with text.corpus_train_split), so
+    no join back to the corpus is needed at all: the audit is a
+    projection over the |near-dup pairs|-sized table.
+
+    EXACT oracle: the quadratic ground-truth pair SQL (recall pinned
+    at 1 in CI, as for dedup_minhash_lsh) + the same split CASE."""
+
+    def split_of(col):
+        b = F.substring(F.md5(col.cast("string")), 1, 2)
+        return (
+            F.when(b < "f0", "train")
+            .when(b < "f8", "val")
+            .otherwise("test")
+        )
+
+    p = _minhash_lsh_pairs_cached(spark, sf_dir)
+    return p.select(
+        "doc1",
+        "doc2",
+        "jaccard",
+        split_of(F.col("doc1")).alias("split1"),
+        split_of(F.col("doc2")).alias("split2"),
+    ).withColumn("leaked", F.col("split1") != F.col("split2"))
+
+
 def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup: MinHash-LSH pairs → connected-component
     duplicate clusters → ONE canonical survivor per cluster, chosen by
@@ -752,6 +785,7 @@ QUERIES = {
     # queries of a driver correctness row
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_semantic_keep_best": dedup_semantic_keep_best,
+    "corpus_split_leakage": corpus_split_leakage,
 }
 
 # Shared oracle scaffolding for the connected-component family: the
@@ -906,6 +940,41 @@ ORACLE = {
     "dedup_cluster_cc": _CC_PAIR_GRAPH_CTES
     + """
         SELECT node AS doc_id, cluster_id FROM rep
+    """,
+    # corpus_split_leakage rides the same exact pair graph; the split
+    # CASE is the md5-bucket rule shared verbatim with
+    # text.corpus_train_split. DuckDB lateral alias reuse lets `leaked`
+    # reference split1/split2 in the same SELECT.
+    "corpus_split_leakage": f"""
+        WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc1, doc2,
+                   floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
+                       AS jaccard
+            FROM common
+            JOIN cnt x ON doc1 = x.doc_id
+            JOIN cnt y ON doc2 = y.doc_id
+            WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
+                  >= {JACCARD_THRESHOLD})
+        SELECT doc1, doc2, jaccard,
+               CASE WHEN substring(md5(CAST(doc1 AS VARCHAR)), 1, 2)
+                         < 'f0' THEN 'train'
+                    WHEN substring(md5(CAST(doc1 AS VARCHAR)), 1, 2)
+                         < 'f8' THEN 'val'
+                    ELSE 'test' END AS split1,
+               CASE WHEN substring(md5(CAST(doc2 AS VARCHAR)), 1, 2)
+                         < 'f0' THEN 'train'
+                    WHEN substring(md5(CAST(doc2 AS VARCHAR)), 1, 2)
+                         < 'f8' THEN 'val'
+                    ELSE 'test' END AS split2,
+               split1 <> split2 AS leaked
+        FROM pairs
     """,
     "dedup_semantic_keep_best": _CC_PAIR_GRAPH_CTES
     + """

@@ -3783,6 +3783,39 @@ def governance_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the third governance leg next to masking and
+    erasure: group the customer table by its quasi-identifier tuple
+    (nation, market segment, account-balance band) and flag every group
+    smaller than k=5 as re-identifiable (publishing such a slice lets an
+    attacker with the QI attributes single customers out). Output is one
+    row per occupied QI cell with its member count and risk flag — the
+    table a release-review process reads before approving an export.
+
+    Scale: ONE partial-aggregated groupBy whose key domain is bounded by
+    the QI grid (25 nations × 5 segments × ~12 balance bands), not by
+    the data — the group table stays a few thousand rows at any corpus
+    size. The balance band is floor(acctbal/1000.0) in double on both
+    engines (identical expression tree → identical IEEE result)."""
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal").cast("double") / 1000.0).cast("long")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "nationkey",
+            "segment",
+            "bal_band",
+            "n_members",
+            (F.col("n_members") < 5).alias("risky"),
+        )
+    )
+
+
 def join_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join — the mirror of join_asof_last_click's
     backward bound: for each purchase, the user's next 'view' STRICTLY
@@ -4381,6 +4414,7 @@ QUERIES = {
     "events_dn_retention": events_dn_retention,
     "customers_cohort_ltv": customers_cohort_ltv,
     "governance_erasure_audit": governance_erasure_audit,
+    "governance_k_anonymity": governance_k_anonymity,
     "join_asof_next_view": join_asof_next_view,
     "events_seasonal_anomalies": events_seasonal_anomalies,
     "events_pattern_vvp": events_pattern_vvp,
@@ -4596,6 +4630,16 @@ ORACLE = {
                count(DISTINCT CASE WHEN user_id % 100 = 7
                                    THEN user_id END) AS n_users_erased
         FROM events GROUP BY event_type
+    """,
+    "governance_k_anonymity": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               c_mktsegment AS segment,
+               CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+                   AS bal_band,
+               count(*) AS n_members,
+               count(*) < 5 AS risky
+        FROM customer
+        GROUP BY 1, 2, 3
     """,
     "events_dn_retention": """
         WITH first AS (
