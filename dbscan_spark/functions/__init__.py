@@ -78,6 +78,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def split_assignment(doc_id: Column) -> Column:
+    """Deterministic train/val/test split of a document id — the
+    md5-bucket rule shared by text.corpus_train_split and
+    dedup.corpus_split_leakage (ONE source of truth so the tag and its
+    audits can never drift): bucket on the first 2 hex chars of
+    md5(doc_id) — < 'f0' train (93.75%), < 'f8' val (3.125%), else
+    test. Engine-reproducible across runs, partitionings and retries
+    (a rand() split resamples on retry).
+
+    DuckDB: ``CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+    < 'f0' THEN 'train' WHEN ... < 'f8' THEN 'val' ELSE 'test' END``
+    (see SPLIT_ASSIGNMENT_SQL)."""
+    bucket = F.substring(F.md5(doc_id.cast("string")), 1, 2)
+    return (
+        F.when(bucket < "f0", "train")
+        .when(bucket < "f8", "val")
+        .otherwise("test")
+    )
+
+
+def split_assignment_sql(doc_id: str) -> str:
+    """DuckDB twin of :func:`split_assignment` over column ``doc_id``."""
+    b = f"substring(md5(CAST({doc_id} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {b} < 'f0' THEN 'train' "
+        f"WHEN {b} < 'f8' THEN 'val' ELSE 'test' END"
+    )
+
+
 def zvalue_sql(x: str, y: str) -> str:
     """Morton/Z-order value of two 16-bit column expressions, as a SQL
     string with identical semantics in Spark SQL and DuckDB (plain

@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from dbscan_spark.functions import as_double_array, dot, l2_norm, shingles, tokens
+from dbscan_spark.functions import (
+    as_double_array,
+    dot,
+    l2_norm,
+    shingles,
+    split_assignment_sql,
+    tokens,
+)
 from dbscan_spark.io import load_table
 
 # DuckDB equivalents of the shared normalization/shingling expressions
@@ -705,22 +712,15 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     EXACT oracle: the quadratic ground-truth pair SQL (recall pinned
     at 1 in CI, as for dedup_minhash_lsh) + the same split CASE."""
-
-    def split_of(col):
-        b = F.substring(F.md5(col.cast("string")), 1, 2)
-        return (
-            F.when(b < "f0", "train")
-            .when(b < "f8", "val")
-            .otherwise("test")
-        )
+    from dbscan_spark.functions import split_assignment
 
     p = _minhash_lsh_pairs_cached(spark, sf_dir)
     return p.select(
         "doc1",
         "doc2",
         "jaccard",
-        split_of(F.col("doc1")).alias("split1"),
-        split_of(F.col("doc2")).alias("split2"),
+        split_assignment(F.col("doc1")).alias("split1"),
+        split_assignment(F.col("doc2")).alias("split2"),
     ).withColumn("leaked", F.col("split1") != F.col("split2"))
 
 
@@ -963,16 +963,8 @@ ORACLE = {
             WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
                   >= {JACCARD_THRESHOLD})
         SELECT doc1, doc2, jaccard,
-               CASE WHEN substring(md5(CAST(doc1 AS VARCHAR)), 1, 2)
-                         < 'f0' THEN 'train'
-                    WHEN substring(md5(CAST(doc1 AS VARCHAR)), 1, 2)
-                         < 'f8' THEN 'val'
-                    ELSE 'test' END AS split1,
-               CASE WHEN substring(md5(CAST(doc2 AS VARCHAR)), 1, 2)
-                         < 'f0' THEN 'train'
-                    WHEN substring(md5(CAST(doc2 AS VARCHAR)), 1, 2)
-                         < 'f8' THEN 'val'
-                    ELSE 'test' END AS split2,
+               {split_assignment_sql("doc1")} AS split1,
+               {split_assignment_sql("doc2")} AS split2,
                split1 <> split2 AS leaked
         FROM pairs
     """,

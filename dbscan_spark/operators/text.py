@@ -12,7 +12,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dbscan_spark.functions import norm_text, shingles, tokens
+from dbscan_spark.functions import (
+    norm_text,
+    shingles,
+    split_assignment_sql,
+    tokens,
+)
 from dbscan_spark.io import load_table
 
 _SQL_NORM = (
@@ -643,13 +648,10 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     result whose size is the number of splits."""
     from pyspark.sql import Window
 
+    from dbscan_spark.functions import split_assignment
+
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(bucket < "f0", "train")
-        .when(bucket < "f8", "val")
-        .otherwise("test")
-    )
+    split = split_assignment(F.col("doc_id"))
     per_split = (
         d.select(
             split.alias("split"),
@@ -1170,11 +1172,7 @@ ORACLE = {
     """,
     "corpus_train_split": f"""
         WITH tagged AS (
-          SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
-                        THEN 'train'
-                      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8'
-                        THEN 'val'
-                      ELSE 'test' END AS split,
+          SELECT {split_assignment_sql("doc_id")} AS split,
                  len({_SQL_TOKS}) AS n_toks
           FROM documents),
         per_split AS (
