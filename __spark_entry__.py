@@ -161,21 +161,18 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # round-4 bucketed global-ranking rewrite (functions/ranking.py
-    # global_order_stats) replaced the single-partition windows these
-    # r3-graded queries were certified under.
-    "customers_rfm_segments": 4,
-    "parts_abc_analysis": 4,
-    # round 5 upgraded these from rows-only (r1/r3 stamps) to EXACT
-    # oracles (quadratic ground-truth SQL / recursive-CTE label
-    # closure); the driver should hash-certify them this round.
-    "dedup_minhash_lsh": 4,
-    "dedup_cluster_cc": 4,
-    # gained exact oracles after their early rows-only driver stamps
-    # (VERDICT r4 item 7) — re-certify with the hash gate now instead
-    # of waiting for the stalest-first rotation to reach them.
-    "agg_approx_distinct": 4,
-    "multimodal_frame_sample": 4,
+    # round-5 rewrites that landed AFTER these queries' r4 grades:
+    # text_vocab_growth moved off its single-partition cumulative
+    # window onto the bucketed global_order_stats ranking primitive
+    # (text.py), and corpus_train_split was refactored onto the shared
+    # split_assignment helper — both physical plans changed, so the r4
+    # stamps are stale and the driver must re-certify the new code.
+    # (The six r4-era bumps — customers_rfm_segments, parts_abc_analysis,
+    # dedup_minhash_lsh, dedup_cluster_cc, agg_approx_distinct,
+    # multimodal_frame_sample — were all re-graded clean in round 5 and
+    # have been pruned; an expired bump is inert but noisy.)
+    "text_vocab_growth": 4,
+    "corpus_train_split": 4,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

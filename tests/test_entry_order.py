@@ -122,24 +122,48 @@ def test_regrade_bump_leads_greens_then_expires(monkeypatch):
     ]
 
 
-def test_round5_cohort_with_current_history():
-    """With the r1-r4 driver files in the repo, the first 50 entries
-    must be: the 31-query dark set (heavy tail last), then the three
-    _REGRADE bumps, then r1 re-greens — the exact VERDICT r4 ask."""
+def test_round6_cohort_with_current_history():
+    """With the r1-r5 driver files in the repo the registry is fully
+    graded (no dark set), so the round-6 cohort must open with the two
+    _REGRADE bumps (text_vocab_growth / corpus_train_split, both
+    rewritten in r5 after their r4 grades) and then re-green
+    stalest-first starting from the r1 block — the exact VERDICT r5
+    items 1 and 7."""
+    import pytest
+
     graded = entry_mod._grading_history()
-    if not graded or max(graded.values()) != 4:
-        return  # history has moved on; the generic tests still pin logic
+    if not graded or max(graded.values()) != 5:
+        pytest.skip(
+            "driver history has moved past round 5; the generic "
+            "rotation tests above still pin the ordering logic"
+        )
     names = list(entry_mod.queries())
-    dark = [n for n in names if n not in graded]
-    assert names[: len(dark)] == dark  # dark block leads, contiguous
-    heavy_dark = [n for n in dark if n in entry_mod._HEAVY]
-    assert dark[-len(heavy_dark) :] == heavy_dark  # heavy tail last
+    assert all(n in graded for n in names)  # coverage is total: no dark set
     n_bumps = len(entry_mod._REGRADE)
-    nxt = names[len(dark) : len(dark) + n_bumps]
-    assert sorted(nxt) == sorted(entry_mod._REGRADE)
+    assert sorted(names[:n_bumps]) == sorted(entry_mod._REGRADE)
     assert all(
-        graded[n] == 1 for n in names[len(dark) + n_bumps : 50]
-    )
+        graded[n] <= entry_mod._REGRADE[n] for n in names[:n_bumps]
+    )  # only genuinely stale grades get bumped
+    rounds = [graded[n] for n in names[n_bumps:]]
+    assert rounds == sorted(rounds)  # stalest-first after the bumps
+    # the cohort window fills with the stalest grades available: the
+    # whole r1 block first, then the oldest r2 grades (only 27 queries
+    # still carry an r1 stamp, so the 50-row window spans both rounds)
+    assert all(graded[n] <= 2 for n in names[n_bumps:50])
+
+
+def test_every_registered_query_listed_in_survey():
+    """SURVEY.md §8.2 is the judge's coverage map: every name in the
+    queries() registry must appear there (VERDICT r5 item 4 found
+    q12_late_lines_priority registered but unlisted — this pins the
+    repaired invariant so a new query can't land half-documented)."""
+    import os
+
+    survey = open(
+        os.path.join(os.path.dirname(entry_mod.__file__), "SURVEY.md")
+    ).read()
+    missing = [n for n in entry_mod.queries() if n not in survey]
+    assert not missing, f"registered but absent from SURVEY.md: {missing}"
 
 
 def test_every_query_oracle_backed_or_rows_only_justified():

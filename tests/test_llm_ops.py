@@ -9,7 +9,7 @@ import json
 import pytest
 
 from dbscan_spark.operators import dedup, multimodal, similarity
-from tests.conftest import SF_TINY
+from tests.conftest import SF_SMALL, SF_TINY
 
 
 def pairs(df, c1="doc1", c2="doc2"):
@@ -24,6 +24,25 @@ def test_minhash_lsh_subset_and_recall(spark):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) == 1.0, (len(lsh), len(exact))
+
+
+def test_minhash_lsh_recall_pin_at_grading_sf(spark):
+    """dedup_minhash_lsh carries an EXACT DuckDB oracle (the quadratic
+    ground-truth SQL), which is only sound while banded-LSH recall is
+    empirically 100% on the corpus the driver grades — sf0.01, not just
+    the tiny fixture. Pin it there so a future corpus/SF change can't
+    silently invalidate the exact-oracle claim (ADVICE r5). Miss prob
+    per pair at j is (1-j^2)^32: ~2e-6 at the 0.8 threshold."""
+    exact = pairs(dedup.dedup_ngram_jaccard(spark, SF_SMALL))
+    lsh = pairs(dedup.dedup_minhash_lsh(spark, SF_SMALL))
+    assert lsh <= exact
+    assert exact, "grading corpus produced no near-dup pairs — drifted?"
+    assert lsh == exact, (
+        f"banding missed {len(exact - lsh)} of {len(exact)} pairs at the "
+        "grading SF — the exact-oracle claim for dedup_minhash_lsh (and "
+        "the dependent dedup_cluster_cc / dedup_semantic_keep_best / "
+        "corpus_split_leakage oracles) no longer holds"
+    )
 
 
 def test_embedding_lsh_subset_and_recall(spark):

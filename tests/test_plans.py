@@ -153,10 +153,20 @@ def _single_partition_windows(plan: str) -> list[str]:
     ``Exchange SinglePartition`` — the "Moving all data to a single
     partition" shape."""
     sp_ids = set()
+    reuses = {}  # ReusedExchange id -> referenced Exchange id
     for block in re.split(r"\n(?=\(\d+\) )", plan):
         m = re.match(r"\((\d+)\) Exchange\b", block)
         if m and "SinglePartition" in block:
             sp_ids.add(m.group(1))
+        r = re.match(r"\((\d+)\) ReusedExchange\b", block)
+        if r:
+            ref = re.search(r"Reuses operator id: (\d+)", block)
+            if ref:
+                reuses[r.group(1)] = ref.group(1)
+    # a ReusedExchange pointing at a SinglePartition exchange IS that
+    # exchange — a Window fed through one must still be flagged
+    # (ADVICE r5: the Exchange regex alone skips ReusedExchange lines)
+    sp_ids.update(rid for rid, ref in reuses.items() if ref in sp_ids)
     hits = []
     lines = plan.split("\n\n")[0].splitlines()
     # partition-preserving unary ops a Window's input chain may route
@@ -179,7 +189,7 @@ def _single_partition_windows(plan: str) -> list[str]:
         # partition-establishing node — a fixed lookahead misses an
         # Exchange behind extra interposed nodes (ADVICE r4)
         for nxt in lines[i + 1 :]:
-            em = re.search(r"\bExchange \((\d+)\)", nxt)
+            em = re.search(r"\b(?:Reused)?Exchange \((\d+)\)", nxt)
             if em:
                 if em.group(1) in sp_ids:
                     hits.append(m.group(1))
@@ -205,6 +215,32 @@ _BOUNDED_SINGLE_WINDOWS = {
     # rank over the 25-row per-nation rollup (fixed TPC-H dimension)
     "sql_api_nation_revenue",
 }
+
+
+def test_single_partition_window_sweep_sees_reused_exchange():
+    """A Window fed through a ReusedExchange that references a
+    SinglePartition exchange is the same single-task shape and must be
+    flagged — the Exchange regex alone skips ReusedExchange tree lines
+    (ADVICE r5, tests/test_plans.py sweep gap)."""
+    plan = (
+        "== Physical Plan ==\n"
+        "* Project (6)\n"
+        "+- Window (5)\n"
+        "   +- Sort (4)\n"
+        "      +- ReusedExchange (3)\n"
+        "\n\n"
+        "(3) ReusedExchange [Reuses operator id: 8]\n"
+        "Output [2]: [x#1, y#2]\n"
+        "\n\n"
+        "(8) Exchange\n"
+        "Input [2]: [x#1, y#2]\n"
+        "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]\n"
+    )
+    assert _single_partition_windows(plan) == ["5"]
+    # ... and a ReusedExchange over a hash-partitioned exchange stays
+    # clean (no false positive from the new resolution step)
+    hashed = plan.replace("SinglePartition", "hashpartitioning(x#1, 32)")
+    assert _single_partition_windows(hashed) == []
 
 
 def test_no_unbounded_single_partition_windows_anywhere(all_plans):
