@@ -173,6 +173,10 @@ _REGRADE = {
     # have been pruned; an expired bump is inert but noisy.)
     "text_vocab_growth": 4,
     "corpus_train_split": 4,
+    # round 6: token hash swapped xxhash64 -> md5-derived bits so the
+    # query gains an EXACT DuckDB oracle (VERDICT r5 item 6); the r1
+    # rows-only stamp predates both the new hash and the new oracle.
+    "dedup_simhash": 5,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

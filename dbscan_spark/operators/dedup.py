@@ -346,11 +346,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash: long) — sign of per-bit weight sums over token
-    hashes, computed entirely with JVM array folds (no UDF)."""
+    hashes, computed entirely with JVM expressions (no UDF).
+
+    The 64 hash bits come from the first 16 hex chars of md5(token)
+    (two 32-bit halves parsed with conv), NOT xxhash64: md5 is
+    bit-identical in DuckDB, which is what lets dedup_simhash carry an
+    EXACT oracle (VERDICT r5 item 6) — xxhash64's seed-42 Spark variant
+    has no SQL restatement. Same entropy, and this query is off the hot
+    bench path, so the cheaper hash buys nothing here."""
     d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("t"))
+    h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")  # bits 32-63
+    h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")  # bits 0-31
     toks = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    ).select("doc_id", F.shiftleft(h1, 32).bitwiseOR(h2).alias("h"))
     # weight per bit: +1 if set else -1, summed per doc; then fold the 64
     # signs back into one long (shiftleft with a column amount needs SQL form)
     per_doc = toks.groupBy("doc_id").agg(
@@ -376,9 +386,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pigeonhole: split 64 bits into 4 bands of 16; distance<=3 implies at
     least one identical band, so an equi-join per band finds all such
     pairs without an all-pairs scan; exact hamming filter via
-    bit_count(xor). Rows-only: the 64-bit simhash folds Python string
-    hashes no SQL engine reproduces; tests pin band recall and the
-    exact hamming verify instead."""
+    bit_count(xor). The band join is candidate GENERATION only — the
+    output is exactly {pairs with hamming <= 3}, which is what the
+    (deliberately quadratic) DuckDB oracle restates from the same
+    md5-derived bits."""
     sigs = simhash_signatures(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
@@ -818,6 +829,48 @@ _CC_PAIR_GRAPH_CTES = f"""
         rep AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
 """
 
+def _simhash_oracle() -> str:
+    """Exact DuckDB restatement of dedup_simhash — generated because the
+    64-bit signature needs one sign-of-weights sum per bit position.
+    Bits 0-31 of each token hash live in the md5 hex chars 9-16 half
+    (b2), bits 32-63 in chars 1-8 (b1), mirroring the Spark side's
+    shiftleft(h1, 32) | h2 layout; hamming over the two halves equals
+    hamming over the packed 64-bit value."""
+    w = ", ".join(
+        f"sum(CASE WHEN ({src} // {1 << (j % 32)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS w{j}"
+        for j, src in [(j, "b2") for j in range(32)]
+        + [(j, "b1") for j in range(32, 64)]
+    )
+    lo = " + ".join(
+        f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN w{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)"
+        for j in range(32, 64)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT AS b1,
+                   ('0x' || substr(md5(t), 9, 8))::BIGINT AS b2
+            FROM tok
+        ), wt AS (
+            SELECT doc_id, {w} FROM th GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {lo} AS lo, {hi} AS hi FROM wt
+        )
+        SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+               (bit_count(xor(x.lo, y.lo))
+                + bit_count(xor(x.hi, y.hi)))::BIGINT AS hamming
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.lo, y.lo))
+              + bit_count(xor(x.hi, y.hi)) <= 3
+    """
+
+
 ORACLE = {
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
@@ -899,9 +952,14 @@ ORACLE = {
         WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
               >= {JACCARD_THRESHOLD}
     """,
-    # dedup_simhash: probabilistic candidate generation over
-    # Spark-specific 64-bit token hashes — rows-only check; unit tests
-    # pin recall against the exact baseline.
+    # dedup_simhash: exact restatement — same md5-derived 64 hash bits
+    # (two 32-bit halves, so every intermediate stays in non-negative
+    # BIGINT and signed-shift semantics never enter), same sign-of-sums
+    # signature, then the deliberately-quadratic all-pairs hamming <= 3
+    # filter: Spark's 4x16 band join is candidate generation only, and
+    # the pigeonhole (distance <= 3 => >= 1 identical 16-bit band)
+    # makes its output exactly this set.
+    "dedup_simhash": _simhash_oracle(),
     "dedup_keep_best": f"""
         WITH fp AS (
             SELECT doc_id, n_chars,
