@@ -152,6 +152,70 @@ def test_round6_cohort_with_current_history():
     assert all(graded[n] <= 2 for n in names[n_bumps:50])
 
 
+def test_no_stale_grades_without_regrade_bump():
+    """Tripwire automating the _REGRADE policy (VERDICT r5 item 8): a
+    registered query whose implementing function's AST drifted from the
+    recorded manifest (tools/query_hashes.json) is only acceptable
+    while a pending _REGRADE entry covers it — otherwise its driver
+    grade certifies code that no longer exists. Fix by adding the query
+    to _REGRADE and running `python tools/query_hashes.py --write` in
+    the same commit."""
+    import sys
+
+    sys.path.insert(0, _repo_root())
+    from tools.query_hashes import current_hashes, recorded_hashes
+
+    cur, rec = current_hashes(), recorded_hashes()
+    graded = entry_mod._grading_history()
+    stale = [
+        n
+        for n in cur
+        if cur[n] != rec.get(n)
+        and n in graded
+        and graded[n] > entry_mod._REGRADE.get(n, -1)  # no pending bump
+    ]
+    assert not stale, (
+        f"implementation changed after latest grade, no _REGRADE bump: "
+        f"{stale} — add them to _REGRADE and refresh the manifest"
+    )
+    # never-graded or regrade-pending queries may drift, but the
+    # manifest must know every registered name (and no ghosts)
+    assert set(cur) == set(rec), (
+        sorted(set(cur) ^ set(rec)),
+        "run `python tools/query_hashes.py --write`",
+    )
+
+
+def test_stale_edit_detection_logic():
+    """The tripwire's decision rule itself, on simulated inputs: red on
+    a drifted hash with a landed grade and no bump; green when a bump
+    is pending or the query was never graded."""
+
+    def stale(cur, rec, graded, regrade):
+        return [
+            n
+            for n in cur
+            if cur[n] != rec.get(n)
+            and n in graded
+            and graded[n] > regrade.get(n, -1)
+        ]
+
+    # drifted + graded + no bump -> red
+    assert stale({"q": "b"}, {"q": "a"}, {"q": 5}, {}) == ["q"]
+    # drifted + pending bump covering the grade -> green
+    assert stale({"q": "b"}, {"q": "a"}, {"q": 5}, {"q": 5}) == []
+    # drifted + never graded -> green (dark set re-grades anyway)
+    assert stale({"q": "b"}, {"q": "a"}, {}, {}) == []
+    # unchanged -> green regardless
+    assert stale({"q": "a"}, {"q": "a"}, {"q": 5}, {}) == []
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.abspath(entry_mod.__file__))
+
+
 def test_every_registered_query_listed_in_survey():
     """SURVEY.md §8.2 is the judge's coverage map: every name in the
     queries() registry must appear there (VERDICT r5 item 4 found
