@@ -177,6 +177,23 @@ _REGRADE = {
     # query gains an EXACT DuckDB oracle (VERDICT r5 item 6); the r1
     # rows-only stamp predates both the new hash and the new oracle.
     "dedup_simhash": 5,
+    # round 6: revenue/profit sums moved from float64-then-round to
+    # exact integer e4 units after the sf1.0 scaling sweep caught
+    # cross-engine summation-order drift crossing the half-cent
+    # rounding boundary (BASELINE.md §5 round-6 note). Both sides of
+    # each oracle pair changed together; re-certify.
+    "q5_region_revenue": 5,
+    "q9_product_profit": 5,
+    "parts_abc_analysis": 5,
+    # round 6, same sweep: deterministic struct tie-breaks for
+    # max_by/min_by (ties observed on replicated totals) and the
+    # pure-IEEE floor-half-up rounding idiom replacing engine round()
+    # (1e-6-grid disagreements and signed-zero outputs observed).
+    "agg_argmax_orders": 5,
+    "explode_embedding_head": 5,
+    "scalar_array_hof": 5,
+    "window_cume_dist_spend": 5,
+    "window_ntile_deciles": 5,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

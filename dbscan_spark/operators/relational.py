@@ -25,7 +25,7 @@ long because DuckDB widens to BIGINT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from dbscan_spark.functions import as_double_array, zvalue_sql
@@ -83,8 +83,30 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _revenue_e4() -> Column:
+    """Per-row revenue ``l_extendedprice * (1 - l_discount)`` in EXACT
+    integer 1e-4-dollar units: prices are 2-decimal and discounts are
+    whole percents, so cents x (100 - pct) is an integer the engines
+    sum identically in any order. Raw float64 sums rounded to cents are
+    NOT order-stable at scale — measured at sf1.0, cross-engine
+    summation-order drift reaches ~0.06 dollars on a 240k-row group,
+    above the half-cent rounding boundary (BASELINE.md §5 round-6
+    note)."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+def _e4_to_dollars(e4_sum: Column) -> Column:
+    """Floor-based round-half-up of an exact e4 integer sum to a
+    2-decimal dollar double — bit-identical cross-engine because the
+    float enters only after the integer rounding decision."""
+    return F.floor((e4_sum + 50) / 100) / 100
+
+
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join (small dims broadcast) + grouped agg."""
+    """TPC-H Q5: 6-way join (small dims broadcast) + grouped agg.
+    Revenue accumulates in exact integer e4 units (see _revenue_e4)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -105,11 +127,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_e4_to_dollars(F.sum(_revenue_e4())).alias("revenue"))
     )
 
 
@@ -491,15 +509,22 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window family: decile bucket, percent_rank and
     cume_dist of each order's price within its priority class. One
-    partitioned sort serves all three functions (single Window node)."""
+    partitioned sort serves all three functions (single Window node).
+    Quotients round via the pure-IEEE floor-half-up idiom — engine
+    round() implementations can disagree by one grid step at the 1e-6
+    boundary (see window_cume_dist_spend / explode_embedding_head)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
         "o_orderpriority",
         F.ntile(10).over(w).cast("long").alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (
+            F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000
+        ).alias("pct_rank"),
+        (
+            F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000
+        ).alias("cume"),
     )
 
 
@@ -1175,7 +1200,14 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def explode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional explode (lateral view): the first four embedding
-    components as (vec_id, pos, val) rows."""
+    components as (vec_id, pos, val) rows. The 6dp rounding is the
+    pure-IEEE floor-half-up idiom, not round(): engine round()
+    implementations differ at the grid boundary (Spark exact-decimal
+    HALF_UP vs DuckDB float multiply) and disagree on the SIGN of a
+    zero result (-4e-7 rounds to -0.0 in DuckDB, +0.0 in Spark — a
+    value-hash mismatch; observed in the sf1.0 scaling sweep), while
+    floor(x*1e6 + 0.5)/1e6 is the same IEEE ops on both engines and
+    always yields +0.0."""
     e = _t(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -1183,7 +1215,9 @@ def explode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("pos").cast("long").alias("pos"),
-        F.round(F.col("val_f").cast("double"), 6).alias("val"),
+        (
+            F.floor(F.col("val_f").cast("double") * 1000000 + 0.5) / 1000000
+        ).alias("val"),
     )
 
 
@@ -1445,14 +1479,20 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the part's retail price): profit on widget-family parts by
     supplier nation and year. part and nation broadcast; the only shuffle
     is the final (nation × year) aggregation — partial-aggregated map-side
-    because profit is computed per row before the groupBy."""
+    because profit is computed per row before the groupBy. Profit
+    accumulates in exact integer e4 units (see _revenue_e4): revenue
+    cents x (100 - discount pct) minus retail cents x integer quantity
+    x 50 — all integers, so the sum is order-independent and the cents
+    rounding decision never sees a float."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     p = _t(spark, sf_dir, "part")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        0.5
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    profit_e4 = _revenue_e4() - (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+        * F.lit(50)
+    )
     return (
         l.join(
             F.broadcast(
@@ -1468,7 +1508,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(_e4_to_dollars(F.sum(profit_e4)).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -2653,22 +2693,21 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the class thresholds so a 1-ulp cross-engine difference cannot flip
     a boundary row's class."""
     l = _t(spark, sf_dir, "lineitem")
-    # revenue is ROUNDED (2dp) before the ordering and the cumsum: the
-    # rank order and every running sum must be identical across engines,
-    # and unrounded float sums can order two near-equal parts differently
-    # depending on summation order (observed at sf0.01)
-    per_part = l.groupBy("l_partkey").agg(
-        # floor-based round-half-up, not round(): part revenues land on
-        # exact .xx5 halves where Spark's HALF_UP and DuckDB's banker's
-        # rounding disagree (observed at sf0.01)
-        (
-            F.floor(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                * 100
-                + 0.5
-            )
-            / 100
-        ).alias("revenue")
+    # per-part revenue accumulates in EXACT integer e4 units and is
+    # rounded half-up to cents in integer arithmetic (see _revenue_e4):
+    # the rank order and every running sum must be identical across
+    # engines, and a float sum's .xx5-boundary cents can flip with
+    # summation order — the earlier floor(float_sum*100 + 0.5) variant
+    # did exactly that at sf1.0 (replicated parts multiply the
+    # half-cent boundary population; BASELINE.md §5 round-6 note)
+    per_part = (
+        l.groupBy("l_partkey")
+        .agg(F.sum(_revenue_e4()).alias("_e4"))
+        .select(
+            "l_partkey",
+            F.floor((F.col("_e4") + 50) / 100).cast("long").alias("_cents"),
+        )
+        .withColumn("revenue", F.col("_cents") / 100)
     )
     # the running sum is EXACT-INTEGER cents so the bucketed partial
     # sums (which add in a different order than one global left-to-right
@@ -2679,9 +2718,6 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-partition window over the #parts rollup)
     from dbscan_spark.functions.ranking import global_order_stats
 
-    per_part = per_part.withColumn(
-        "_cents", F.round(F.col("revenue") * 100).cast("long")
-    )
     total = per_part.agg(F.sum("_cents").alias("grand"))
     g = global_order_stats(
         per_part,
@@ -2765,20 +2801,25 @@ def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin without a window: per priority, the order carrying
     the max total and the customer carrying the min — ``max_by/min_by``
     fold the answer in ONE partial-aggregable pass, where the
-    row_number-window formulation would sort every group. Ties cannot
-    occur on these float totals at this precision (asserted by the
-    count_distinct guard column)."""
+    row_number-window formulation would sort every group. The by-value
+    is a (total, key) struct so equal totals tie-break deterministically
+    (smallest orderkey / smallest custkey): on the shipped corpus float
+    totals never tie (the count_distinct guard column stays true), but
+    ties DO occur on replicated data (observed in the sf1.0 scaling
+    sweep) and a bare max_by picks an arbitrary row then."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.expr("max_by(o_orderkey, o_totalprice)").alias(
-                "top_orderkey"
-            ),
+            F.expr(
+                "max_by(o_orderkey,"
+                " struct(o_totalprice, -o_orderkey))"
+            ).alias("top_orderkey"),
             F.round(F.max("o_totalprice"), 2).alias("top_total"),
-            F.expr("min_by(o_custkey, o_totalprice)").alias(
-                "cheapest_custkey"
-            ),
+            F.expr(
+                "min_by(o_custkey,"
+                " struct(o_totalprice, o_custkey))"
+            ).alias("cheapest_custkey"),
             (
                 F.count_distinct("o_totalprice") == F.count(F.lit(1))
             ).alias("totals_unique"),
@@ -2840,15 +2881,21 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes in place)."""
     e = _t(spark, sf_dir, "embeddings")
     v = as_double_array(F.col("embedding"))
+
+    # pure-IEEE floor-half-up, not round(): identical ops on both
+    # engines and never a signed zero (see explode_embedding_head)
+    def r4(col):
+        return F.floor(col * 10000 + 0.5) / 10000
+
     return e.select(
         "vec_id",
         F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.round(
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        r4(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("sum_sq"),
-        F.round(F.element_at(v, 1), 4).alias("c1"),
-        F.round(F.element_at(v, 2), 4).alias("c2"),
-        F.round(F.element_at(v, 3), 4).alias("c3"),
+        r4(F.element_at(v, 1)).alias("c1"),
+        r4(F.element_at(v, 2)).alias("c2"),
+        r4(F.element_at(v, 3)).alias("c3"),
     )
 
 
@@ -2928,7 +2975,11 @@ def window_cume_dist_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     position twin of window_ntile_deciles. Spend is rounded BEFORE
     ranking so float summation order can't create engine-specific ties.
     One shuffle for the per-customer agg, one for the per-nation window;
-    the broadcast nation dim adds none."""
+    the broadcast nation dim adds none. The builtin quotients round via
+    the pure-IEEE floor-half-up idiom: both engines compute the SAME
+    (rank-1)/(n-1) double, but their round() implementations can differ
+    by one 1e-6 grid step at the boundary (observed in the sf1.0
+    scaling sweep — see explode_embedding_head)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -2943,8 +2994,12 @@ def window_cume_dist_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.col("o_custkey").alias("custkey"),
             "spend",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            (
+                F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000
+            ).alias("pct_rank"),
+            (
+                F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000
+            ).alias("cume_dist"),
         )
     )
 
@@ -4982,8 +5037,10 @@ ORACLE = {
           SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
           FROM orders GROUP BY o_custkey)
         SELECT n_name AS nation, o_custkey AS custkey, spend,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume_dist
+               floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000
+                 AS pct_rank,
+               floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000
+                 AS cume_dist
         FROM spend
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -5090,12 +5147,13 @@ ORACLE = {
     "parts_abc_analysis": """
         WITH per_part AS (
           SELECT l_partkey,
-                 floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
-                   / 100 AS revenue
+                 CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 * (100 - CAST(round(l_discount * 100)
+                                               AS BIGINT)))
+                             + 50) / 100) AS BIGINT) AS c
           FROM lineitem GROUP BY l_partkey),
         cents AS (
-          SELECT l_partkey, revenue,
-                 CAST(round(revenue * 100) AS BIGINT) AS c
+          SELECT l_partkey, c / 100 AS revenue, c
           FROM per_part),
         tot_c AS (SELECT sum(c) AS grand_c FROM cents),
         shares AS (
@@ -5137,9 +5195,11 @@ ORACLE = {
     """,
     "agg_argmax_orders": """
         SELECT o_orderpriority,
-               max_by(o_orderkey, o_totalprice) AS top_orderkey,
+               -(max(struct_pack(t := o_totalprice, nk := -o_orderkey)).nk)
+                 AS top_orderkey,
                round(max(o_totalprice), 2) AS top_total,
-               min_by(o_custkey, o_totalprice) AS cheapest_custkey,
+               (min(struct_pack(t := o_totalprice, ck := o_custkey)).ck)
+                 AS cheapest_custkey,
                count(DISTINCT o_totalprice) = count(*) AS totals_unique
         FROM orders
         GROUP BY o_orderpriority
@@ -5170,11 +5230,12 @@ ORACLE = {
         SELECT vec_id,
                CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0))
                     AS BIGINT) AS n_pos,
-               round(list_sum(list_transform(embedding::DOUBLE[],
-                                             x -> x * x)), 4) AS sum_sq,
-               round(embedding[1]::DOUBLE, 4) AS c1,
-               round(embedding[2]::DOUBLE, 4) AS c2,
-               round(embedding[3]::DOUBLE, 4) AS c3
+               floor(list_sum(list_transform(embedding::DOUBLE[],
+                                             x -> x * x))
+                     * 10000 + 0.5) / 10000 AS sum_sq,
+               floor(embedding[1]::DOUBLE * 10000 + 0.5) / 10000 AS c1,
+               floor(embedding[2]::DOUBLE * 10000 + 0.5) / 10000 AS c2,
+               floor(embedding[3]::DOUBLE * 10000 + 0.5) / 10000 AS c3
         FROM embeddings
     """,
     "merge_upsert_orders": """
@@ -5618,8 +5679,11 @@ ORACLE = {
     "q9_product_profit": """
         SELECT n_name AS nation,
                CAST(year(l_shipdate) AS BIGINT) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                          - CAST(round(p_retailprice * 100) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT) * 50)
+                      + 50) / 100) / 100 AS sum_profit
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -5732,7 +5796,10 @@ ORACLE = {
         LIMIT 10
     """,
     "q5_region_revenue": """
-        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT n_name,
+               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      + 50) / 100) / 100 AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -6142,7 +6209,7 @@ ORACLE = {
     """,
     "explode_embedding_head": """
         SELECT vec_id, i - 1 AS pos,
-               round(embedding[i]::DOUBLE, 6) AS val
+               floor(embedding[i]::DOUBLE * 1000000 + 0.5) / 1000000 AS val
         FROM embeddings, generate_series(1, 4) t(i)
     """,
     "embedding_label_centroids": """
@@ -6283,8 +6350,10 @@ ORACLE = {
     "window_ntile_deciles": """
         SELECT o_orderkey, o_orderpriority,
                ntile(10) OVER w AS decile,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume
+               floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000
+                 AS pct_rank,
+               floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000
+                 AS cume
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice, o_orderkey)
