@@ -43,19 +43,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: scan-heavy grouped aggregate with derived expressions."""
     l = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # charge = price * (1-disc) * (1+tax): cents x pct x pct = exact e6
+    # integer units. Positive domain, so integer `div` == floor — and
+    # unlike float division, stays exact past 2^53 (e6 sums reach
+    # ~1.5e17 at sf1.0 group sizes).
+    charge_e6 = _revenue_e4() * (
+        F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    )
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integer-valued: every partial sum is an
+            # exact integer in float64, so this sum is order-stable
+            # as-is (unlike the 2-decimal money columns below)
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _sum_money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _e4_to_dollars(F.sum(_revenue_e4())).alias("sum_disc_price"),
+            F.sum(charge_e6).alias("_charge_e6"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "sum_charge", F.expr("(_charge_e6 + 5000) div 10000") / 100
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
         )
     )
 
@@ -73,11 +97,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_e4_to_dollars(F.sum(_revenue_e4())).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -102,6 +122,23 @@ def _e4_to_dollars(e4_sum: Column) -> Column:
     2-decimal dollar double — bit-identical cross-engine because the
     float enters only after the integer rounding decision."""
     return F.floor((e4_sum + 50) / 100) / 100
+
+
+def _money_cents(col: Column) -> Column:
+    """A 2-decimal money column as exact integer cents (the testdata's
+    money columns — prices, totals, balances, event values — are all
+    cents-exact; verified in TESTDATA + tests/test_money_exact.py)."""
+    return F.round(col * 100).cast("long")
+
+
+def _sum_money(col: Column) -> Column:
+    """Order-independent exact money sum: integer cents summed, one
+    float division at the end. ``round(sum(double), 2)`` is NOT
+    order-stable — cross-engine (and partition-count-dependent)
+    summation drift crosses the half-cent boundary once groups reach
+    ~100k rows (measured at sf1.0; BASELINE.md §5b). DuckDB oracle
+    twin: ``sum(CAST(round(x*100) AS BIGINT)) / 100``."""
+    return F.sum(_money_cents(col)) / 100
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,9 +180,12 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            _e4_to_dollars(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -159,7 +199,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     n = _t(spark, sf_dir, "nation")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = _e4_to_dollars(F.sum(_revenue_e4()))
     return (
         l.filter(F.col("l_returnflag") == "R")
         .join(
@@ -172,7 +212,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(rev.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -233,7 +273,13 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+            (
+                F.coalesce(
+                    F.sum(_money_cents(F.col("o_totalprice"))),
+                    F.lit(0).cast("long"),
+                )
+                / 100
+            ).alias(
                 "total_spent"
             ),
         )
@@ -402,7 +448,7 @@ def agg_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        _sum_money(F.col("o_totalprice")).alias("total"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
@@ -422,7 +468,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        _sum_money(F.col("o_totalprice")).alias("total"),
     )
 
 
@@ -442,7 +488,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _sum_money(F.col("o_totalprice")).alias("total"),
         )
         .filter(F.col("n_orders") >= 8)
     )
@@ -490,7 +536,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        (F.sum(_money_cents(F.col("o_totalprice"))).over(w) / 100).alias("running_spend"),
     )
 
 
@@ -624,13 +670,14 @@ def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
         F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
-        F.round(
+        (
             F.sum(
                 F.when(
-                    F.col("o_orderstatus") == "O", F.col("o_totalprice")
-                ).otherwise(0.0)
-            ),
-            2,
+                    F.col("o_orderstatus") == "O",
+                    _money_cents(F.col("o_totalprice")),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            / 100
         ).alias("open_value"),
         F.count(F.lit(1)).alias("n_orders"),
     )
@@ -658,7 +705,7 @@ def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        (F.sum(_money_cents(F.col("o_totalprice"))).over(w) / 100).alias("spend_30d"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_orders_30d"),
     )
 
@@ -671,14 +718,19 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+parallel and moves one scalar."""
     o = _t(spark, sf_dir, "orders")
     per_prio = o.groupBy("o_orderpriority").agg(
-        F.sum("o_totalprice").alias("prio_total")
+        F.sum(_money_cents(F.col("o_totalprice"))).alias("_prio_c")
     )
-    total = o.agg(F.sum("o_totalprice").alias("grand_total"))
+    total = o.agg(
+        F.sum(_money_cents(F.col("o_totalprice"))).alias("_grand_c")
+    )
     return per_prio.crossJoin(F.broadcast(total)).select(
         "o_orderpriority",
-        F.round("prio_total", 2).alias("prio_total"),
-        F.round(
-            F.col("prio_total") / F.col("grand_total") * 100, 4
+        (F.col("_prio_c") / 100).alias("prio_total"),
+        (
+            F.floor(
+                F.col("_prio_c") / F.col("_grand_c") * 1000000 + 0.5
+            )
+            / 10000
         ).alias("pct_of_total"),
     )
 
@@ -781,7 +833,7 @@ def _hourly_spine_joined(e: DataFrame) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum_money(F.col("value")).alias("sum_value"),
     )
     meta = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
@@ -842,7 +894,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "hr")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum_money(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -881,7 +933,7 @@ def csv_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy((F.col("user_id") % 10).alias("user_decile"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum_money(F.col("value")).alias("sum_value"),
             F.count_distinct("event_type").alias("n_types"),
         )
     )
@@ -944,7 +996,7 @@ def json_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum_money(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -962,7 +1014,7 @@ def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _sum_money(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value"
@@ -1031,7 +1083,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT r_name, n_name,
-               round(sum(o_totalprice), 2) AS revenue,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100
+                 AS revenue,
                count(*) AS n_orders
         FROM v_orders
         JOIN v_customer ON o_custkey = c_custkey
@@ -1089,7 +1142,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_big"),
-            F.round(F.sum("o_totalprice"), 2).alias("big_total"),
+            _sum_money(F.col("o_totalprice")).alias("big_total"),
         )
     )
     return c.join(big, c.c_custkey == big.o_custkey, "full_outer").select(
@@ -1423,7 +1476,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(vol), 2).alias("revenue"))
+        .agg(_e4_to_dollars(F.sum(_revenue_e4())).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1461,15 +1514,24 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_nationkey") == F.col("sn_key"),
     ).select("s_suppkey", "supp_nation")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    vol_e4 = _revenue_e4()
+    target_e4 = F.when(
+        F.col("supp_nation") == "NATION_3", vol_e4
+    ).otherwise(F.lit(0).cast("long"))
     return (
         l.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(asia_c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(target) / F.sum(vol), 4).alias("mkt_share"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(target_e4) / F.sum(vol_e4) * 10000 + 0.5
+                )
+                / 10000
+            ).alias("mkt_share")
+        )
         .orderBy("o_year")
     )
 
@@ -1576,9 +1638,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+            _e4_to_dollars(F.sum(_revenue_e4())).alias("total_revenue")
         )
     )
     top = rev.agg(F.max("total_revenue").alias("max_rev"))
@@ -1614,7 +1674,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand_lines.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+            (
+                F.floor(
+                    F.sum(_money_cents(F.col("l_extendedprice")))
+                    / F.lit(7.0)
+                    + 0.5
+                )
+                / 100
+            ).alias(
                 "avg_yearly"
             )
         )
@@ -1650,9 +1717,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.filter(basket).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        _e4_to_dollars(F.sum(_revenue_e4())).alias("revenue")
     )
 
 
@@ -1679,7 +1744,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _sum_money(F.col("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -1785,7 +1850,7 @@ def events_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").cast("string").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        _sum_money(F.col("value")).alias("total_value"),
     )
     w = Window.partitionBy("event_type").orderBy("day")
     prev = F.lag("n_events").over(w)
@@ -2637,7 +2702,7 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recency_days"
         ),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        _sum_money(F.col("o_totalprice")).alias("monetary"),
     )
     # three INDEPENDENT flat rank branches (2-col projections of the
     # rollup) joined back on custkey — chaining the three helpers
@@ -2906,7 +2971,9 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PORTABLE_SQL = """
     WITH nation_rev AS (
       SELECT n_name AS nation,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    + 50) / 100) / 100 AS revenue,
              count(*) AS n_lines
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -2984,7 +3051,7 @@ def window_cume_dist_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("spend")
+        _sum_money(F.col("o_totalprice")).alias("spend")
     )
     w = Window.partitionBy("n_name").orderBy("spend", "o_custkey")
     return (
@@ -3173,7 +3240,7 @@ def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            _sum_money(F.col("s_acctbal")).alias("total_acctbal"),
         )
     )
 
@@ -3199,7 +3266,7 @@ def pysource_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        _sum_money(F.col("value")).alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -3508,7 +3575,7 @@ def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _sum_money(F.col("value")).alias("total_value"),
         )
     )
 
@@ -3570,7 +3637,7 @@ def json_corrupt_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum_money(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -3606,7 +3673,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("value_band").isNotNull().alias("has_band")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum_money(F.col("value")).alias("sum_value"),
     )
 
 
@@ -4815,14 +4882,14 @@ ORACLE = {
     """,
     "json_corrupt_tolerant_read": """
         SELECT event_type, count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value
         FROM events GROUP BY event_type
     """,
     "schema_evolution_read": """
         SELECT event_type,
                (event_id % 2 = 1 AND value IS NOT NULL) AS has_band,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -4845,7 +4912,7 @@ ORACLE = {
     "partitioned_prune_events": """
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS total_value
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1
     """,
@@ -4968,7 +5035,7 @@ ORACLE = {
                  ((i * 1103515245 + 12345) % 10000) / 100.0 AS value
           FROM g)
         SELECT event_type, count(*) AS n_events,
-               round(sum(value), 2) AS total_value,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS total_value,
                count(DISTINCT user_id) AS n_users
         FROM rows_ GROUP BY event_type
     """,
@@ -4991,7 +5058,7 @@ ORACLE = {
     """,
     "orc_roundtrip_supplier": """
         SELECT s_nationkey, count(*) AS n_suppliers,
-               round(sum(s_acctbal), 2) AS total_acctbal
+               sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100 AS total_acctbal
         FROM supplier WHERE s_acctbal > 0
         GROUP BY s_nationkey
     """,
@@ -5034,7 +5101,7 @@ ORACLE = {
     """,
     "window_cume_dist_spend": """
         WITH spend AS (
-          SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+          SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS spend
           FROM orders GROUP BY o_custkey)
         SELECT n_name AS nation, o_custkey AS custkey, spend,
                floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000
@@ -5065,7 +5132,7 @@ ORACLE = {
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
                   FROM types, b),
         agg AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-                       count(*) AS n_events, round(sum(value), 2) AS sv
+                       count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sv
                 FROM events GROUP BY 1, 2),
         j AS (SELECT s.event_type, s.hr, a.n_events, a.sv
               FROM spine s
@@ -5129,7 +5196,7 @@ ORACLE = {
                                 DATE '2001-08-01') AS BIGINT)
                    AS recency_days,
                  count(*) AS frequency,
-                 round(sum(o_totalprice), 2) AS monetary
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS monetary
           FROM orders GROUP BY o_custkey)
         SELECT o_custkey, recency_days, frequency, monetary,
                CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
@@ -5284,7 +5351,7 @@ ORACLE = {
         WITH daily AS (
           SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                  count(*) AS n_events,
-                 round(sum(value), 2) AS total_value
+                 sum(CAST(round(value * 100) AS BIGINT)) / 100 AS total_value
           FROM events
           GROUP BY 1, 2)
         SELECT event_type, day, n_events, total_value,
@@ -5639,11 +5706,13 @@ ORACLE = {
     """,
     "q7_volume_shipping": """
         SELECT supp_nation, cust_nation, l_year,
-               round(sum(volume), 2) AS revenue
+               floor((sum(volume_e4) + 50) / 100) / 100 AS revenue
         FROM (
           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                 l_extendedprice * (1 - l_discount) AS volume
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS volume_e4
           FROM lineitem
           JOIN supplier ON s_suppkey = l_suppkey
           JOIN orders   ON o_orderkey = l_orderkey
@@ -5658,11 +5727,15 @@ ORACLE = {
     """,
     "q8_market_share": """
         SELECT o_year,
-               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                              ELSE 0 END) / sum(volume), 4) AS mkt_share
+               floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_e4
+                          ELSE 0 END)
+                 * 1.0 / sum(volume_e4) * 10000 + 0.5) / 10000
+                 AS mkt_share
         FROM (
           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                 l_extendedprice * (1 - l_discount) AS volume,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS volume_e4,
                  n2.n_name AS supp_nation
           FROM lineitem
           JOIN part     ON p_partkey = l_partkey
@@ -5717,7 +5790,9 @@ ORACLE = {
     "q15_top_supplier": """
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    + 50) / 100) / 100
                    AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1998-01-01'
@@ -5729,7 +5804,8 @@ ORACLE = {
         ORDER BY s_suppkey
     """,
     "q17_small_quantity_revenue": """
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     / 7.0 + 0.5) / 100 AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#5'
@@ -5741,7 +5817,9 @@ ORACLE = {
               AND p2.p_brand = 'Brand#5')
     """,
     "q19_discounted_revenue": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  + 50) / 100) / 100 AS revenue
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
@@ -5754,7 +5832,7 @@ ORACLE = {
     "q22_dormant_customers": """
         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
                count(*) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100 AS totacctbal
         FROM customer
         WHERE c_acctbal > 0
           AND c_nationkey IN (1, 3, 5, 7, 9)
@@ -5771,9 +5849,15 @@ ORACLE = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                    AS sum_qty,
-               round(sum(l_extendedprice), 2)                               AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100
+                 AS sum_base_price,
+               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      + 50) / 100) / 100 AS sum_disc_price,
+               (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                + 5000) // 10000 / 100 AS sum_charge,
                round(avg(l_quantity), 4)                                    AS avg_qty,
                round(avg(l_extendedprice), 4)                               AS avg_price,
                round(avg(l_discount), 4)                                    AS avg_disc,
@@ -5784,7 +5868,9 @@ ORACLE = {
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  + 50) / 100) / 100 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -5810,7 +5896,9 @@ ORACLE = {
         GROUP BY n_name
     """,
     "q6_revenue_forecast": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT))
+                + 50) / 100) / 100 AS revenue,
                count(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -5826,7 +5914,8 @@ ORACLE = {
     "join_left_outer": """
         SELECT c_custkey, c_name,
                count(o_orderkey) AS n_orders,
-               round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100
+                 AS total_spent
         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         GROUP BY c_custkey, c_name
     """,
@@ -5858,7 +5947,7 @@ ORACLE = {
     "agg_priority_stats": """
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total,
                round(avg(o_totalprice), 4) AS avg_price,
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price
@@ -5872,7 +5961,7 @@ ORACLE = {
     """,
     "agg_rollup": """
         SELECT o_orderpriority, o_orderstatus,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
     "agg_cube": """
@@ -5882,7 +5971,7 @@ ORACLE = {
     """,
     "agg_having": """
         SELECT o_custkey, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total
         FROM orders GROUP BY o_custkey HAVING count(*) >= 8
     """,
     "window_topk_parts": """
@@ -5903,9 +5992,9 @@ ORACLE = {
     """,
     "window_running_total": """
         SELECT o_custkey, o_orderkey,
-               round(sum(o_totalprice) OVER (
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100
                    AS running_spend
         FROM orders
     """,
@@ -5979,7 +6068,7 @@ ORACLE = {
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                hour(ts)::BIGINT AS hr,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value
         FROM events
         GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), hour(ts)::BIGINT)
     """,
@@ -5997,7 +6086,7 @@ ORACLE = {
     "csv_source_events": """
         SELECT user_id % 10 AS user_decile,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value,
                count(DISTINCT event_type) AS n_types
         FROM events
         GROUP BY 1
@@ -6024,7 +6113,7 @@ ORACLE = {
         SELECT event_type,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               round(sum(value), 2) AS sum_value
+               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value
         FROM events
         WHERE value > 0
         GROUP BY event_type
@@ -6038,7 +6127,7 @@ ORACLE = {
         SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
                event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -6086,7 +6175,7 @@ ORACLE = {
     """,
     "agg_grouping_sets": """
         SELECT r_name, n_name,
-               round(sum(o_totalprice), 2) AS revenue,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS revenue,
                count(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -6150,7 +6239,7 @@ ORACLE = {
         FULL OUTER JOIN (
             SELECT o_custkey,
                    count(*) AS n_big,
-                   round(sum(o_totalprice), 2) AS big_total
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS big_total
             FROM orders WHERE o_totalprice > 400000
             GROUP BY o_custkey) o
         ON c.c_custkey = o.o_custkey
@@ -6237,7 +6326,9 @@ ORACLE = {
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  + 50) / 100) / 100 AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -6273,8 +6364,8 @@ ORACLE = {
         SELECT o_orderpriority,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
                count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
-               round(coalesce(sum(o_totalprice)
-                     FILTER (WHERE o_orderstatus = 'O'), 0.0), 2)
+               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     FILTER (WHERE o_orderstatus = 'O'), 0) / 100
                    AS open_value,
                count(*) AS n_orders
         FROM orders
@@ -6282,7 +6373,8 @@ ORACLE = {
     """,
     "window_range_30d_spend": """
         SELECT o_custkey, o_orderkey,
-               round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                 / 100 AS spend_30d,
                count(*) OVER w AS n_orders_30d
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
@@ -6291,9 +6383,13 @@ ORACLE = {
     """,
     "agg_share_of_total": """
         SELECT o_orderpriority,
-               round(sum(o_totalprice), 2) AS prio_total,
-               round(sum(o_totalprice)
-                     / (SELECT sum(o_totalprice) FROM orders) * 100, 4)
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100
+                 AS prio_total,
+               floor(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     * 1.0
+                     / (SELECT sum(CAST(round(o_totalprice * 100)
+                                        AS BIGINT)) FROM orders)
+                     * 1000000 + 0.5) / 10000
                    AS pct_of_total
         FROM orders
         GROUP BY o_orderpriority
@@ -6316,7 +6412,7 @@ ORACLE = {
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
                   FROM types, b),
         agg AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-                       count(*) AS n_events, round(sum(value), 2) AS sv
+                       count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sv
                 FROM events GROUP BY 1, 2)
         SELECT s.event_type,
                strftime(s.hr, '%Y-%m-%d %H:00') AS hour,
@@ -6333,7 +6429,7 @@ ORACLE = {
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
                   FROM types, b),
         agg AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-                       count(*) AS n_events, round(sum(value), 2) AS sv
+                       count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sv
                 FROM events GROUP BY 1, 2),
         j AS (SELECT s.event_type, s.hr, a.n_events, a.sv
               FROM spine s

@@ -126,7 +126,8 @@ ORACLE = {
                  AS w_start,
                event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               sum(CAST(round(value * 100) AS BIGINT)) / 100
+                 AS total_value
         FROM events
         GROUP BY 1, 2
     """,

@@ -130,7 +130,11 @@ def streaming_tumbling_counts(
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact integer cents (order-stable across micro-batch
+            # arrival orders; see relational._sum_money)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100).alias(
+                "total_value"
+            ),
         )
         .select(
             F.col("w.start").alias("w_start"),
