@@ -161,80 +161,77 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # round-5 rewrites that landed AFTER these queries' r4 grades:
-    # text_vocab_growth moved off its single-partition cumulative
-    # window onto the bucketed global_order_stats ranking primitive
-    # (text.py), and corpus_train_split was refactored onto the shared
-    # split_assignment helper — both physical plans changed, so the r4
-    # stamps are stale and the driver must re-certify the new code.
-    # (The six r4-era bumps — customers_rfm_segments, parts_abc_analysis,
-    # dedup_minhash_lsh, dedup_cluster_cc, agg_approx_distinct,
-    # multimodal_frame_sample — were all re-graded clean in round 5 and
-    # have been pruned; an expired bump is inert but noisy.)
-    "text_vocab_growth": 4,
-    "corpus_train_split": 4,
-    # round 6: token hash swapped xxhash64 -> md5-derived bits so the
-    # query gains an EXACT DuckDB oracle (VERDICT r5 item 6); the r1
-    # rows-only stamp predates both the new hash and the new oracle.
-    "dedup_simhash": 5,
-    # round 6: revenue/profit sums moved from float64-then-round to
-    # exact integer e4 units after the sf1.0 scaling sweep caught
-    # cross-engine summation-order drift crossing the half-cent
-    # rounding boundary (BASELINE.md §5 round-6 note). Both sides of
-    # each oracle pair changed together; re-certify.
-    "q5_region_revenue": 5,
-    "q9_product_profit": 5,
-    "parts_abc_analysis": 5,
-    # round 6, same sweep: deterministic struct tie-breaks for
-    # max_by/min_by (ties observed on replicated totals) and the
-    # pure-IEEE floor-half-up rounding idiom replacing engine round()
-    # (1e-6-grid disagreements and signed-zero outputs observed).
-    "agg_argmax_orders": 5,
-    "explode_embedding_head": 5,
-    "scalar_array_hof": 5,
-    "window_cume_dist_spend": 5,
-    "window_ntile_deciles": 5,
-    # round 6, repo-wide closure of the float-sum class: every money
-    # aggregate (and its oracle) moved to exact integer cents/e4/e6
-    # accumulation — round(sum(double), 2) is not order-stable past
-    # ~100k-row groups (BASELINE.md §5b). Values at the graded SFs are
-    # unchanged unless drift would have crossed a half-cent; the
-    # driver must re-stamp the new expressions regardless.
-    "agg_filtered_counts": 3,
-    "agg_grouping_sets": 1,
-    "agg_having": 5,
-    "agg_priority_stats": 5,
-    "agg_rollup": 5,
-    "agg_share_of_total": 3,
-    "csv_source_events": 3,
-    "events_dod_change": 3,
-    "events_gapfill_hourly": 3,
-    "events_gapfill_interp": 4,
-    "events_gapfill_locf": 3,
-    "events_hypertable_rollup": 3,
-    "join_full_outer": 1,
-    "join_left_outer": 2,
-    "json_corrupt_tolerant_read": 4,
-    "json_source_events": 3,
-    "orc_roundtrip_supplier": 4,
-    "partitioned_prune_events": 4,
-    "pysource_synthetic_events": 4,
-    "q10_returned_items": 2,
-    "q15_top_supplier": 2,
-    "q17_small_quantity_revenue": 2,
-    "q19_discounted_revenue": 2,
-    "q1_pricing_summary": 2,
-    "q22_dormant_customers": 2,
-    "q3_shipping_priority": 2,
-    "q6_revenue_forecast": 2,
-    "q7_volume_shipping": 2,
-    "q8_market_share": 2,
-    "schema_evolution_read": 4,
-    "sql_api_nation_revenue": 3,
-    "streaming_tumbling_totals": 5,
-    "window_range_30d_spend": 3,
-    "window_running_total": 5,
-    "window_tumbling_events": 1,
+    # (The 46 round-6 bumps — the money-exactness class closure, the
+    # simhash exact-oracle upgrade, and the two r5 rewrites — were all
+    # re-graded clean in round 6 (CORRECTNESS_r06) and have been
+    # pruned; an expired bump is inert but noisy.)
+    #
+    # round 7: customers_rfm_segments' monetary aggregate moved to
+    # _sum_money (relational.py) in the round-6 snapshot commit, AFTER
+    # its r5 grade, with no bump — the one stale grade VERDICT r6
+    # item 1 flagged. Re-certify.
+    "customers_rfm_segments": 5,
+    # round 7: money cents-ification swapped from Spark's exact-decimal
+    # HALF_UP round() to the pure-IEEE floor(x*100 + 0.5) idiom
+    # (VERDICT r6 item 3 — A/B-verified equal output on the
+    # non-negative money domain and exact on the signed acctbal domain
+    # too, tests/test_money_exact.py; measured faster), and money
+    # AVERAGES moved onto the exact-cents path via _avg_money
+    # (ADVICE r6 — round(avg(double), n) carries the same summation-
+    # order drift as the sum class closed in r6). Both engines' SQL
+    # changed in tandem; every query whose implementation, shared
+    # helper, or oracle text changed carries a bump.
+    "agg_filtered_counts": 6,
+    "agg_grouping_sets": 6,
+    "agg_having": 6,
+    "agg_priority_stats": 6,
+    "agg_rollup": 6,
+    "agg_share_of_total": 6,
+    "csv_source_events": 6,
+    "customers_cohort_ltv": 4,
+    "events_ab_welch_t": 4,
+    "events_cusum_alerts": 4,
+    "events_dod_change": 6,
+    "events_gapfill_hourly": 6,
+    "events_gapfill_interp": 6,
+    "events_gapfill_locf": 6,
+    "events_holt_forecast": 4,
+    "events_hypertable_rollup": 6,
+    "events_seasonal_anomalies": 4,
+    "events_seasonality_profile": 4,
+    "join_full_outer": 6,
+    "join_left_outer": 6,
+    "json_corrupt_tolerant_read": 6,
+    "json_source_events": 6,
+    "orc_roundtrip_supplier": 6,
+    "orders_seasonal_decompose": 4,
+    "orders_yoy_growth": 5,
+    "partitioned_prune_events": 6,
+    "parts_abc_analysis": 6,
+    "pysource_synthetic_events": 6,
+    "q10_returned_items": 6,
+    "q15_top_supplier": 6,
+    "q17_small_quantity_revenue": 6,
+    "q19_discounted_revenue": 6,
+    "q1_pricing_summary": 6,
+    "q22_dormant_customers": 6,
+    "q2_min_cost_supplier": 2,
+    "q3_shipping_priority": 6,
+    "q5_region_revenue": 6,
+    "q6_revenue_forecast": 6,
+    "q7_volume_shipping": 6,
+    "q8_market_share": 6,
+    "q9_product_profit": 6,
+    "schema_evolution_read": 6,
+    "sql_api_nation_revenue": 6,
+    "streaming_tumbling_totals": 6,
+    "supplier_hhi_concentration": 5,
+    "users_feature_assembly": 5,
+    "window_cume_dist_spend": 6,
+    "window_moving_avg": 1,
+    "window_range_30d_spend": 6,
+    "window_running_total": 6,
+    "window_tumbling_events": 6,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

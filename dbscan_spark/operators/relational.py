@@ -41,29 +41,59 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: scan-heavy grouped aggregate with derived expressions."""
+    """TPC-H Q1: scan-heavy grouped aggregate with derived expressions.
+
+    The integer cents/percent units are projected ONCE per row before
+    the aggregate and every money aggregate consumes the projected
+    integers — Catalyst does not common-subexpression-eliminate across
+    aggregate children, so inlining _money_cents into each of the six
+    money aggregates re-ran the floor(x*100+0.5) cents-ification up to
+    three times per row per column (measured 1.5x on the whole query
+    at sf0.1; the round-7 A/B is recorded in BASELINE.md §4a)."""
     l = _t(spark, sf_dir, "lineitem")
-    # charge = price * (1-disc) * (1+tax): cents x pct x pct = exact e6
-    # integer units. Positive domain, so integer `div` == floor — and
-    # unlike float division, stays exact past 2^53 (e6 sums reach
-    # ~1.5e17 at sf1.0 group sizes).
-    charge_e6 = _revenue_e4() * (
-        F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    lf = l.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        _money_cents(F.col("l_extendedprice")).alias("_ep_c"),
+        _money_cents(F.col("l_discount")).alias("_d_pct"),
+        _money_cents(F.col("l_tax")).alias("_t_pct"),
     )
+    # revenue = price*(1-disc): cents x pct = exact e4 integer units;
+    # charge = price*(1-disc)*(1+tax): cents x pct x pct = exact e6.
+    # Positive domain, so integer `div` == floor — and unlike float
+    # division, stays exact past 2^53 (e6 sums reach ~1.5e17 at sf1.0
+    # group sizes).
+    rev_e4 = F.col("_ep_c") * (F.lit(100) - F.col("_d_pct"))
+    charge_e6 = rev_e4 * (F.lit(100) + F.col("_t_pct"))
+    n = F.count(F.lit(1))
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        lf.groupBy("l_returnflag", "l_linestatus")
         .agg(
             # quantities are integer-valued: every partial sum is an
             # exact integer in float64, so this sum is order-stable
             # as-is (unlike the 2-decimal money columns below)
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _sum_money(F.col("l_extendedprice")).alias("sum_base_price"),
-            _e4_to_dollars(F.sum(_revenue_e4())).alias("sum_disc_price"),
+            (F.sum("_ep_c") / 100).alias("sum_base_price"),
+            _e4_to_dollars(F.sum(rev_e4)).alias("sum_disc_price"),
             F.sum(charge_e6).alias("_charge_e6"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # integer-valued quantities sum exactly in float64, so only
+            # the final rounding needs the cross-engine floor idiom
+            (
+                F.floor(F.sum("l_quantity") * 10000.0 / n + 0.5) / 10000
+            ).alias("avg_qty"),
+            # _avg_money's arithmetic over the pre-projected cents:
+            # exact integer sum, one division, floor-half-up at 1e-4
+            (F.floor(F.sum("_ep_c") * 100.0 / n + 0.5) / 10000).alias(
+                "avg_price"
+            ),
+            # whole-percent discounts are exact in "cents" units, so
+            # the same idiom applies verbatim
+            (F.floor(F.sum("_d_pct") * 100.0 / n + 0.5) / 10000).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn(
@@ -112,8 +142,8 @@ def _revenue_e4() -> Column:
     summation-order drift reaches ~0.06 dollars on a 240k-row group,
     above the half-cent rounding boundary (BASELINE.md §5 round-6
     note)."""
-    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    return F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * (
+        F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
     )
 
 
@@ -128,7 +158,7 @@ def _money_cents(col: Column) -> Column:
     """A 2-decimal money column as exact integer cents (the testdata's
     money columns — prices, totals, balances, event values — are all
     cents-exact; verified in TESTDATA + tests/test_money_exact.py)."""
-    return F.round(col * 100).cast("long")
+    return F.floor(col * 100 + 0.5).cast("long")
 
 
 def _sum_money(col: Column) -> Column:
@@ -137,8 +167,45 @@ def _sum_money(col: Column) -> Column:
     order-stable — cross-engine (and partition-count-dependent)
     summation drift crosses the half-cent boundary once groups reach
     ~100k rows (measured at sf1.0; BASELINE.md §5b). DuckDB oracle
-    twin: ``sum(CAST(round(x*100) AS BIGINT)) / 100``."""
+    twin: ``sum(CAST(floor(x * 100 + 0.5) AS BIGINT)) / 100``."""
     return F.sum(_money_cents(col)) / 100
+
+
+def _avg_money(col: Column, scale: int = 4) -> Column:
+    """Order-independent money average rounded half-up to ``scale``
+    decimals. ``round(avg(double), n)`` carries the same summation-
+    order float drift as ``round(sum(double), 2)`` — the class the r6
+    sweep closed for sums — so the average divides the EXACT integer
+    cents sum once, then rounds on the floor-half-up grid; every step
+    after the integer sum is one identical IEEE op in both engines
+    (ADVICE r6: avg arm of the float-sum class). DuckDB twin:
+    ``floor(sum(CAST(floor(x*100 + 0.5) AS BIGINT)) * 10^(scale-2)
+    / count(x) + 0.5) / 10^scale``.
+
+    Domain: NON-NEGATIVE money columns only (prices/totals/whole-
+    percent discounts). On a negative exact .5 tie, floor-half-up
+    (towards +inf) and decimal HALF_UP (away from zero) differ by one
+    grid step — both engines still agree with each other (identical
+    IEEE expression), but the decimal-truth property test
+    (tests/test_money_exact.py) is pinned to the non-negative domain
+    this helper is applied to. The signed acctbal columns only ever
+    pass through _sum_money/_money_cents, which are tie-free on
+    cents-exact data at any sign.
+
+    Deliberately EXCLUDED from this closure: unrounded float averages
+    used only as filter thresholds or statistical intermediates
+    (subquery_above_avg, q22_dormant_customers, zscore_outlier_orders,
+    join_salted_skew) — their drift never lands on an output rounding
+    grid and could only matter on an exact tie between a row value and
+    its group mean, which the sf1.0 exactness sweep never produced —
+    and the log-domain geomean (text.py geomean_price), where no
+    integer representation exists and relative drift (~1e-12) sits far
+    below the 1e-4 output grid."""
+    factor = float(10 ** (scale - 2))
+    return (
+        F.floor(F.sum(_money_cents(col)) * factor / F.count(col) + 0.5)
+        / (10 ** scale)
+    )
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,8 +249,8 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _e4_to_dollars(
                 F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("long")
-                    * F.round(F.col("l_discount") * 100).cast("long")
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                    * F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
                 )
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -449,7 +516,7 @@ def agg_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         _sum_money(F.col("o_totalprice")).alias("total"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        _avg_money(F.col("o_totalprice")).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -1083,7 +1150,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT r_name, n_name,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100
                  AS revenue,
                count(*) AS n_orders
         FROM v_orders
@@ -1189,11 +1256,29 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, 0)
     )
-    return o.select(
+    # windowed arm of the money-average closure: exact cents sum over
+    # the frame, one division, floor-half-up to the 1e-4 grid. Cents
+    # are projected ONCE per row before the window — inlining
+    # _money_cents inside the window aggregate re-evaluated the
+    # cents-ification per frame pass (measured 0.48 vs 0.31 s warm at
+    # sf0.1, BASELINE.md §4a).
+    oc = o.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg_3"),
+        _money_cents(F.col("o_totalprice")).alias("_tp_c"),
+    )
+    return oc.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (
+            F.floor(
+                F.sum("_tp_c").over(w) * 100.0 / F.count("_tp_c").over(w)
+                + 0.5
+            )
+            / 10000
+        ).alias("moving_avg_3"),
     )
 
 
@@ -1551,7 +1636,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     p = _t(spark, sf_dir, "part")
     profit_e4 = _revenue_e4() - (
-        F.round(F.col("p_retailprice") * 100).cast("long")
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
         * F.col("l_quantity").cast("long")
         * F.lit(50)
     )
@@ -2483,7 +2568,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_partkey", "p_name", "l_suppkey")
-        .agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+        # this average feeds an EQUALITY against the per-part minimum,
+        # so float drift would change which supplier wins — exact cents
+        .agg(_avg_money(F.col("l_extendedprice"), scale=2).alias("avg_price"))
     )
     w = Window.partitionBy("p_partkey")
     best = per.withColumn("min_price", F.min("avg_price").over(w)).filter(
@@ -2971,8 +3058,8 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PORTABLE_SQL = """
     WITH nation_rev AS (
       SELECT n_name AS nation,
-             floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                     + 50) / 100) / 100 AS revenue,
              count(*) AS n_lines
       FROM lineitem
@@ -3137,8 +3224,8 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integers, and half-up rounding to 4dp is one floor — so both
     # engines produce bit-identical doubles (float midpoints like
     # 10.63375 otherwise round differently per engine's binary repr)
-    prev_c = F.round(prev_v * 100).cast("long")
-    next_c = F.round(next_v * 100).cast("long")
+    prev_c = F.floor(prev_v * 100 + 0.5).cast("long")
+    next_c = F.floor(next_v * 100 + 0.5).cast("long")
     d = next_t - prev_t
     c = prev_c * (next_t - t) + next_c * (t - prev_t)
     interp_mid = F.floor((200 * c + d) / (2 * d)) / F.lit(10000.0)
@@ -3284,7 +3371,7 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean in exact integer cents (the values are 2dp): S·100/n rounded
     # half-up at 4dp via one floor — float avg() lands on .00005
     # midpoints that the engines' binary reps round apart
-    s_cents = F.sum(F.round(F.col("value") * 100).cast("long"))
+    s_cents = F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
     n_c = F.count(F.lit(1))
     cells = e.groupBy(
         "event_type",
@@ -3320,7 +3407,7 @@ def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the 4dp round can't straddle. At 100 TB the data-sized stage is
     the single moment scan; everything after is constant-size."""
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    c = F.round(F.col("value") * 100).cast("long")
+    c = F.floor(F.col("value") * 100 + 0.5).cast("long")
     # persisted: both sides of the pair self-join read the SAME moment
     # rollup — one scan + one aggregation, not one per side
     m = e.groupBy("event_type").agg(
@@ -3427,7 +3514,7 @@ def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = e.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("x"))
     series = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "x"))).alias("ds"),
         F.count(F.lit(1)).alias("n_days"),
@@ -3480,7 +3567,7 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = e.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("x"))
     series = daily.groupBy("event_type").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(day, x))),"
@@ -3769,7 +3856,7 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         F.month("o_orderdate").cast("long").alias("moy"),
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("xc")
     )
     w3 = Window.orderBy("month").rowsBetween(-1, 1)
     with_t = monthly.select(
@@ -3851,7 +3938,7 @@ def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     om = o.select(
         "o_custkey",
         F.trunc("o_orderdate", "month").alias("m"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
     )
     first = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
     idx = om.join(first, "o_custkey").select(
@@ -4002,7 +4089,7 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         (F.dayofweek("ts") - 1).cast("long").alias("dow"),
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("x"))
     dow_stats = daily.groupBy("event_type", "dow").agg(
         F.sum("x").alias("s_dow"), F.count(F.lit(1)).alias("n_dow")
     )
@@ -4117,7 +4204,7 @@ def users_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("purchase"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum(
-            F.coalesce(F.round(F.col("value") * 100).cast("long"), F.lit(0))
+            F.coalesce(F.floor(F.col("value") * 100 + 0.5).cast("long"), F.lit(0))
         ).alias("cents"),
         F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
         .cast("long")
@@ -4232,7 +4319,7 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("c")
     )
     w = Window.orderBy("month")
     prev = F.lag("c", 12).over(w)
@@ -4297,7 +4384,7 @@ def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("long")
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
             ).alias("c")
         )
     )
@@ -4589,7 +4676,7 @@ ORACLE = {
     "supplier_hhi_concentration": """
         WITH rev AS (
           SELECT n_name AS nation, s_suppkey,
-                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c
+                 sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS c
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
@@ -4628,7 +4715,7 @@ ORACLE = {
     "orders_yoy_growth": """
         WITH monthly AS (
           SELECT strftime(o_orderdate, '%Y-%m') AS month,
-                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
           FROM orders GROUP BY 1)
         SELECT month, c / 100.0 AS revenue,
                CASE WHEN lag(c, 12) OVER w IS NOT NULL
@@ -4648,7 +4735,7 @@ ORACLE = {
                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
                           ELSE 0 END) AS BIGINT) AS n_purchase,
                  count(*) AS n_events,
-                 CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0))
+                 CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
                       AS BIGINT) AS cents,
                  CAST(datediff('day', CAST(min(ts) AS DATE),
                                CAST(max(ts) AS DATE)) AS BIGINT)
@@ -4705,7 +4792,7 @@ ORACLE = {
           SELECT event_type,
                  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                  CAST(dayofweek(ts) AS BIGINT) AS dow,
-                 sum(CAST(round(value * 100) AS BIGINT)) AS x
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
           FROM events WHERE value IS NOT NULL
           GROUP BY 1, 2, 3),
         dow_stats AS (
@@ -4788,7 +4875,7 @@ ORACLE = {
     "customers_cohort_ltv": """
         WITH om AS (
           SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
-                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
           FROM orders),
         first AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY 1),
         idx AS (
@@ -4814,7 +4901,7 @@ ORACLE = {
         WITH monthly AS (
           SELECT strftime(o_orderdate, '%Y-%m') AS month,
                  CAST(month(o_orderdate) AS BIGINT) AS moy,
-                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS xc
           FROM orders GROUP BY 1, 2),
         with_t AS (
           SELECT month, moy, xc,
@@ -4882,14 +4969,14 @@ ORACLE = {
     """,
     "json_corrupt_tolerant_read": """
         SELECT event_type, count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS sum_value
         FROM events GROUP BY event_type
     """,
     "schema_evolution_read": """
         SELECT event_type,
                (event_id % 2 = 1 AND value IS NOT NULL) AS has_band,
                count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS sum_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -4912,14 +4999,14 @@ ORACLE = {
     "partitioned_prune_events": """
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS total_value
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS total_value
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1
     """,
     "events_holt_forecast": """
         WITH RECURSIVE daily AS (
           SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-                 sum(CAST(round(value * 100) AS BIGINT)) AS x,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x,
                  row_number() OVER (PARTITION BY event_type
                                     ORDER BY CAST(ts AS DATE)) AS rn
           FROM events WHERE value IS NOT NULL
@@ -4960,7 +5047,7 @@ ORACLE = {
     "events_cusum_alerts": """
         WITH RECURSIVE daily AS (
           SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-                 sum(CAST(round(value * 100) AS BIGINT)) AS x,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x,
                  row_number() OVER (PARTITION BY event_type
                                     ORDER BY CAST(ts AS DATE)) AS rn
           FROM events WHERE value IS NOT NULL
@@ -4988,9 +5075,9 @@ ORACLE = {
     "events_ab_welch_t": """
         WITH m AS (
           SELECT event_type, count(*) AS n,
-                 sum(CAST(round(value * 100) AS BIGINT)) AS s,
-                 sum(CAST(round(value * 100) AS BIGINT)
-                     * CAST(round(value * 100) AS BIGINT)) AS s2
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2
           FROM events WHERE value IS NOT NULL GROUP BY 1)
         SELECT a.event_type AS type_a, b.event_type AS type_b,
                a.n AS n_a, b.n AS n_b,
@@ -5035,7 +5122,7 @@ ORACLE = {
                  ((i * 1103515245 + 12345) % 10000) / 100.0 AS value
           FROM g)
         SELECT event_type, count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS total_value,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS total_value,
                count(DISTINCT user_id) AS n_users
         FROM rows_ GROUP BY event_type
     """,
@@ -5045,7 +5132,7 @@ ORACLE = {
                  CAST(dayofweek(ts) AS BIGINT) AS dow,
                  CAST(hour(ts) AS BIGINT) AS hr,
                  count(*) AS n_events,
-                 floor((200 * sum(CAST(round(value * 100) AS BIGINT))
+                 floor((200 * sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                         + count(*)) / (2.0 * count(*))) / 10000.0
                    AS avg_value
           FROM events GROUP BY 1, 2, 3),
@@ -5058,7 +5145,7 @@ ORACLE = {
     """,
     "orc_roundtrip_supplier": """
         SELECT s_nationkey, count(*) AS n_suppliers,
-               sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100 AS total_acctbal
+               sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) / 100 AS total_acctbal
         FROM supplier WHERE s_acctbal > 0
         GROUP BY s_nationkey
     """,
@@ -5101,7 +5188,7 @@ ORACLE = {
     """,
     "window_cume_dist_spend": """
         WITH spend AS (
-          SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS spend
+          SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100 AS spend
           FROM orders GROUP BY o_custkey)
         SELECT n_name AS nation, o_custkey AS custkey, spend,
                floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000
@@ -5132,7 +5219,7 @@ ORACLE = {
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
                   FROM types, b),
         agg AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-                       count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sv
+                       count(*) AS n_events, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS sv
                 FROM events GROUP BY 1, 2),
         j AS (SELECT s.event_type, s.hr, a.n_events, a.sv
               FROM spine s
@@ -5152,8 +5239,8 @@ ORACLE = {
         -- interpolation in integer (cents × seconds) space, half-up via
         -- one floor — matches the Spark side bit-for-bit
         i AS (SELECT *,
-                     CAST(round(prev_v * 100) AS BIGINT) AS prev_c,
-                     CAST(round(next_v * 100) AS BIGINT) AS next_c,
+                     CAST(floor(prev_v * 100 + 0.5) AS BIGINT) AS prev_c,
+                     CAST(floor(next_v * 100 + 0.5) AS BIGINT) AS next_c,
                      next_t - prev_t AS d,
                      CAST(epoch(hr) AS BIGINT) AS tt
               FROM w)
@@ -5196,7 +5283,7 @@ ORACLE = {
                                 DATE '2001-08-01') AS BIGINT)
                    AS recency_days,
                  count(*) AS frequency,
-                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS monetary
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100 AS monetary
           FROM orders GROUP BY o_custkey)
         SELECT o_custkey, recency_days, frequency, monetary,
                CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
@@ -5214,8 +5301,8 @@ ORACLE = {
     "parts_abc_analysis": """
         WITH per_part AS (
           SELECT l_partkey,
-                 CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                                 * (100 - CAST(round(l_discount * 100)
+                 CAST(floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                                 * (100 - CAST(floor(l_discount * 100 + 0.5)
                                                AS BIGINT)))
                              + 50) / 100) AS BIGINT) AS c
           FROM lineitem GROUP BY l_partkey),
@@ -5351,7 +5438,7 @@ ORACLE = {
         WITH daily AS (
           SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                  count(*) AS n_events,
-                 sum(CAST(round(value * 100) AS BIGINT)) / 100 AS total_value
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS total_value
           FROM events
           GROUP BY 1, 2)
         SELECT event_type, day, n_events, total_value,
@@ -5625,7 +5712,8 @@ ORACLE = {
     "q2_min_cost_supplier": """
         WITH per AS (
           SELECT p_partkey, p_name, l_suppkey,
-                 round(avg(l_extendedprice), 2) AS avg_price
+                 floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       * 1.0 / count(l_extendedprice) + 0.5) / 100 AS avg_price
           FROM lineitem
           JOIN part ON l_partkey = p_partkey
           WHERE p_size = 10
@@ -5710,8 +5798,8 @@ ORACLE = {
         FROM (
           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                 CAST(round(l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
                    AS volume_e4
           FROM lineitem
           JOIN supplier ON s_suppkey = l_suppkey
@@ -5733,8 +5821,8 @@ ORACLE = {
                  AS mkt_share
         FROM (
           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                 CAST(round(l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
                    AS volume_e4,
                  n2.n_name AS supp_nation
           FROM lineitem
@@ -5752,9 +5840,9 @@ ORACLE = {
     "q9_product_profit": """
         SELECT n_name AS nation,
                CAST(year(l_shipdate) AS BIGINT) AS o_year,
-               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                          - CAST(round(p_retailprice * 100) AS BIGINT)
+               floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                          - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
                             * CAST(l_quantity AS BIGINT) * 50)
                       + 50) / 100) / 100 AS sum_profit
         FROM lineitem
@@ -5790,8 +5878,8 @@ ORACLE = {
     "q15_top_supplier": """
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                     + 50) / 100) / 100
                    AS total_revenue
           FROM lineitem
@@ -5804,7 +5892,7 @@ ORACLE = {
         ORDER BY s_suppkey
     """,
     "q17_small_quantity_revenue": """
-        SELECT floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        SELECT floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                      / 7.0 + 0.5) / 100 AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -5817,8 +5905,8 @@ ORACLE = {
               AND p2.p_brand = 'Brand#5')
     """,
     "q19_discounted_revenue": """
-        SELECT floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        SELECT floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                   + 50) / 100) / 100 AS revenue
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -5832,7 +5920,7 @@ ORACLE = {
     "q22_dormant_customers": """
         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
                count(*) AS numcust,
-               sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100 AS totacctbal
+               sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100 AS totacctbal
         FROM customer
         WHERE c_acctbal > 0
           AND c_nationkey IN (1, 3, 5, 7, 9)
@@ -5849,18 +5937,21 @@ ORACLE = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                    AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100
                  AS sum_base_price,
-               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                       + 50) / 100) / 100 AS sum_disc_price,
-               (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+               (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
                 + 5000) // 10000 / 100 AS sum_charge,
-               round(avg(l_quantity), 4)                                    AS avg_qty,
-               round(avg(l_extendedprice), 4)                               AS avg_price,
-               round(avg(l_discount), 4)                                    AS avg_disc,
+               floor(sum(l_quantity) * 10000.0 / count(l_quantity) + 0.5)
+                 / 10000                                                    AS avg_qty,
+               floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     * 100.0 / count(l_extendedprice) + 0.5) / 10000        AS avg_price,
+               floor(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                     * 100.0 / count(l_discount) + 0.5) / 10000             AS avg_disc,
                count(*)                                                     AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -5868,8 +5959,8 @@ ORACLE = {
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                   + 50) / 100) / 100 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -5883,8 +5974,8 @@ ORACLE = {
     """,
     "q5_region_revenue": """
         SELECT n_name,
-               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                       + 50) / 100) / 100 AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -5896,8 +5987,8 @@ ORACLE = {
         GROUP BY n_name
     """,
     "q6_revenue_forecast": """
-        SELECT floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * CAST(round(l_discount * 100) AS BIGINT))
+        SELECT floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
                 + 50) / 100) / 100 AS revenue,
                count(*) AS n_items
         FROM lineitem
@@ -5914,7 +6005,7 @@ ORACLE = {
     "join_left_outer": """
         SELECT c_custkey, c_name,
                count(o_orderkey) AS n_orders,
-               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100
+               coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0) / 100
                  AS total_spent
         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         GROUP BY c_custkey, c_name
@@ -5947,8 +6038,9 @@ ORACLE = {
     "agg_priority_stats": """
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total,
-               round(avg(o_totalprice), 4) AS avg_price,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100 AS total,
+               floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     * 100.0 / count(o_totalprice) + 0.5) / 10000 AS avg_price,
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price
         FROM orders GROUP BY o_orderpriority
@@ -5961,7 +6053,7 @@ ORACLE = {
     """,
     "agg_rollup": """
         SELECT o_orderpriority, o_orderstatus,
-               count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total
+               count(*) AS n, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100 AS total
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
     "agg_cube": """
@@ -5971,7 +6063,7 @@ ORACLE = {
     """,
     "agg_having": """
         SELECT o_custkey, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100 AS total
         FROM orders GROUP BY o_custkey HAVING count(*) >= 8
     """,
     "window_topk_parts": """
@@ -5992,7 +6084,7 @@ ORACLE = {
     """,
     "window_running_total": """
         SELECT o_custkey, o_orderkey,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100
                    AS running_spend
@@ -6068,7 +6160,7 @@ ORACLE = {
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                hour(ts)::BIGINT AS hr,
                count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS sum_value
         FROM events
         GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), hour(ts)::BIGINT)
     """,
@@ -6086,7 +6178,7 @@ ORACLE = {
     "csv_source_events": """
         SELECT user_id % 10 AS user_decile,
                count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS sum_value,
                count(DISTINCT event_type) AS n_types
         FROM events
         GROUP BY 1
@@ -6113,7 +6205,7 @@ ORACLE = {
         SELECT event_type,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_value
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS sum_value
         FROM events
         WHERE value > 0
         GROUP BY event_type
@@ -6127,7 +6219,7 @@ ORACLE = {
         SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
                event_type,
                count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100 AS total_value
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -6175,7 +6267,7 @@ ORACLE = {
     """,
     "agg_grouping_sets": """
         SELECT r_name, n_name,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS revenue,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100 AS revenue,
                count(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -6239,7 +6331,7 @@ ORACLE = {
         FULL OUTER JOIN (
             SELECT o_custkey,
                    count(*) AS n_big,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS big_total
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100 AS big_total
             FROM orders WHERE o_totalprice > 400000
             GROUP BY o_custkey) o
         ON c.c_custkey = o.o_custkey
@@ -6259,12 +6351,14 @@ ORACLE = {
     """,
     "window_moving_avg": """
         SELECT o_custkey, o_orderkey, o_orderdate,
-               round(avg(o_totalprice) OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+                     * 100.0 / count(o_totalprice) OVER w + 0.5) / 10000
                    AS moving_avg_3
         FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     "setop_union_distinct": """
         SELECT c_nationkey AS nationkey
@@ -6326,8 +6420,8 @@ ORACLE = {
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                   + 50) / 100) / 100 AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -6364,7 +6458,7 @@ ORACLE = {
         SELECT o_orderpriority,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
                count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
-               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                      FILTER (WHERE o_orderstatus = 'O'), 0) / 100
                    AS open_value,
                count(*) AS n_orders
@@ -6373,7 +6467,7 @@ ORACLE = {
     """,
     "window_range_30d_spend": """
         SELECT o_custkey, o_orderkey,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
                  / 100 AS spend_30d,
                count(*) OVER w AS n_orders_30d
         FROM orders
@@ -6383,11 +6477,11 @@ ORACLE = {
     """,
     "agg_share_of_total": """
         SELECT o_orderpriority,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100
                  AS prio_total,
-               floor(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                      * 1.0
-                     / (SELECT sum(CAST(round(o_totalprice * 100)
+                     / (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5)
                                         AS BIGINT)) FROM orders)
                      * 1000000 + 0.5) / 10000
                    AS pct_of_total
@@ -6412,7 +6506,7 @@ ORACLE = {
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
                   FROM types, b),
         agg AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-                       count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sv
+                       count(*) AS n_events, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS sv
                 FROM events GROUP BY 1, 2)
         SELECT s.event_type,
                strftime(s.hr, '%Y-%m-%d %H:00') AS hour,
@@ -6429,7 +6523,7 @@ ORACLE = {
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
                   FROM types, b),
         agg AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-                       count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sv
+                       count(*) AS n_events, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100 AS sv
                 FROM events GROUP BY 1, 2),
         j AS (SELECT s.event_type, s.hr, a.n_events, a.sv
               FROM spine s

@@ -126,7 +126,7 @@ ORACLE = {
                  AS w_start,
                event_type,
                count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) / 100
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100
                  AS total_value
         FROM events
         GROUP BY 1, 2

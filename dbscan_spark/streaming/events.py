@@ -132,7 +132,7 @@ def streaming_tumbling_counts(
             F.count(F.lit(1)).alias("n_events"),
             # exact integer cents (order-stable across micro-batch
             # arrival orders; see relational._sum_money)
-            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100).alias(
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100).alias(
                 "total_value"
             ),
         )

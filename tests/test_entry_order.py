@@ -153,13 +153,16 @@ def test_round6_cohort_with_current_history():
 
 
 def test_no_stale_grades_without_regrade_bump():
-    """Tripwire automating the _REGRADE policy (VERDICT r5 item 8): a
-    registered query whose implementing function's AST drifted from the
-    recorded manifest (tools/query_hashes.json) is only acceptable
-    while a pending _REGRADE entry covers it — otherwise its driver
-    grade certifies code that no longer exists. Fix by adding the query
-    to _REGRADE and running `python tools/query_hashes.py --write` in
-    the same commit."""
+    """Tripwire automating the _REGRADE policy (VERDICT r5 item 8,
+    hardened per r6 item 2): a registered query whose implementing
+    function's AST differs from its recorded hash-at-latest-grade
+    (tools/query_hashes.json) is only acceptable while a pending
+    _REGRADE entry covers it — otherwise its driver grade certifies
+    code that no longer exists. Because the manifest is grade-bound
+    (`--write` keeps a graded query's hash until a NEWER CORRECTNESS
+    grade lands), a same-commit refresh can no longer absorb an
+    unbumped edit. Fix by adding the query to _REGRADE; the manifest
+    re-baselines itself at next round's `--write`."""
     import sys
 
     sys.path.insert(0, _repo_root())
@@ -176,7 +179,7 @@ def test_no_stale_grades_without_regrade_bump():
     ]
     assert not stale, (
         f"implementation changed after latest grade, no _REGRADE bump: "
-        f"{stale} — add them to _REGRADE and refresh the manifest"
+        f"{stale} — add them to _REGRADE"
     )
     # never-graded or regrade-pending queries may drift, but the
     # manifest must know every registered name (and no ghosts)
@@ -184,6 +187,33 @@ def test_no_stale_grades_without_regrade_bump():
         sorted(set(cur) ^ set(rec)),
         "run `python tools/query_hashes.py --write`",
     )
+
+
+def test_manifest_refresh_cannot_absorb_unbumped_edit():
+    """The round-6 escape scenario, pinned as a unit test: a graded
+    query's code changes and `--write` runs in the same commit with NO
+    new grade — the merge rule must keep the hash-at-latest-grade so
+    the tripwire keeps firing (the old flat manifest re-baselined to
+    current code here, which is how customers_rfm_segments slipped
+    through round 6)."""
+    import sys
+
+    sys.path.insert(0, _repo_root())
+    from tools.query_hashes import merge_manifest
+
+    rec = {"q": {"hash": "a", "graded_round": 5}}
+    # same-commit refresh after an edit, no newer grade -> hash kept
+    merged = merge_manifest({"q": "b"}, rec, {"q": 5})
+    assert merged["q"] == {"hash": "a", "graded_round": 5}
+    # a NEWER grade landed (driver certified current code) -> rebase
+    merged = merge_manifest({"q": "b"}, rec, {"q": 6})
+    assert merged["q"] == {"hash": "b", "graded_round": 6}
+    # never-graded queries track current code freely
+    merged = merge_manifest({"new": "c"}, {}, {})
+    assert merged["new"] == {"hash": "c", "graded_round": 0}
+    # ghosts (unregistered names) are dropped
+    merged = merge_manifest({"q": "a"}, {**rec, "ghost": {"hash": "z", "graded_round": 1}}, {"q": 5})
+    assert set(merged) == {"q"}
 
 
 def test_stale_edit_detection_logic():
@@ -223,10 +253,19 @@ def test_every_registered_query_listed_in_survey():
     repaired invariant so a new query can't land half-documented)."""
     import os
 
+    import re
+
     survey = open(
         os.path.join(os.path.dirname(entry_mod.__file__), "SURVEY.md")
     ).read()
-    missing = [n for n in entry_mod.queries() if n not in survey]
+    # whole-word match (ADVICE r6): a bare substring test would let a
+    # name that happens to be a prefix/substring of another listed
+    # name (or of prose) false-pass the coverage check
+    missing = [
+        n
+        for n in entry_mod.queries()
+        if not re.search(rf"\b{re.escape(n)}\b", survey)
+    ]
     assert not missing, f"registered but absent from SURVEY.md: {missing}"
 
 

@@ -102,3 +102,64 @@ def test_e4_spark_expressions_match_python(spark):
         ).fetchall()
     }
     assert duck == want
+
+
+signed_money = st.decimals(
+    # the signed acctbal domain (c_acctbal/s_acctbal run negative in
+    # TPC-H; testdata min is -999.85) with headroom to 1e6
+    min_value=Decimal("-999999.99"),
+    max_value=Decimal("999999.99"),
+    places=2,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(signed_money)
+def test_floor_cents_idiom_exact_on_signed_domain(x):
+    """floor(x*100 + 0.5) as pure IEEE float64 ops == exact decimal
+    cents for ANY cents-exact value, positive or negative. Cents-exact
+    inputs never land on a true .5 boundary after *100, and the float
+    representation error at |x| <= 1e6 is orders of magnitude below
+    0.5, so the +0.5-then-floor never straddles — this is why the
+    idiom is safe for _sum_money over the signed acctbal columns, not
+    just the non-negative price/total domain the r6 closure verified."""
+    import math
+
+    want = int(
+        (x * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+    got = math.floor(float(x) * 100 + 0.5)
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(prices, min_size=1, max_size=60))
+def test_avg_money_matches_decimal_ground_truth(xs):
+    """_avg_money's arithmetic (exact integer cents sum, one float
+    division, floor-half-up at 1e-4) == decimal HALF_UP of the true
+    mean to 4dp, in any summation order — the averages arm of the
+    float-sum class (ADVICE r6). Modeled in pure Python with the exact
+    ops both engines execute; the Spark/DuckDB twin is hash-gated by
+    the driver on q1_pricing_summary/agg_priority_stats.
+
+    Domain is the NON-NEGATIVE money domain _avg_money is actually
+    applied to (prices/totals/discounts). On negative exact .5 ties
+    floor-half-up (towards +inf) and decimal HALF_UP (away from zero)
+    legitimately differ by 1e-4 — hypothesis found avg([0 x7, -0.01])
+    = -0.00125 -> floor gives -0.0012, HALF_UP gives -0.0013 — which
+    is why the helper's docstring pins the non-negative domain. Cross-
+    engine determinism on signed data still holds (both engines run
+    the identical IEEE expression); only the decimal-truth label of a
+    negative tie moves. For non-negative sums the two roundings agree
+    on ties by construction, and away from ties the quotient of exact
+    integers with n <= group size sits >= 1/(2n) from the .5 grid,
+    far above the correctly-rounded division's half-ulp error."""
+    import math
+
+    cents = [math.floor(float(x) * 100 + 0.5) for x in xs]
+    s, n = sum(cents), len(cents)
+    got = math.floor(s * 100.0 / n + 0.5) / 10000
+    truth = (Decimal(s) / Decimal(100)) / Decimal(n)
+    want = float(truth.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+    assert got == want
+    assert sum(reversed(cents)) == s  # order-independent by integers

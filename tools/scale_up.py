@@ -144,11 +144,19 @@ def documents() -> None:
 
 
 def embeddings() -> None:
+    # Caveat (ADVICE r6): replicas i>=1 copy the source LABELS onto
+    # freshly random vectors, so label-conditioned geometry queries
+    # (label_centroids, knn_label_predict) measure noise at the
+    # synthesized SF — they remain fine for THROUGHPUT scaling, which
+    # is this tool's purpose, but their values are not meaningful
+    # beyond replica 0. Replica 0 is verbatim, preserving the source
+    # vec_id values (documents() likewise preserves doc_id).
     t = pq.read_table(f"{SRC}/embeddings.parquet")
     base = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
     labels = np.asarray(t.column("label").to_pylist())
+    src_ids = list(t.column("vec_id").to_pylist())
     mu, sd = float(base.mean()), float(base.std())
-    vec_ids = [list(range(N_VEC))]
+    vec_ids = [src_ids]  # replica 0 verbatim, whatever the source ids
     vecs, labs = [base], [labels]
     for i in range(1, REPLICAS):
         rng = np.random.default_rng(4242 + i)
@@ -156,7 +164,7 @@ def embeddings() -> None:
             (mu + sd * rng.standard_normal(base.shape)).astype(np.float32)
         )
         labs.append(labels)
-        vec_ids.append([v + i * N_VEC for v in range(N_VEC)])
+        vec_ids.append([v + i * N_VEC for v in src_ids])
     table = pa.table(
         {
             "vec_id": pa.array(
