@@ -152,6 +152,36 @@ def test_round6_cohort_with_current_history():
     assert all(graded[n] <= 2 for n in names[n_bumps:50])
 
 
+def test_round7_cohort_with_current_history():
+    """Round-7 cohort pin (self-expiring like the r6 one above): the
+    floor-idiom/money-average sweep bumped 52 queries, two more than
+    the driver's 50-row budget, so the graded cohort must be exactly
+    the 50 STALEST bumps — every slot a _REGRADE entry, ordered
+    stalest-grade-first — with the two freshest (r6-graded,
+    oracle-idiom-only, re-verified at sf0.01+sf0.1 this round)
+    spilling to the head of round 8."""
+    import pytest
+
+    graded = entry_mod._grading_history()
+    if not graded or max(graded.values()) != 6:
+        pytest.skip(
+            "driver history has moved past round 6; the generic "
+            "rotation tests above still pin the ordering logic"
+        )
+    names = list(entry_mod.queries())
+    assert all(n in graded for n in names)  # no dark set
+    bumps = set(entry_mod._REGRADE)
+    assert len(bumps) == 52
+    cohort = names[:50]
+    assert set(cohort) <= bumps
+    spilled = sorted(bumps - set(cohort))
+    assert spilled == ["schema_evolution_read", "streaming_tumbling_totals"]
+    assert all(graded[n] == 6 for n in spilled)  # freshest grades spill
+    # within the bump block, stalest grade first
+    rounds = [graded[n] for n in cohort]
+    assert rounds == sorted(rounds)
+
+
 def test_no_stale_grades_without_regrade_bump():
     """Tripwire automating the _REGRADE policy (VERDICT r5 item 8,
     hardened per r6 item 2): a registered query whose implementing
