@@ -512,11 +512,21 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def agg_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # cents projected once per row: the sum and the average both consume
+    # the same integer column (no CSE across aggregate children — the
+    # q1 lesson, BASELINE.md §4a)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        _money_cents(F.col("o_totalprice")).alias("_tp_c"),
+    )
+    n = F.count(F.lit(1))
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _sum_money(F.col("o_totalprice")).alias("total"),
-        _avg_money(F.col("o_totalprice")).alias("avg_price"),
+        (F.sum("_tp_c") / 100).alias("total"),
+        (F.floor(F.sum("_tp_c") * 100.0 / n + 0.5) / 10000).alias(
+            "avg_price"
+        ),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
