@@ -200,12 +200,25 @@ def test_no_stale_grades_without_regrade_bump():
 
     cur, rec = current_hashes(), recorded_hashes()
     graded = entry_mod._grading_history()
+    rec_round = {
+        n: row.get("graded_round", 0)
+        for n, row in __import__("tools.query_hashes", fromlist=["x"])
+        .recorded_manifest()
+        .items()
+    }
     stale = [
         n
         for n in cur
         if cur[n] != rec.get(n)
         and n in graded
         and graded[n] > entry_mod._REGRADE.get(n, -1)  # no pending bump
+        # a grade NEWER than the manifest row certifies the CURRENT
+        # code (the driver grades the committed snapshot, and code is
+        # frozen between rounds) — the manifest just hasn't been
+        # re-baselined yet. Without this, the driver's own post-round
+        # pytest (CORRECTNESS_r{N}.json present, `--write` not yet run)
+        # would read every freshly re-graded bump as stale.
+        and graded[n] <= rec_round.get(n, 0)
     ]
     assert not stale, (
         f"implementation changed after latest grade, no _REGRADE bump: "
@@ -249,25 +262,35 @@ def test_manifest_refresh_cannot_absorb_unbumped_edit():
 def test_stale_edit_detection_logic():
     """The tripwire's decision rule itself, on simulated inputs: red on
     a drifted hash with a landed grade and no bump; green when a bump
-    is pending or the query was never graded."""
+    is pending, the query was never graded, or a grade NEWER than the
+    manifest row landed (the driver graded the current committed code;
+    only the manifest re-baseline is pending)."""
 
-    def stale(cur, rec, graded, regrade):
+    def stale(cur, rec, graded, regrade, rec_round):
         return [
             n
             for n in cur
             if cur[n] != rec.get(n)
             and n in graded
             and graded[n] > regrade.get(n, -1)
+            and graded[n] <= rec_round.get(n, 0)
         ]
 
     # drifted + graded + no bump -> red
-    assert stale({"q": "b"}, {"q": "a"}, {"q": 5}, {}) == ["q"]
+    assert stale({"q": "b"}, {"q": "a"}, {"q": 5}, {}, {"q": 5}) == ["q"]
     # drifted + pending bump covering the grade -> green
-    assert stale({"q": "b"}, {"q": "a"}, {"q": 5}, {"q": 5}) == []
+    assert stale({"q": "b"}, {"q": "a"}, {"q": 5}, {"q": 5}, {"q": 5}) == []
     # drifted + never graded -> green (dark set re-grades anyway)
-    assert stale({"q": "b"}, {"q": "a"}, {}, {}) == []
+    assert stale({"q": "b"}, {"q": "a"}, {}, {}, {}) == []
     # unchanged -> green regardless
-    assert stale({"q": "a"}, {"q": "a"}, {"q": 5}, {}) == []
+    assert stale({"q": "a"}, {"q": "a"}, {"q": 5}, {}, {"q": 5}) == []
+    # drifted + a NEWER grade than the manifest row (the post-round
+    # window: CORRECTNESS_r{N}.json landed, `--write` not yet run) ->
+    # green; the new grade certified the current code
+    assert stale({"q": "b"}, {"q": "a"}, {"q": 6}, {"q": 5}, {"q": 5}) == []
+    # ...but a drift AFTER that same-round grade with an expired bump
+    # and a re-baselined manifest -> red again
+    assert stale({"q": "c"}, {"q": "b"}, {"q": 6}, {"q": 5}, {"q": 6}) == ["q"]
 
 
 def _repo_root() -> str:
