@@ -2887,7 +2887,15 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.col("revenue"),
         running_sums={"_cum_cents": F.col("_cents")},
     )
-    cum_share = F.round(F.col("_cum_cents") / F.col("grand"), 6)
+    # pure-IEEE floor-half-up at 1e-6 (not round(): Spark rounds the
+    # exact decimal of the quotient double, DuckDB multiplies in float —
+    # at a 1e-6 grid boundary they can disagree by one step; the shared
+    # floor idiom runs identical ops on both engines, and the share is
+    # non-negative so floor-half-up == HALF_UP)
+    cum_share = (
+        F.floor(F.col("_cum_cents") / F.col("grand") * 1000000 + 0.5)
+        / 1000000
+    )
     return (
         g.join(F.broadcast(total))
         .select(
@@ -5322,9 +5330,10 @@ ORACLE = {
         tot_c AS (SELECT sum(c) AS grand_c FROM cents),
         shares AS (
           SELECT l_partkey, revenue,
-                 round(sum(c) OVER (ORDER BY revenue DESC, l_partkey
+                 floor(sum(c) OVER (ORDER BY revenue DESC, l_partkey
                                     ROWS UNBOUNDED PRECEDING)
-                       * 1.0 / grand_c, 6) AS cum_share
+                       * 1.0 / grand_c * 1000000 + 0.5) / 1000000
+                   AS cum_share
           FROM cents, tot_c)
         SELECT l_partkey, revenue, cum_share,
                CASE WHEN cum_share <= 0.8 THEN 'A'

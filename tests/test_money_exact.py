@@ -163,3 +163,66 @@ def test_avg_money_matches_decimal_ground_truth(xs):
     want = float(truth.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
     assert got == want
     assert sum(reversed(cents)) == s  # order-independent by integers
+
+
+def test_no_new_round_over_float_aggregates():
+    """CI guard for the closure class: `F.round(F.sum(...))` /
+    `F.round(F.avg(...))` over float64 is summation-order-sensitive
+    (cross-engine drift grows with group size — BASELINE.md §5b), so
+    money aggregates must use the exact-integer helpers
+    (_sum_money/_avg_money/_revenue_e4). The instances below are the
+    REVIEWED exceptions, each safe for a stated reason; a new
+    occurrence anywhere else fails this test until it is either moved
+    to the integer path or reviewed into the whitelist with a reason.
+
+    Whitelist rationale:
+    - l_quantity sums/avgs (relational.py q1 sum_qty, profile_lineitem,
+      scan_agg_quantity oracle twins): quantities are integer-valued,
+      every float64 partial is exact, so the sum is order-stable; only
+      the engine-round()-divergence lottery on the final avg grid
+      remains, accepted and documented in _avg_money's docstring.
+    - json_aggregate_events avg_k: avg of small exact integers —
+      same accepted class.
+    - scalar_null_handling avg_imputed_disc: 2-decimal discounts with
+      a COALESCE imputation, 6dp output — reviewed, sf1.0-green.
+    - embedding_label_centroids avg_val / similarity mean_abs_err:
+      true float data (no integer representation exists); documented
+      excluded class (rows near-orthogonal, 1e-6 grid far above the
+      relative drift).
+    """
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "dbscan_spark")
+    pat = re.compile(r"F\.round\(\s*F\.(sum|avg)\(")
+    allowed = {
+        ("operators/relational.py", "sum", "l_quantity"): 2,
+        ("operators/relational.py", "avg", "l_quantity"): 1,
+        ("operators/relational.py", "avg", "k"): 1,
+        ("operators/relational.py", "avg", "coalesce"): 1,
+        ("operators/relational.py", "avg", "val_f"): 1,
+        ("operators/similarity.py", "avg", "err"): 1,
+    }
+    found: dict = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            rel = os.path.relpath(path, root)
+            src = open(path).read()
+            for m in re.finditer(
+                r"F\.round\(\s*F\.(sum|avg)\(\s*(?:F\.col\(|F\.coalesce\(|\"|')?\s*\"?([A-Za-z_0-9]*)",
+                src,
+            ):
+                kind = m.group(1)
+                arg = m.group(2) or "?"
+                if "coalesce" in m.group(0):
+                    arg = "coalesce"
+                key = (rel.replace(os.sep, "/"), kind, arg)
+                found[key] = found.get(key, 0) + 1
+    assert found == allowed, (
+        "round(sum/avg(float)) instances changed — new ones must use "
+        f"the exact-integer money helpers. found={found} "
+        f"allowed={allowed}"
+    )
