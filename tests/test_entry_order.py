@@ -196,20 +196,19 @@ def test_no_stale_grades_without_regrade_bump():
     import sys
 
     sys.path.insert(0, _repo_root())
-    from tools.query_hashes import current_hashes, recorded_hashes
+    from tools.query_hashes import (
+        current_fingerprints,
+        drifted_components,
+        recorded_manifest,
+    )
 
-    cur, rec = current_hashes(), recorded_hashes()
+    cur, rec = current_fingerprints(), recorded_manifest()
     graded = entry_mod._grading_history()
-    rec_round = {
-        n: row.get("graded_round", 0)
-        for n, row in __import__("tools.query_hashes", fromlist=["x"])
-        .recorded_manifest()
-        .items()
-    }
     stale = [
-        n
+        (n, drifted_components(cur[n], rec[n]))
         for n in cur
-        if cur[n] != rec.get(n)
+        if n in rec
+        and drifted_components(cur[n], rec[n])
         and n in graded
         and graded[n] > entry_mod._REGRADE.get(n, -1)  # no pending bump
         # a grade NEWER than the manifest row certifies the CURRENT
@@ -218,11 +217,11 @@ def test_no_stale_grades_without_regrade_bump():
         # re-baselined yet. Without this, the driver's own post-round
         # pytest (CORRECTNESS_r{N}.json present, `--write` not yet run)
         # would read every freshly re-graded bump as stale.
-        and graded[n] <= rec_round.get(n, 0)
+        and graded[n] <= rec[n].get("graded_round", 0)
     ]
     assert not stale, (
-        f"implementation changed after latest grade, no _REGRADE bump: "
-        f"{stale} — add them to _REGRADE"
+        f"implementation/helper/oracle changed after latest grade, no "
+        f"_REGRADE bump: {stale} — add them to _REGRADE"
     )
     # never-graded or regrade-pending queries may drift, but the
     # manifest must know every registered name (and no ghosts)
@@ -242,21 +241,70 @@ def test_manifest_refresh_cannot_absorb_unbumped_edit():
     import sys
 
     sys.path.insert(0, _repo_root())
-    from tools.query_hashes import merge_manifest
+    from tools.query_hashes import drifted_components, merge_manifest
 
-    rec = {"q": {"hash": "a", "graded_round": 5}}
-    # same-commit refresh after an edit, no newer grade -> hash kept
-    merged = merge_manifest({"q": "b"}, rec, {"q": 5})
-    assert merged["q"] == {"hash": "a", "graded_round": 5}
-    # a NEWER grade landed (driver certified current code) -> rebase
-    merged = merge_manifest({"q": "b"}, rec, {"q": 6})
-    assert merged["q"] == {"hash": "b", "graded_round": 6}
+    def row(h, hp="H", orc="O"):
+        return {"hash": h, "helpers": hp, "oracle": orc}
+
+    rec = {"q": {**row("a"), "graded_round": 5}}
+    # same-commit refresh after an edit, no newer grade -> kept
+    merged = merge_manifest({"q": row("b")}, rec, {"q": 5})
+    assert merged["q"] == {**row("a"), "graded_round": 5}
+    # ...same for a helper-only or oracle-only drift (the round-7
+    # widening: 32 of the 52 sweep changes were invisible to the
+    # function hash)
+    merged = merge_manifest({"q": row("a", hp="H2")}, rec, {"q": 5})
+    assert merged["q"] == {**row("a"), "graded_round": 5}
+    assert drifted_components(row("a", hp="H2"), merged["q"]) == ["helpers"]
+    merged = merge_manifest({"q": row("a", orc="O2")}, rec, {"q": 5})
+    assert drifted_components(row("a", orc="O2"), merged["q"]) == ["oracle"]
+    # a NEWER grade landed (driver certified current pair) -> rebase
+    merged = merge_manifest({"q": row("b")}, rec, {"q": 6})
+    assert merged["q"] == {**row("b"), "graded_round": 6}
     # never-graded queries track current code freely
-    merged = merge_manifest({"new": "c"}, {}, {})
-    assert merged["new"] == {"hash": "c", "graded_round": 0}
+    merged = merge_manifest({"new": row("c")}, {}, {})
+    assert merged["new"] == {**row("c"), "graded_round": 0}
     # ghosts (unregistered names) are dropped
-    merged = merge_manifest({"q": "a"}, {**rec, "ghost": {"hash": "z", "graded_round": 1}}, {"q": 5})
+    merged = merge_manifest(
+        {"q": row("a")},
+        {**rec, "ghost": {**row("z"), "graded_round": 1}},
+        {"q": 5},
+    )
     assert set(merged) == {"q"}
+    # legacy rows (pre-widening, no helpers/oracle) don't read as
+    # drifted, and --write backfills the missing components while
+    # KEEPING the at-grade hash
+    legacy = {"q": {"hash": "a", "graded_round": 5}}
+    assert drifted_components(row("a"), legacy["q"]) == []
+    merged = merge_manifest({"q": row("b")}, legacy, {"q": 5})
+    assert merged["q"] == {
+        "hash": "a",
+        "helpers": "H",
+        "oracle": "O",
+        "graded_round": 5,
+    }
+
+
+def test_helper_closure_sees_the_historical_escapes():
+    """Canary for the round-7 fingerprint widening: the helper-closure
+    traversal must reach the exact helpers whose edits escaped the old
+    function-only hash — `_sum_money` for customers_rfm_segments (the
+    round-6 escape) and the in-body-imported `global_order_stats` for
+    text_vocab_growth (the round-5 case the tripwire was born from).
+    If a refactor silently breaks traversal (module rename, import
+    style change), this goes red before the blindness matters."""
+    import sys
+
+    sys.path.insert(0, _repo_root())
+    from tools.query_hashes import helper_closure
+
+    qs = entry_mod.queries()
+    assert "_sum_money" in helper_closure(qs["customers_rfm_segments"])
+    assert "global_order_stats" in helper_closure(qs["text_vocab_growth"])
+    assert "dbscan" in helper_closure(qs["dbscan_core_components"])
+    # load_table (the io layer every query reads through) is reachable
+    # from a plain relational query via _t
+    assert "load_table" in helper_closure(qs["q1_pricing_summary"])
 
 
 def test_stale_edit_detection_logic():

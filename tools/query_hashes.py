@@ -1,44 +1,57 @@
 #!/usr/bin/env python3
-"""AST-hash manifest of every registered query's implementing function,
-bound to the driver round that last graded it.
+"""Fingerprint manifest of every registered query, bound to the driver
+round that last graded it.
 
 Automates the `_REGRADE` policy (VERDICT r5 item 8, hardened per
-VERDICT r6 item 2): the driver's CORRECTNESS grades certify a specific
-implementation, so a query whose code changes after its latest grade
-must be bumped in `__spark_entry__._REGRADE` for re-certification. The
-manifest records, per query, the hash of the implementation's
-docstring-free AST *as of its latest driver grade* plus that grade's
-round number:
+VERDICT r6 item 2, widened in round 7): the driver's CORRECTNESS grades
+certify a specific (implementation, oracle) pair, so a query where
+EITHER side changes after its latest grade must be bumped in
+`__spark_entry__._REGRADE` for re-certification. The manifest records,
+per query, a three-part fingerprint *as of its latest driver grade*
+plus that grade's round number:
 
-    {"q1_pricing_summary": {"hash": "ab12...", "graded_round": 6}, ...}
+    {"q1_pricing_summary": {"hash": "...",     # docstring-free AST of
+                                               # the registered function
+                            "helpers": "...",  # transitive closure of
+                                               # in-repo helper functions
+                                               # it references
+                            "oracle": "...",   # its oracle_sql() text
+                            "graded_round": 6}, ...}
 
-The companion test in tests/test_entry_order.py goes red whenever a
-registered function's current hash differs from its hash-at-latest-
-grade without a pending `_REGRADE` entry covering that grade.
+The companion test in tests/test_entry_order.py goes red whenever ANY
+component differs from its recorded at-latest-grade value without a
+pending `_REGRADE` entry covering that grade.
 
-Why the round number is stored (the round-6 lesson): the old flat
-`{name: hash}` manifest re-baselined to *current* code on every
-`--write`, so a code change + same-commit manifest refresh silently
-absorbed an unbumped edit (the customers_rfm_segments case, VERDICT r6
-"What's wrong" #2). Now `--write` only moves a graded query's recorded
-hash when a CORRECTNESS file shows a grade NEWER than the recorded
-`graded_round` — a refresh without a new grade keeps the
-hash-at-latest-grade, so the tripwire still fires.
+Why the round number is stored (the round-6 lesson): a flat manifest
+re-baselined to *current* code on every `--write`, so a code change +
+same-commit manifest refresh silently absorbed an unbumped edit (the
+customers_rfm_segments case, VERDICT r6 "What's wrong" #2). `--write`
+only moves a graded query's fingerprint when a CORRECTNESS file shows
+a grade NEWER than the recorded `graded_round`.
 
-Workflow when changing a registered query's implementation:
+Why helpers and oracle are fingerprinted (the round-7 lesson): of the
+52 queries whose certified pair changed in the floor-idiom sweep, only
+20 drifted in their OWN function AST — the other 32 changed through a
+shared helper (`_money_cents`/`_sum_money`) or through their ORACLE
+dict text, both invisible to the function hash and enumerable only by
+hand-diffing. The helper component hashes the transitive set of
+in-repo functions (module prefix `dbscan_spark` or `__spark_entry__`)
+reachable from the query function via its module globals; the oracle
+component hashes the registered oracle SQL string. Remaining blind
+spot: helpers imported INSIDE a function body don't appear in module
+globals and are not traversed.
+
+Workflow when changing a registered query's implementation, a shared
+helper, or an oracle:
 1. make the change;
-2. add `"<name>": <current latest graded round>` to `_REGRADE`;
-3. leave the manifest alone — it keeps the hash the grade certified.
+2. add `"<name>": <current latest graded round>` to `_REGRADE` for
+   every query the companion test flags;
+3. leave the manifest alone — it keeps the fingerprint the grade
+   certified.
 At the START of each round (right after the new CORRECTNESS_r*.json
 lands, BEFORE touching query code), run
 `python tools/query_hashes.py --write` so freshly re-graded queries
-re-baseline to the code the driver just certified.
-
-Limitation (documented, deliberate): the hash covers the registered
-function's own source, not helpers it calls — a shared-helper rewrite
-(the text_vocab_growth case this tripwire was born from) still needs
-the builder to bump `_REGRADE` by hand. The tripwire catches the
-common case: a direct edit to a query function that skips the policy.
+re-baseline to the pair the driver just certified.
 """
 
 from __future__ import annotations
@@ -52,6 +65,8 @@ import sys
 import textwrap
 
 MANIFEST = os.path.join(os.path.dirname(__file__), "query_hashes.json")
+
+_OURS = ("dbscan_spark", "__spark_entry__")
 
 
 class _DropDocstrings(ast.NodeTransformer):
@@ -72,13 +87,85 @@ class _DropDocstrings(ast.NodeTransformer):
     visit_Module = _strip
 
 
+def _ast_dump(fn) -> str | None:
+    try:
+        src = textwrap.dedent(inspect.getsource(inspect.unwrap(fn)))
+    except (OSError, TypeError):
+        return None
+    return ast.dump(_DropDocstrings().visit(ast.parse(src)))
+
+
 def query_source_hash(fn) -> str:
     """Stable 16-hex-digit hash of the function's docstring-free AST."""
-    src = textwrap.dedent(inspect.getsource(inspect.unwrap(fn)))
-    tree = _DropDocstrings().visit(ast.parse(src))
-    return hashlib.sha256(
-        ast.dump(tree).encode("utf-8")
-    ).hexdigest()[:16]
+    return hashlib.sha256(_ast_dump(fn).encode("utf-8")).hexdigest()[:16]
+
+
+def helper_closure(fn) -> dict[str, object]:
+    """The transitive in-repo helper closure of ``fn``: every function
+    from our own modules reachable by following Name references
+    through module globals (plus in-body ``from dbscan_spark.x import
+    y`` statements), excluding ``fn`` itself."""
+    root = inspect.unwrap(fn)
+    seen: dict[str, object] = {}
+    stack = [root]
+    while stack:
+        f = stack.pop()
+        try:
+            src = textwrap.dedent(inspect.getsource(inspect.unwrap(f)))
+            tree = ast.parse(src)
+        except (OSError, TypeError, SyntaxError):
+            continue
+        names = {
+            n.id for n in ast.walk(tree) if isinstance(n, ast.Name)
+        }
+        g = dict(getattr(inspect.unwrap(f), "__globals__", {}))
+        # in-body `from dbscan_spark.x import y` (module globals don't
+        # see these — the text_vocab_growth/global_order_stats case)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module and (
+                node.module.split(".")[0] in _OURS
+            ):
+                try:
+                    import importlib
+
+                    m = importlib.import_module(node.module)
+                except ImportError:
+                    continue
+                for alias in node.names:
+                    v = getattr(m, alias.name, None)
+                    if v is not None:
+                        g.setdefault(alias.asname or alias.name, v)
+        for nm in sorted(names):
+            v = g.get(nm)
+            if v is None or not inspect.isfunction(v):
+                continue
+            if inspect.unwrap(v) is root or nm in seen:
+                continue
+            mod = getattr(v, "__module__", "") or ""
+            if mod.split(".")[0] in _OURS:
+                seen[nm] = v
+                stack.append(v)
+    return seen
+
+
+def helper_closure_hash(fn) -> str:
+    """Deterministic hash of the helper closure (sorted by helper
+    name; docstring-free ASTs)."""
+    seen = helper_closure(fn)
+    parts = []
+    for nm in sorted(seen):
+        dumped = _ast_dump(seen[nm])
+        if dumped is not None:
+            parts.append(f"{nm}:{dumped}")
+    return hashlib.sha256("\n".join(parts).encode("utf-8")).hexdigest()[:16]
+
+
+def oracle_text_hash(sql: str | None) -> str:
+    """Hash of the registered oracle SQL (empty string for rows-only)."""
+    return hashlib.sha256((sql or "").encode("utf-8")).hexdigest()[:16]
+
+
+_COMPONENTS = ("hash", "helpers", "oracle")
 
 
 def _entry_mod():
@@ -88,7 +175,22 @@ def _entry_mod():
     return entry_mod
 
 
+def current_fingerprints() -> dict[str, dict]:
+    """{name: {hash, helpers, oracle}} for every registered query."""
+    entry_mod = _entry_mod()
+    oracles = entry_mod.oracle_sql()
+    return {
+        name: {
+            "hash": query_source_hash(fn),
+            "helpers": helper_closure_hash(fn),
+            "oracle": oracle_text_hash(oracles.get(name)),
+        }
+        for name, fn in entry_mod.queries().items()
+    }
+
+
 def current_hashes() -> dict[str, str]:
+    """Back-compat view: function-AST hash only."""
     entry_mod = _entry_mod()
     return {
         name: query_source_hash(fn)
@@ -97,48 +199,61 @@ def current_hashes() -> dict[str, str]:
 
 
 def recorded_manifest() -> dict[str, dict]:
-    """{name: {"hash": str, "graded_round": int}} as recorded."""
+    """{name: {hash, helpers, oracle, graded_round}} as recorded.
+    Rows written before the round-7 widening may lack helpers/oracle."""
     with open(MANIFEST) as fh:
         return json.load(fh)
 
 
 def recorded_hashes() -> dict[str, str]:
-    """Recorded hash-at-latest-grade per query (the tripwire's truth)."""
+    """Recorded function-hash-at-latest-grade per query."""
     return {n: row["hash"] for n, row in recorded_manifest().items()}
 
 
+def drifted_components(cur_row: dict, rec_row: dict) -> list[str]:
+    """Which fingerprint components differ from the recorded row.
+    Components absent from the recorded row (legacy pre-widening rows)
+    are not comparable and don't count as drift — `--write` backfills
+    them."""
+    return [
+        c
+        for c in _COMPONENTS
+        if c in rec_row and rec_row[c] != cur_row[c]
+    ]
+
+
 def merge_manifest(
-    cur: dict[str, str],
+    cur: dict[str, dict],
     rec: dict[str, dict],
     graded: dict[str, int],
 ) -> dict[str, dict]:
     """Pure `--write` merge rule (unit-tested in test_entry_order.py).
 
     Per registered query:
-    - never graded -> track current code freely (no grade to protect);
+    - never graded -> track the current fingerprint freely;
     - a grade NEWER than the recorded graded_round landed -> the driver
-      certified the current code; re-baseline hash + round to it;
-    - otherwise -> KEEP the recorded hash-at-latest-grade, even if the
-      current code drifted (that drift is exactly what the tripwire
-      must keep seeing until a new grade lands).
+      certified the current pair; re-baseline fingerprint + round;
+    - otherwise -> KEEP the recorded at-grade components (that drift is
+      exactly what the tripwire must keep seeing until a new grade
+      lands), backfilling only components the legacy row never had.
     Ghost entries (no longer registered) are dropped.
     """
     out: dict[str, dict] = {}
-    for name, cur_hash in cur.items():
+    for name, cur_row in cur.items():
         latest = graded.get(name, 0)
         old = rec.get(name)
         if old is None or latest == 0 or latest > old.get("graded_round", 0):
-            out[name] = {"hash": cur_hash, "graded_round": latest}
+            out[name] = {**cur_row, "graded_round": latest}
         else:
             out[name] = {
-                "hash": old["hash"],
-                "graded_round": old["graded_round"],
+                c: old.get(c, cur_row[c]) for c in _COMPONENTS
             }
+            out[name]["graded_round"] = old["graded_round"]
     return out
 
 
 def main() -> None:
-    cur = current_hashes()
+    cur = current_fingerprints()
     graded = _entry_mod()._grading_history()
     try:
         rec = recorded_manifest()
@@ -149,7 +264,7 @@ def main() -> None:
         kept = sorted(
             n
             for n in merged
-            if merged[n]["hash"] != cur[n]
+            if any(merged[n][c] != cur[n][c] for c in _COMPONENTS)
         )
         with open(MANIFEST, "w") as fh:
             json.dump(merged, fh, indent=0, sort_keys=True)
@@ -157,13 +272,18 @@ def main() -> None:
         print(f"wrote {len(merged)} entries to {MANIFEST}")
         if kept:
             print(
-                "kept hash-at-latest-grade (code drifted, no newer "
+                "kept fingerprint-at-latest-grade (drifted, no newer "
                 f"grade — needs a _REGRADE bump): {kept}"
             )
         return
     drift = sorted(
-        set(n for n in cur if cur[n] != rec.get(n, {}).get("hash"))
+        set(
+            n
+            for n in cur
+            if n in rec and drifted_components(cur[n], rec[n])
+        )
         | (set(rec) - set(cur))
+        | (set(cur) - set(rec))
     )
     print(json.dumps(drift))
     sys.exit(1 if drift else 0)
