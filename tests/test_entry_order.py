@@ -412,3 +412,31 @@ def test_erroring_rows_stay_dark_but_no_oracle_counts(
     )
     hist = entry_mod._grading_history()
     assert hist == {"good_query": 7, "rows_only_query": 7}
+
+
+def test_bench_set_matches_recorded_baseline():
+    """The driver's 2x budget compares bench.py's total against the
+    recorded BASELINE.md run, apples-to-apples ONLY while the 42-query
+    set is unchanged (stable since round 2). Pin both directions: every
+    bench query must still exist in the registry (a rename would crash
+    the driver's bench run and zero the round's number), and the set
+    must equal the recorded baseline capture's keys."""
+    import json
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, _repo_root())
+    import bench
+
+    names = set(entry_mod.queries())
+    missing = [q for q in bench.BENCH_QUERIES if q not in names]
+    assert not missing, f"bench queries absent from registry: {missing}"
+    baseline = open(os.path.join(_repo_root(), "BASELINE.md")).read()
+    recorded = json.loads(
+        re.search(r'\{"metric".*?"sf": 0\.1\}', baseline).group(0)
+    )
+    assert set(bench.BENCH_QUERIES) == set(recorded["queries"]), (
+        sorted(set(bench.BENCH_QUERIES) ^ set(recorded["queries"])),
+        "bench set drifted from the recorded baseline capture",
+    )
