@@ -22,6 +22,13 @@ driver ships or tools/scale_up.py synthesizes:
   canonical cores, with predict's (distance², cluster) tie-break.
   Both engines compute d² with the same IEEE ops, so comparison is
   exact, not tolerance-based.
+* dbscan_flags_64d: the full-64-D generalization's per-point flags
+  must equal the n-D kernel's. All three flags are traversal-invariant
+  (core membership by definition; border = non-core within eps of some
+  core — only WHICH cluster a border joins is traversal-dependent,
+  P3), so exact equality applies. This exercises the 2-D-projection
+  partitioning + full-vector distance path at scales the DuckDB
+  list-lambda oracle cannot reach.
 
 Usage: python tools/verify_dbscan_scale.py [SF_DIR ...]
 Defaults to /root/repo/.scale/sf0.3. Exits non-zero on any mismatch.
@@ -130,6 +137,42 @@ def verify(spark, sf_dir: str) -> list[str]:
         f"dbscan_predict_canonical @ {sf_dir}: "
         f"{'OK' if got_pred == want_pred else 'MISMATCH'} "
         f"({len(want_pred)} probes)"
+    )
+
+    # ---- dbscan_flags_64d (full-vector distance path) --------------
+    from dbscan_spark.kernel import local_dbscan_matrix
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    ids_sorted = np.sort(vec_id)
+    _, flags64 = local_dbscan_matrix(X, eps=1.15, min_points=4)
+    want64 = dict(zip(ids_sorted.tolist(), flags64.tolist()))
+    got64 = {
+        r["vec_id"]: r["flag"]
+        for r in qs["dbscan_flags_64d"](spark, sf_dir).collect()
+    }
+    if got64 != want64:
+        diff = {
+            k
+            for k in set(got64) | set(want64)
+            if got64.get(k) != want64.get(k)
+        }
+        failures.append(
+            f"dbscan_flags_64d: {len(diff)} differing flags "
+            f"(sample {sorted(diff)[:5]})"
+        )
+    n_core = sum(1 for v in want64.values() if v == "core")
+    print(
+        f"dbscan_flags_64d @ {sf_dir}: "
+        f"{'OK' if got64 == want64 else 'MISMATCH'} "
+        f"({len(want64)} points, {n_core} cores)"
     )
     return failures
 
