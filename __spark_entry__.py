@@ -161,77 +161,17 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # (The 46 round-6 bumps — the money-exactness class closure, the
-    # simhash exact-oracle upgrade, and the two r5 rewrites — were all
-    # re-graded clean in round 6 (CORRECTNESS_r06) and have been
-    # pruned; an expired bump is inert but noisy.)
+    # (The 50 round-7 bumps — the r6 money cents-ification/floor-idiom
+    # class and the earlier stragglers — were all re-graded hash-green
+    # in CORRECTNESS_r07 and have been pruned; an expired bump is
+    # inert but noisy. Manifest re-baselined round-8 open:
+    # tools/query_hashes.py --write, --check clean.)
     #
-    # round 7: customers_rfm_segments' monetary aggregate moved to
-    # _sum_money (relational.py) in the round-6 snapshot commit, AFTER
-    # its r5 grade, with no bump — the one stale grade VERDICT r6
-    # item 1 flagged. Re-certify.
-    "customers_rfm_segments": 5,
-    # round 7: money cents-ification swapped from Spark's exact-decimal
-    # HALF_UP round() to the pure-IEEE floor(x*100 + 0.5) idiom
-    # (VERDICT r6 item 3 — A/B-verified equal output on the
-    # non-negative money domain and exact on the signed acctbal domain
-    # too, tests/test_money_exact.py; measured faster), and money
-    # AVERAGES moved onto the exact-cents path via _avg_money
-    # (ADVICE r6 — round(avg(double), n) carries the same summation-
-    # order drift as the sum class closed in r6). Both engines' SQL
-    # changed in tandem; every query whose implementation, shared
-    # helper, or oracle text changed carries a bump.
-    "agg_filtered_counts": 6,
-    "agg_grouping_sets": 6,
-    "agg_having": 6,
-    "agg_priority_stats": 6,
-    "agg_rollup": 6,
-    "agg_share_of_total": 6,
-    "csv_source_events": 6,
-    "customers_cohort_ltv": 4,
-    "events_ab_welch_t": 4,
-    "events_cusum_alerts": 4,
-    "events_dod_change": 6,
-    "events_gapfill_hourly": 6,
-    "events_gapfill_interp": 6,
-    "events_gapfill_locf": 6,
-    "events_holt_forecast": 4,
-    "events_hypertable_rollup": 6,
-    "events_seasonal_anomalies": 4,
-    "events_seasonality_profile": 4,
-    "join_full_outer": 6,
-    "join_left_outer": 6,
-    "json_corrupt_tolerant_read": 6,
-    "json_source_events": 6,
-    "orc_roundtrip_supplier": 6,
-    "orders_seasonal_decompose": 4,
-    "orders_yoy_growth": 5,
-    "partitioned_prune_events": 6,
-    "parts_abc_analysis": 6,
-    "pysource_synthetic_events": 6,
-    "q10_returned_items": 6,
-    "q15_top_supplier": 6,
-    "q17_small_quantity_revenue": 6,
-    "q19_discounted_revenue": 6,
-    "q1_pricing_summary": 6,
-    "q22_dormant_customers": 6,
-    "q2_min_cost_supplier": 2,
-    "q3_shipping_priority": 6,
-    "q5_region_revenue": 6,
-    "q6_revenue_forecast": 6,
-    "q7_volume_shipping": 6,
-    "q8_market_share": 6,
-    "q9_product_profit": 6,
+    # Two r7 bumps did NOT land in the r7 cohort (their latest grades
+    # are r6, taken BEFORE the r7 floor-idiom change to their shared
+    # money helpers/oracle text) — still stale, keep until re-graded:
     "schema_evolution_read": 6,
-    "sql_api_nation_revenue": 6,
     "streaming_tumbling_totals": 6,
-    "supplier_hhi_concentration": 5,
-    "users_feature_assembly": 5,
-    "window_cume_dist_spend": 6,
-    "window_moving_avg": 1,
-    "window_range_30d_spend": 6,
-    "window_running_total": 6,
-    "window_tumbling_events": 6,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
