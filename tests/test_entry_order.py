@@ -223,6 +223,22 @@ def test_no_stale_grades_without_regrade_bump():
         f"implementation/helper/oracle changed after latest grade, no "
         f"_REGRADE bump: {stale} — add them to _REGRADE"
     )
+    # ADVICE r7: while the post-grade window is open (a newer
+    # CORRECTNESS grade exists and --write hasn't re-baselined yet),
+    # the exemption above is blind to drift in freshly graded queries.
+    # Failing here would break the driver's own post-round pytest, so
+    # warn loudly instead — the warning names the exact remedy.
+    from tools.query_hashes import post_grade_window_open
+
+    if post_grade_window_open(rec, graded):
+        import warnings
+
+        warnings.warn(
+            "post-grade window open: run `python tools/query_hashes.py "
+            "--write` BEFORE editing any query code — the stale-edit "
+            "tripwire is blind to freshly graded queries until then",
+            stacklevel=1,
+        )
     # never-graded or regrade-pending queries may drift, but the
     # manifest must know every registered name (and no ghosts)
     assert set(cur) == set(rec), (
@@ -243,27 +259,34 @@ def test_manifest_refresh_cannot_absorb_unbumped_edit():
     sys.path.insert(0, _repo_root())
     from tools.query_hashes import drifted_components, merge_manifest
 
-    def row(h, hp="H", orc="O"):
-        return {"hash": h, "helpers": hp, "oracle": orc}
+    from tools.query_hashes import _COMPONENT_VERSIONS
 
-    rec = {"q": {**row("a"), "graded_round": 5}}
+    V = dict(_COMPONENT_VERSIONS)
+
+    def row(h, hp="H", orc="O", v=None):
+        out = {"hash": h, "helpers": hp, "oracle": orc}
+        if v is not None:
+            out["v"] = v
+        return out
+
+    rec = {"q": {**row("a", v=V), "graded_round": 5}}
     # same-commit refresh after an edit, no newer grade -> kept
     merged = merge_manifest({"q": row("b")}, rec, {"q": 5})
-    assert merged["q"] == {**row("a"), "graded_round": 5}
+    assert merged["q"] == {**row("a", v=V), "graded_round": 5}
     # ...same for a helper-only or oracle-only drift (the round-7
     # widening: 32 of the 52 sweep changes were invisible to the
     # function hash)
     merged = merge_manifest({"q": row("a", hp="H2")}, rec, {"q": 5})
-    assert merged["q"] == {**row("a"), "graded_round": 5}
+    assert merged["q"] == {**row("a", v=V), "graded_round": 5}
     assert drifted_components(row("a", hp="H2"), merged["q"]) == ["helpers"]
     merged = merge_manifest({"q": row("a", orc="O2")}, rec, {"q": 5})
     assert drifted_components(row("a", orc="O2"), merged["q"]) == ["oracle"]
     # a NEWER grade landed (driver certified current pair) -> rebase
     merged = merge_manifest({"q": row("b")}, rec, {"q": 6})
-    assert merged["q"] == {**row("b"), "graded_round": 6}
+    assert merged["q"] == {**row("b", v=V), "graded_round": 6}
     # never-graded queries track current code freely
     merged = merge_manifest({"new": row("c")}, {}, {})
-    assert merged["new"] == {**row("c"), "graded_round": 0}
+    assert merged["new"] == {**row("c", v=V), "graded_round": 0}
     # ghosts (unregistered names) are dropped
     merged = merge_manifest(
         {"q": row("a")},
@@ -282,7 +305,20 @@ def test_manifest_refresh_cannot_absorb_unbumped_edit():
         "helpers": "H",
         "oracle": "O",
         "graded_round": 5,
+        "v": V,
     }
+    # algorithm-version migration (r8: helpers closure re-keyed):
+    # a row recorded under an older helpers algorithm must not read a
+    # helpers difference as drift — but its hash/oracle components,
+    # whose algorithms did NOT change, must keep guarding; --write
+    # re-records the helpers value at the current algorithm WITHOUT
+    # resetting graded_round (no grade absorbed, no grade lost)
+    old_v = {**V, "helpers": V["helpers"] - 1}
+    oldrow = {"q": {**row("a", hp="OLDALG", v=old_v), "graded_round": 5}}
+    assert drifted_components(row("a", hp="H2"), oldrow["q"]) == []
+    assert drifted_components(row("b", hp="H2"), oldrow["q"]) == ["hash"]
+    merged = merge_manifest({"q": row("a", hp="H2")}, oldrow, {"q": 5})
+    assert merged["q"] == {**row("a", hp="H2", v=V), "graded_round": 5}
 
 
 def test_helper_closure_sees_the_historical_escapes():
@@ -299,12 +335,60 @@ def test_helper_closure_sees_the_historical_escapes():
     from tools.query_hashes import helper_closure
 
     qs = entry_mod.queries()
-    assert "_sum_money" in helper_closure(qs["customers_rfm_segments"])
-    assert "global_order_stats" in helper_closure(qs["text_vocab_growth"])
-    assert "dbscan" in helper_closure(qs["dbscan_core_components"])
+
+    def has(fn, qualname):
+        # closure keys are module.qualname since r8 (ADVICE r7: bare
+        # names collided across modules)
+        return any(k.endswith("." + qualname) for k in helper_closure(fn))
+
+    assert has(qs["customers_rfm_segments"], "_sum_money")
+    assert has(qs["text_vocab_growth"], "global_order_stats")
+    assert has(qs["dbscan_core_components"], "dbscan")
     # load_table (the io layer every query reads through) is reachable
     # from a plain relational query via _t
-    assert "load_table" in helper_closure(qs["q1_pricing_summary"])
+    assert has(qs["q1_pricing_summary"], "load_table")
+
+
+def test_helper_closure_distinguishes_same_named_helpers(tmp_path, monkeypatch):
+    """ADVICE r7 regression: (a) two same-named helpers reachable from
+    one query must BOTH enter the fingerprint (keys are
+    module.qualname, not bare names); (b) helpers referenced via
+    attribute access (``mod.func``) must be visible too."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, _repo_root())
+    import tools.query_hashes as qh
+
+    def load(name, text):
+        f = tmp_path / f"{name}.py"
+        f.write_text(text)
+        spec = importlib.util.spec_from_file_location(name, f)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("qh_m1", "def _helper():\n    return 1\n")
+    load("qh_m2", "def _helper():\n    return 2\n")
+    load(
+        "qh_root",
+        "import qh_m1\n"
+        "from qh_m2 import _helper as _h2\n"
+        "def query():\n"
+        "    return qh_m1._helper() + _h2()\n",
+    )
+    monkeypatch.setattr(
+        qh, "_OURS", qh._OURS + ("qh_m1", "qh_m2", "qh_root")
+    )
+    try:
+        keys = set(qh.helper_closure(sys.modules["qh_root"].query))
+    finally:
+        for n in ("qh_m1", "qh_m2", "qh_root"):
+            sys.modules.pop(n, None)
+    assert "qh_m1._helper" in keys  # attribute access, module 1
+    assert "qh_m2._helper" in keys  # Name access, module 2 — not
+    # swallowed by the same-named module-1 helper
 
 
 def test_stale_edit_detection_logic():

@@ -102,12 +102,37 @@ def query_source_hash(fn) -> str:
 
 def helper_closure(fn) -> dict[str, object]:
     """The transitive in-repo helper closure of ``fn``: every function
-    from our own modules reachable by following Name references
-    through module globals (plus in-body ``from dbscan_spark.x import
-    y`` statements), excluding ``fn`` itself."""
+    from our own modules reachable by following Name references OR
+    one-level ``module.func`` Attribute references through module
+    globals (plus in-body ``from dbscan_spark.x import y`` statements),
+    excluding ``fn`` itself. Keys are ``module.qualname`` so two
+    same-named helpers in different modules are BOTH fingerprinted
+    (ADVICE r7). Remaining blind spot: dynamic dispatch
+    (``getattr(mod, name)()``, dict-of-functions tables)."""
     root = inspect.unwrap(fn)
     seen: dict[str, object] = {}
     stack = [root]
+
+    def _key(v) -> str:
+        return (
+            (getattr(v, "__module__", "") or "?")
+            + "."
+            + (getattr(v, "__qualname__", getattr(v, "__name__", "?")))
+        )
+
+    def _add(v) -> None:
+        if v is None or not inspect.isfunction(v):
+            return
+        if inspect.unwrap(v) is root:
+            return
+        mod = getattr(v, "__module__", "") or ""
+        if mod.split(".")[0] not in _OURS:
+            return
+        k = _key(v)
+        if k not in seen:
+            seen[k] = v
+            stack.append(v)
+
     while stack:
         f = stack.pop()
         try:
@@ -117,6 +142,13 @@ def helper_closure(fn) -> dict[str, object]:
             continue
         names = {
             n.id for n in ast.walk(tree) if isinstance(n, ast.Name)
+        }
+        # one-level `module.func` attribute references (base must be a
+        # Name bound to one of our modules in globals)
+        attrs = {
+            (n.value.id, n.attr)
+            for n in ast.walk(tree)
+            if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name)
         }
         g = dict(getattr(inspect.unwrap(f), "__globals__", {}))
         # in-body `from dbscan_spark.x import y` (module globals don't
@@ -136,15 +168,13 @@ def helper_closure(fn) -> dict[str, object]:
                     if v is not None:
                         g.setdefault(alias.asname or alias.name, v)
         for nm in sorted(names):
-            v = g.get(nm)
-            if v is None or not inspect.isfunction(v):
-                continue
-            if inspect.unwrap(v) is root or nm in seen:
-                continue
-            mod = getattr(v, "__module__", "") or ""
-            if mod.split(".")[0] in _OURS:
-                seen[nm] = v
-                stack.append(v)
+            _add(g.get(nm))
+        for base_nm, attr_nm in sorted(attrs):
+            base = g.get(base_nm)
+            if inspect.ismodule(base) and (
+                (getattr(base, "__name__", "") or "").split(".")[0] in _OURS
+            ):
+                _add(getattr(base, attr_nm, None))
     return seen
 
 
@@ -166,6 +196,26 @@ def oracle_text_hash(sql: str | None) -> str:
 
 
 _COMPONENTS = ("hash", "helpers", "oracle")
+
+# Per-component fingerprint-ALGORITHM versions. Bump a component's
+# version when its hashing algorithm changes (never when query code
+# changes): a recorded component hashed under an older algorithm is
+# not comparable — any difference is the algorithm's, not the code's —
+# so --check skips exactly that component (the others keep guarding)
+# and --write re-records it at the current algorithm WITHOUT resetting
+# graded_round. Recorded rows carry their versions under "v"; rows
+# without "v" predate versioning and read as all-1.
+# helpers=2 (r8): closure keys became module.qualname and one-level
+# attribute references are walked (ADVICE r7).
+_COMPONENT_VERSIONS = {"hash": 1, "helpers": 2, "oracle": 1}
+
+
+def _comparable(component: str, rec_row: dict) -> bool:
+    return (
+        component in rec_row
+        and rec_row.get("v", {}).get(component, 1)
+        == _COMPONENT_VERSIONS[component]
+    )
 
 
 def _entry_mod():
@@ -213,12 +263,13 @@ def recorded_hashes() -> dict[str, str]:
 def drifted_components(cur_row: dict, rec_row: dict) -> list[str]:
     """Which fingerprint components differ from the recorded row.
     Components absent from the recorded row (legacy pre-widening rows)
-    are not comparable and don't count as drift — `--write` backfills
-    them."""
+    or recorded under an older algorithm version (see
+    _COMPONENT_VERSIONS) are not comparable and don't count as drift —
+    `--write` backfills/re-records them."""
     return [
         c
         for c in _COMPONENTS
-        if c in rec_row and rec_row[c] != cur_row[c]
+        if _comparable(c, rec_row) and rec_row[c] != cur_row[c]
     ]
 
 
@@ -245,11 +296,32 @@ def merge_manifest(
         if old is None or latest == 0 or latest > old.get("graded_round", 0):
             out[name] = {**cur_row, "graded_round": latest}
         else:
+            # keep at-grade components where comparable; re-record
+            # components hashed under an older algorithm (their grade
+            # still certifies the unchanged code)
             out[name] = {
-                c: old.get(c, cur_row[c]) for c in _COMPONENTS
+                c: old[c] if _comparable(c, old) else cur_row[c]
+                for c in _COMPONENTS
             }
             out[name]["graded_round"] = old["graded_round"]
+        out[name]["v"] = dict(_COMPONENT_VERSIONS)
     return out
+
+
+def post_grade_window_open(
+    rec: dict[str, dict], graded: dict[str, int]
+) -> bool:
+    """True while grades NEWER than any recorded graded_round exist —
+    i.e. a CORRECTNESS_r{N}.json landed and `--write` has not run yet.
+    In this window the stale-edit tripwire is blind to drift in the
+    freshly graded queries (their new grade certifies the committed
+    snapshot, which the manifest doesn't describe yet), so editing any
+    query before the re-baseline can escape detection for a full round
+    (ADVICE r7). The fix is procedural and cheap: run `--write` first."""
+    return any(
+        graded.get(n, 0) > row.get("graded_round", 0)
+        for n, row in rec.items()
+    )
 
 
 def main() -> None:
@@ -259,6 +331,15 @@ def main() -> None:
         rec = recorded_manifest()
     except FileNotFoundError:
         rec = {}
+    if post_grade_window_open(rec, graded):
+        print(
+            "WARNING: post-grade window open — grades newer than the "
+            "recorded manifest exist, and the stale-edit tripwire is "
+            "BLIND to drift in those queries until re-baselined. Run "
+            "`python tools/query_hashes.py --write` BEFORE editing any "
+            "query code.",
+            file=sys.stderr,
+        )
     if "--write" in sys.argv:
         merged = merge_manifest(cur, rec, graded)
         kept = sorted(

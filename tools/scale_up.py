@@ -54,6 +54,22 @@ N_CUST, N_ORD, N_SUPP, N_PART = 15_000, 150_000, 1_000, 20_000
 N_EVT, N_DOC, N_VEC = 100_000, 5_000, 2_000
 
 
+
+def _check_src_ids(ids, n_shift: int, name: str) -> None:
+    """Replica ids are built as src_id + i*n_shift; uniqueness across
+    replicas requires every source id in [0, n_shift) and no source
+    duplicates (ADVICE r7). Fail loudly instead of silently corrupting
+    min-id canonical labels downstream."""
+    lo, hi = min(ids), max(ids)
+    if not (0 <= lo and hi < n_shift):
+        raise SystemExit(
+            f"{name}: source ids span [{lo}, {hi}] outside [0, {n_shift}); "
+            f"replica shift i*{n_shift} would collide — fix the shift constant"
+        )
+    if len(set(ids)) != len(ids):
+        raise SystemExit(f"{name}: duplicate source ids; replication would compound them")
+
+
 def _copy(con, table: str, select_per_replica: str) -> None:
     """UNION ALL of `select_per_replica` (templated on {i}) over all
     replicas, written as one parquet file."""
@@ -121,6 +137,7 @@ def relational() -> None:
 def documents() -> None:
     t = pq.read_table(f"{SRC}/documents.parquet")
     rows = t.to_pylist()
+    _check_src_ids([r["doc_id"] for r in rows], N_DOC, "documents")
     n = len(rows)
     out = list(rows)  # replica 0 verbatim
     for i in range(1, REPLICAS):
@@ -155,8 +172,9 @@ def embeddings() -> None:
     base = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
     labels = np.asarray(t.column("label").to_pylist())
     src_ids = list(t.column("vec_id").to_pylist())
+    _check_src_ids(src_ids, N_VEC, "embeddings")
     mu, sd = float(base.mean()), float(base.std())
-    vec_ids = [src_ids]  # replica 0 verbatim, whatever the source ids
+    vec_ids = [src_ids]  # replica 0 verbatim
     vecs, labs = [base], [labels]
     for i in range(1, REPLICAS):
         rng = np.random.default_rng(4242 + i)
