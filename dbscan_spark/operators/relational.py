@@ -80,20 +80,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _e4_to_dollars(F.sum(rev_e4)).alias("sum_disc_price"),
             F.sum(charge_e6).alias("_charge_e6"),
             # integer-valued quantities sum exactly in float64, so only
-            # the final rounding needs the cross-engine floor idiom
-            (
-                F.floor(F.sum("l_quantity") * 10000.0 / n + 0.5) / 10000
-            ).alias("avg_qty"),
-            # _avg_money's arithmetic over the pre-projected cents:
-            # exact integer sum, one division, floor-half-up at 1e-4
-            (F.floor(F.sum("_ep_c") * 100.0 / n + 0.5) / 10000).alias(
-                "avg_price"
+            # the final rounding needs the cross-engine floor idiom;
+            # sum*100 is exact (integer-valued), making qty-units
+            # behave as "cents" for the shared expression
+            _avg_cents_floor(F.sum("l_quantity") * 100, n).alias(
+                "avg_qty"
             ),
+            # exact integer cents sum, one division, floor-half-up at
+            # 1e-4 — the one audited money-average expression
+            _avg_cents_floor(F.sum("_ep_c"), n).alias("avg_price"),
             # whole-percent discounts are exact in "cents" units, so
             # the same idiom applies verbatim
-            (F.floor(F.sum("_d_pct") * 100.0 / n + 0.5) / 10000).alias(
-                "avg_disc"
-            ),
+            _avg_cents_floor(F.sum("_d_pct"), n).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn(
@@ -201,11 +199,24 @@ def _avg_money(col: Column, scale: int = 4) -> Column:
     and the log-domain geomean (text.py geomean_price), where no
     integer representation exists and relative drift (~1e-12) sits far
     below the 1e-4 output grid."""
+    return _avg_cents_floor(F.sum(_money_cents(col)), F.count(col), scale)
+
+
+def _avg_cents_floor(
+    total_cents: Column, n: Column, scale: int = 4
+) -> Column:
+    """The single audited definition of the money-average arithmetic
+    (ADVICE r7: the idiom was hand-inlined at three call sites and
+    could drift from _avg_money): floor-half-up at ``scale`` decimals
+    of an EXACT integer cents sum divided once by ``n``. Callers pass
+    the aggregated sum themselves so grouped (``F.sum(c)``), windowed
+    (``F.sum(c).over(w)``), and pre-projected-cents variants all share
+    this one expression tree; ``n`` stays caller-chosen
+    (``F.count(lit(1))`` vs ``F.count(col)`` — identical on the
+    non-null money columns this closure is applied to). Same
+    non-negative-domain caveat as _avg_money."""
     factor = float(10 ** (scale - 2))
-    return (
-        F.floor(F.sum(_money_cents(col)) * factor / F.count(col) + 0.5)
-        / (10 ** scale)
-    )
+    return F.floor(total_cents * factor / n + 0.5) / (10 ** scale)
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,9 +535,7 @@ def agg_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum("_tp_c") / 100).alias("total"),
-        (F.floor(F.sum("_tp_c") * 100.0 / n + 0.5) / 10000).alias(
-            "avg_price"
-        ),
+        _avg_cents_floor(F.sum("_tp_c"), n).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -1282,12 +1291,8 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        (
-            F.floor(
-                F.sum("_tp_c").over(w) * 100.0 / F.count("_tp_c").over(w)
-                + 0.5
-            )
-            / 10000
+        _avg_cents_floor(
+            F.sum("_tp_c").over(w), F.count("_tp_c").over(w)
         ).alias("moving_avg_3"),
     )
 
