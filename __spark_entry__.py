@@ -183,6 +183,14 @@ _REGRADE = {
     "q1_pricing_summary": 7,
     "q2_min_cost_supplier": 7,
     "window_moving_avg": 7,
+    # round 8 (VERDICT r7 item 8): ann_topk_ivf promoted from rows-only
+    # to an EXACT oracle — quantizer training made SQL-replayable
+    # (smallest-vec_id init, per-round 1e-4 quantization) and the
+    # DuckDB twin replays train→assign→probe→score; verified hash-green
+    # at sf0.01 pre-commit, recall pins still pass. ivfpq shares the
+    # retrained quantizer (still rows-only, recall-pinned).
+    "ann_topk_ivf": 7,
+    "ann_topk_ivfpq": 7,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
