@@ -183,14 +183,25 @@ _REGRADE = {
     "q1_pricing_summary": 7,
     "q2_min_cost_supplier": 7,
     "window_moving_avg": 7,
-    # round 8 (VERDICT r7 item 8): ann_topk_ivf promoted from rows-only
-    # to an EXACT oracle — quantizer training made SQL-replayable
-    # (smallest-vec_id init, per-round 1e-4 quantization) and the
-    # DuckDB twin replays train→assign→probe→score; verified hash-green
-    # at sf0.01 pre-commit, recall pins still pass. ivfpq shares the
-    # retrained quantizer (still rows-only, recall-pinned).
+    # round 8 (VERDICT r7 item 8): the ANN family + dedup_embedding_lsh
+    # promoted from rows-only to EXACT oracles — quantizer/codebook
+    # training made SQL-replayable (smallest-vec_id init, per-round
+    # 1e-4 floor-half-up quantization, lowest-code tie-breaks), the
+    # LSH hyperplanes inlined as SQL literals, approx ranking keys
+    # snapped to a 1e-9 grid; the DuckDB twins replay
+    # train→assign/bucket→probe→score→re-rank end-to-end (MATERIALIZED
+    # CTEs keep the ivfpq replay at ~1.3 s). All five verified
+    # hash-green at sf0.01 pre-commit; recall pins still pass.
     "ann_topk_ivf": 7,
     "ann_topk_ivfpq": 7,
+    "ann_topk_lsh": 7,
+    "ann_topk_pq": 7,
+    "dedup_embedding_lsh": 7,
+    # embedding_quantize_int8 shares the similarity-module helper
+    # closure that changed in the sweep above; its own plan and values
+    # are untouched (driver_sim hash-green re-verified) but the
+    # certified pair drifted, so it re-certifies too.
+    "embedding_quantize_int8": 7,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

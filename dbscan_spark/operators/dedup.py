@@ -871,6 +871,16 @@ def _simhash_oracle() -> str:
     """
 
 
+def _similarity_lsh_cte() -> str:
+    """The shared hyperplane-bucketing CTE body (planes/ex/proj/buck)
+    from the ANN module — dedup_embedding_lsh buckets with the SAME
+    plane constants (similarity.py:_bucketed defaults), so its oracle
+    reuses the same literal-embedded replay."""
+    from dbscan_spark.operators.similarity import _LSH_BUCKETS_CTE
+
+    return _LSH_BUCKETS_CTE
+
+
 ORACLE = {
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
@@ -983,6 +993,30 @@ ORACLE = {
                round(list_cosine_similarity(a.embedding::DOUBLE[],
                                             b.embedding::DOUBLE[]), 4) AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4)
+              >= {COSINE_DEDUP_THRESHOLD}
+    """,
+    # dedup_embedding_lsh (exact since r8): the hyperplanes are fixed
+    # algorithm constants (similarity.py:_lsh_planes_sql), so the oracle
+    # replays sign-bucketing → distinct candidate pairs → exact cosine
+    # verify in SQL — the output stops being a "verified subset" check
+    # and becomes fully hash-gated. Valid at every SF (no sampling).
+    "dedup_embedding_lsh": """
+        WITH """
+    + _similarity_lsh_cte()
+    + f""",
+        cand AS (SELECT DISTINCT x.vec_id AS vec_id_1,
+                                 y.vec_id AS vec_id_2
+                 FROM buck x
+                 JOIN buck y ON y.tab = x.tab AND y.bucket = x.bucket
+                 WHERE x.vec_id < y.vec_id)
+        SELECT c.vec_id_1, c.vec_id_2,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.vec_id_1
+        JOIN embeddings b ON b.vec_id = c.vec_id_2
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 4)
               >= {COSINE_DEDUP_THRESHOLD}

@@ -320,27 +320,31 @@ def _pq_codebooks(e: DataFrame) -> "np.ndarray":
     corpus size the codebooks stay (8×16×8 doubles), shipped in the
     encoder's task closure. PQ compresses each 64-D float vector to 8
     4-bit codes (128× smaller), which is what lets billion-vector
-    corpora keep their index in memory."""
-    sample = np.stack(
-        [
-            r["v"]
-            for r in e.orderBy(F.xxhash64("vec_id")).limit(_IVF_SAMPLE).collect()
-        ]
+    corpora keep their index in memory.
+
+    Deterministic and SQL-replayable since r8, same recipe as
+    _ivf_centroids: per-subspace init = the sub-vectors of the _PQ_K
+    smallest-vec_id sample rows (code j = j-th smallest), per-round
+    1e-4 floor-half-up quantization, argmin ties to the lowest code,
+    empty codes carry forward."""
+    rows = sorted(
+        e.orderBy(F.xxhash64("vec_id")).limit(_IVF_SAMPLE).collect(),
+        key=lambda r: r["vec_id"],
     )
-    rng = np.random.default_rng(7)
+    sample = np.stack([r["v"] for r in rows]).astype(np.float64)
     books = np.empty((_PQ_M, _PQ_K, _PQ_SUB))
     for m in range(_PQ_M):
         sub = sample[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
-        cent = sub[rng.choice(len(sub), _PQ_K, replace=False)].copy()
+        cent = _quant4(sub[:_PQ_K].copy())
         for _ in range(_IVF_ITERS):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
+            assign = d2.argmin(1)  # first (lowest) code wins exact ties
             for c in range(_PQ_K):
                 members = sub[assign == c]
                 if len(members):
-                    cent[c] = members.mean(0)
+                    cent[c] = _quant4(members.mean(0))
         books[m] = cent
-    return books.round(6)
+    return books
 
 
 def _pq_encode_udf(books: "np.ndarray"):
@@ -356,7 +360,13 @@ def _pq_encode_udf(books: "np.ndarray"):
         codes = np.empty((len(V), _PQ_M), dtype=np.int32)
         for m in range(_PQ_M):
             sub = V[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
-            d = bn[m][None, :] - 2.0 * (sub @ bks[m].T)
+            # true squared distance (|sub|² term included) so the order
+            # key mirrors the oracle's per-dim sum; ties to lowest code
+            d = (
+                (sub * sub).sum(1)[:, None]
+                + bn[m][None, :]
+                - 2.0 * (sub @ bks[m].T)
+            )
             codes[:, m] = d.argmin(1)
         return pd.Series(list(codes))
 
@@ -405,7 +415,13 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ar = np.arange(_PQ_M)[None, :]
         dots = lut[pos[:, None], ar, C].sum(1)
         vhat_n = np.sqrt(code_sq[ar, C].sum(1))
-        return pd.Series(dots / (qn[pos] * vhat_n))
+        # quantized on the 1e-9 floor-half-up grid: the approx score is
+        # only a RANKING key for the top-32 cutoff, and the grid
+        # absorbs the ~1e-16 summation-order drift between this einsum
+        # and the oracle's per-term SQL sums, so both engines cut the
+        # same candidate set (ties broken by neighbor_id downstream)
+        x = dots / (qn[pos] * vhat_n)
+        return pd.Series(np.floor(x * 1e9 + 0.5) / 1e9)
 
     qdf = spark.createDataFrame(
         [(int(q),) for q in qids], "query_id long"
@@ -473,30 +489,32 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # residual codebooks trained on the SAME driver sample, residualized
-    # against each sample vector's own nearest centroid
+    # against each sample vector's own nearest centroid. Deterministic
+    # and SQL-replayable since r8 (same recipe as _pq_codebooks: init =
+    # residuals of the _PQ_K smallest-vec_id sample rows, per-round
+    # 1e-4 quantization, lowest-code tie-breaks) — the residuals
+    # themselves are bit-identical cross-engine because the centroids
+    # sit on the 1e-4 grid and the inputs are float32-exact doubles.
     C = np.asarray(cent)
-    sample = np.stack(
-        [
-            r["v"]
-            for r in e.orderBy(F.xxhash64("vec_id")).limit(_IVF_SAMPLE).collect()
-        ]
+    rows = sorted(
+        e.orderBy(F.xxhash64("vec_id")).limit(_IVF_SAMPLE).collect(),
+        key=lambda r: r["vec_id"],
     )
+    sample = np.stack([r["v"] for r in rows]).astype(np.float64)
     d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(-1)
     res = sample - C[d2.argmin(1)]
-    rng = np.random.default_rng(11)
     books = np.empty((_PQ_M, _PQ_K, _PQ_SUB))
     for m in range(_PQ_M):
         sub = res[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
-        cb = sub[rng.choice(len(sub), _PQ_K, replace=False)].copy()
+        cb = _quant4(sub[:_PQ_K].copy())
         for _ in range(_IVF_ITERS):
             dd = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
-            assign = dd.argmin(1)
+            assign = dd.argmin(1)  # first (lowest) code wins exact ties
             for c in range(_PQ_K):
                 members = sub[assign == c]
                 if len(members):
-                    cb[c] = members.mean(0)
+                    cb[c] = _quant4(members.mean(0))
         books[m] = cb
-    books = books.round(6)
     bks = books
     bsq = (bks * bks).sum(-1)  # (M, K)
 
@@ -507,7 +525,13 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = np.empty((len(V), _PQ_M), dtype=np.int32)
         for m in range(_PQ_M):
             sub = R[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
-            d = bsq[m][None, :] - 2.0 * (sub @ bks[m].T)
+            # true squared distance so the order key mirrors the
+            # oracle's per-dim sum; ties to lowest code
+            d = (
+                (sub * sub).sum(1)[:, None]
+                + bsq[m][None, :]
+                - 2.0 * (sub @ bks[m].T)
+            )
             codes[:, m] = d.argmin(1)
         return pd.Series(list(codes))
 
@@ -552,7 +576,10 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = q_dot_c[pos, cl] + res_dot                     # <q, v̂>
         cross = cent_cross[cl[:, None], ar, Cd].sum(1)       # <cent, reŝ>
         vhat_sq = cent_sq[cl] + 2.0 * cross + bsq[ar, Cd].sum(1)
-        return pd.Series(num / (qn[pos] * np.sqrt(np.maximum(vhat_sq, 1e-12))))
+        x = num / (qn[pos] * np.sqrt(np.maximum(vhat_sq, 1e-12)))
+        # 1e-9 floor-half-up grid: ranking key only — absorbs the
+        # summation-order drift vs the oracle's SQL sums (see adc_cos)
+        return pd.Series(np.floor(x * 1e9 + 0.5) / 1e9)
 
     nearestk = _nearest_cells_udf(cent, _IVF_PROBES)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -813,7 +840,79 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
 }
 
+def _lsh_planes_sql(
+    n_tables: int = _N_TABLES,
+    planes_per_table: int = _PLANES_PER_TABLE,
+    dim: int = _DIM,
+    seed: int = 42,
+) -> str:
+    """``(tab, pl, pdim, w)`` VALUES rows for the deterministic LSH
+    hyperplanes. The planes are ALGORITHM CONSTANTS (fixed seed,
+    rounded to 6 decimals — the exact matrix _bucketed ships in its
+    UDF closure), not data-derived state, so embedding them as SQL
+    literals lets DuckDB replay the sign-bucketing exactly; repr() of
+    the float round-trips bit-identically through DuckDB's parser."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, planes_per_table, dim)).round(6)
+    return ",".join(
+        f"({t},{p},{d},{float(planes[t, p, d])!r})"
+        for t in range(n_tables)
+        for p in range(planes_per_table)
+        for d in range(dim)
+    )
+
+
+# Shared CTE body: explode embeddings → project onto every plane →
+# sign-bucket per hash table (bucket = Σ 2^plane over non-negative
+# projections, the same bits*weights sum the Arrow bucketer computes).
+# A projection flipping sign across engines would need |v·plane| below
+# the ~1e-14 summation-drift scale — never observed on this data.
+_LSH_BUCKETS_CTE = f"""
+        planes(tab, pl, pdim, w) AS (VALUES {_lsh_planes_sql()}),
+        ex AS MATERIALIZED (SELECT vec_id, u.dim, u.val FROM (
+                 SELECT vec_id,
+                        unnest(list_transform(embedding,
+                            (x, i) -> {{'dim': i - 1,
+                                        'val': CAST(x AS DOUBLE)}})) AS u
+                 FROM embeddings)),
+        proj AS (SELECT e.vec_id, p.tab, p.pl, sum(e.val * p.w) AS s
+                 FROM ex e JOIN planes p ON p.pdim = e.dim
+                 GROUP BY e.vec_id, p.tab, p.pl),
+        buck AS MATERIALIZED (SELECT vec_id, tab,
+                        CAST(sum(CASE WHEN s >= 0
+                                      THEN 1 << pl ELSE 0 END) AS BIGINT)
+                            AS bucket
+                 FROM proj GROUP BY vec_id, tab)"""
+
+
 ORACLE = {
+    # ann_topk_lsh (exact since r8): the hyperplanes are fixed algorithm
+    # constants, so the oracle replays bucketing → candidate union →
+    # exact scoring → top-5 in SQL with the plane matrix inlined as
+    # literals. No sampling involved — valid at every SF.
+    "ann_topk_lsh": f"""
+        WITH {_LSH_BUCKETS_CTE},
+        cand AS (SELECT DISTINCT q.vec_id AS query_id,
+                                 c.vec_id AS neighbor_id
+                 FROM buck q
+                 JOIN buck c ON c.tab = q.tab AND c.bucket = q.bucket
+                 WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]),
+                       4) AS cos_sim,
+                 row_number() OVER (
+                     PARTITION BY c.query_id
+                     ORDER BY round(list_cosine_similarity(
+                                  q.embedding::DOUBLE[],
+                                  e.embedding::DOUBLE[]), 4) DESC,
+                              c.neighbor_id) AS rnk
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.neighbor_id)
+        WHERE rnk <= {TOP_K}
+    """,
     "knn_label_predict": """
         WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
                    FROM embeddings),
@@ -887,18 +986,17 @@ ORACLE = {
             WHERE q.vec_id < {N_QUERIES})
         WHERE rnk <= {TOP_K}
     """,
-    # ann_topk_lsh: probabilistic recall — rows-only check.
-    # ann_topk_ivf: exact replay of the deterministic quantizer training
-    # (same recursive-CTE fixed-round pattern as kmeans_embeddings's
-    # oracle: init = _IVF_CELLS smallest vec_ids, per-round 1e-4
-    # floor-half-up centroid quantization, argmin ties to lowest cell,
-    # empty cells carry forward), then assignment, probing, and scoring.
-    # Valid while the corpus fits the ≤2048-vector training sample —
-    # true at every grading SF; the sampled scale path keeps its recall
-    # pin in tests.
-    "ann_topk_ivf": f"""
+    # ann_topk_ivfpq (exact since r8): composes the two replays below/
+    # above — IVF training/assignment/probing verbatim, then RESIDUAL
+    # PQ codebooks (residual = v − centroid[assigned cell];
+    # bit-identical cross-engine because centroids sit on the 1e-4
+    # grid), residual encoding, and the full ADC expansion
+    # (<q,cent> + Σ<q,book> over sqrt(|cent|² + 2Σ<cent,book> +
+    # Σ|book|²)) on the 1e-9 ranking grid, top-32 cutoff, exact
+    # re-rank. Same ≤2048-sample domain note as ann_topk_ivf.
+    "ann_topk_ivfpq": f"""
         WITH RECURSIVE
-        ex AS (SELECT vec_id, u.dim, u.val FROM (
+        ex AS MATERIALIZED (SELECT vec_id, u.dim, u.val FROM (
                  SELECT vec_id,
                         unnest(list_transform(embedding,
                             (x, i) -> {{'dim': i - 1,
@@ -930,13 +1028,280 @@ ORACLE = {
             GROUP BY b.cell, e.dim
           ) n ON n.cell = c.cell AND n.dim = c.dim
           WHERE c.i < {_IVF_ITERS}),
-        d2a AS (
+        cent AS MATERIALIZED (SELECT cell, dim, val FROM it WHERE i = {_IVF_ITERS}),
+        d2a AS MATERIALIZED (
+          SELECT e.vec_id, t.cell,
+                 sum((e.val - t.val) * (e.val - t.val)) AS d2
+          FROM ex e JOIN cent t USING (dim)
+          GROUP BY e.vec_id, t.cell),
+        assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cell) AS rn
+                     FROM d2a) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cell) AS rn
+                     FROM d2a WHERE vec_id < {N_QUERIES})
+                   WHERE rn <= {_IVF_PROBES}),
+        resx AS MATERIALIZED (SELECT e.vec_id, e.dim, e.val - c.val AS val
+                 FROM ex e
+                 JOIN assign a USING (vec_id)
+                 JOIN cent c ON c.cell = a.cell AND c.dim = e.dim),
+        rsx AS MATERIALIZED (SELECT vec_id, dim // {_PQ_SUB} AS m,
+                       dim % {_PQ_SUB} AS sd, val
+                FROM resx),
+        rinit AS (SELECT vec_id,
+                         row_number() OVER (ORDER BY vec_id) - 1 AS code
+                  FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}),
+        rbk(i, m, code, sd, val) AS (
+          SELECT 0, s.m, n.code, s.sd, floor(s.val * 10000 + 0.5) / 10000
+          FROM rinit n JOIN rsx s USING (vec_id)
+          UNION ALL
+          SELECT c.i + 1, c.m, c.code, c.sd, coalesce(n.val, c.val)
+          FROM rbk c LEFT JOIN (
+            WITH d AS (
+              SELECT s.vec_id, t.m, t.code,
+                     sum((s.val - t.val) * (s.val - t.val)) AS d2
+              FROM rsx s JOIN rbk t ON t.m = s.m AND t.sd = s.sd
+              GROUP BY s.vec_id, t.m, t.code),
+            best AS (
+              SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, code) AS rn
+                FROM d) WHERE rn = 1)
+            SELECT b.m, b.code, s.sd,
+                   floor(avg(s.val) * 10000 + 0.5) / 10000 AS val
+            FROM best b JOIN rsx s ON s.vec_id = b.vec_id AND s.m = b.m
+            GROUP BY b.m, b.code, s.sd
+          ) n ON n.m = c.m AND n.code = c.code AND n.sd = c.sd
+          WHERE c.i < {_IVF_ITERS}),
+        books AS MATERIALIZED (SELECT m, code, sd, val FROM rbk WHERE i = {_IVF_ITERS}),
+        enc_d AS (
+          SELECT s.vec_id, t.m, t.code,
+                 sum((s.val - t.val) * (s.val - t.val)) AS d2
+          FROM rsx s JOIN books t ON t.m = s.m AND t.sd = s.sd
+          GROUP BY s.vec_id, t.m, t.code),
+        enc AS MATERIALIZED (SELECT vec_id, m, code FROM (
+                  SELECT vec_id, m, code,
+                         row_number() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2, code) AS rn
+                  FROM enc_d) WHERE rn = 1),
+        qn AS (SELECT vec_id, sqrt(sum(val * val)) AS nq FROM ex
+               WHERE vec_id < {N_QUERIES} GROUP BY vec_id),
+        qsx AS (SELECT vec_id, dim // {_PQ_SUB} AS m,
+                       dim % {_PQ_SUB} AS sd, val
+                FROM ex WHERE vec_id < {N_QUERIES}),
+        lutr AS (SELECT q.vec_id AS query_id, b.m, b.code,
+                        sum(q.val * b.val) AS dot
+                 FROM qsx q JOIN books b ON b.m = q.m AND b.sd = q.sd
+                 GROUP BY q.vec_id, b.m, b.code),
+        qdotc AS (SELECT q.vec_id AS query_id, c.cell,
+                         sum(q.val * c.val) AS dot
+                  FROM ex q JOIN cent c ON c.dim = q.dim
+                  WHERE q.vec_id < {N_QUERIES}
+                  GROUP BY q.vec_id, c.cell),
+        csx AS (SELECT cell, dim // {_PQ_SUB} AS m,
+                       dim % {_PQ_SUB} AS sd, val
+                FROM cent),
+        crossx AS (SELECT c.cell, b.m, b.code, sum(c.val * b.val) AS x
+                   FROM csx c JOIN books b ON b.m = c.m AND b.sd = c.sd
+                   GROUP BY c.cell, b.m, b.code),
+        cent_sq AS (SELECT cell, sum(val * val) AS sq
+                    FROM cent GROUP BY cell),
+        bsq AS (SELECT m, code, sum(val * val) AS sq
+                FROM books GROUP BY m, code),
+        approx AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 floor((any_value(qc.dot) + sum(l.dot))
+                       / (any_value(q.nq)
+                          * sqrt(greatest(any_value(cs.sq)
+                                          + 2 * sum(cx.x)
+                                          + sum(bq.sq), 1e-12)))
+                       * 1e9 + 0.5) / 1e9 AS approx_cos
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+          JOIN enc v ON v.vec_id = a.vec_id
+          JOIN lutr l ON l.query_id = p.query_id
+                     AND l.m = v.m AND l.code = v.code
+          JOIN crossx cx ON cx.cell = a.cell
+                        AND cx.m = v.m AND cx.code = v.code
+          JOIN bsq bq ON bq.m = v.m AND bq.code = v.code
+          JOIN qdotc qc ON qc.query_id = p.query_id AND qc.cell = a.cell
+          JOIN qn q ON q.vec_id = p.query_id
+          JOIN cent_sq cs ON cs.cell = a.cell
+          GROUP BY p.query_id, a.vec_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          row_number() OVER (
+                              PARTITION BY query_id
+                              ORDER BY approx_cos DESC, neighbor_id
+                          ) AS arnk
+                   FROM approx) WHERE arnk <= {_PQ_RERANK})
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]),
+                       4) AS cos_sim,
+                 row_number() OVER (
+                     PARTITION BY c.query_id
+                     ORDER BY round(list_cosine_similarity(
+                                  q.embedding::DOUBLE[],
+                                  e.embedding::DOUBLE[]), 4) DESC,
+                              c.neighbor_id) AS rnk
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.neighbor_id)
+        WHERE rnk <= {TOP_K}
+    """,
+    # ann_topk_pq: exact replay of the deterministic per-subspace
+    # codebook training (same fixed-round recipe as ann_topk_ivf's
+    # oracle, with a subspace column m = dim // SUB), then PQ encoding,
+    # ADC scoring (query↔code LUT + code norms as grouped sums), the
+    # 1e-9-quantized approximate top-32 cutoff, and the exact re-rank.
+    # Same ≤2048-sample domain note as ann_topk_ivf.
+    "ann_topk_pq": f"""
+        WITH RECURSIVE
+        ex AS MATERIALIZED (SELECT vec_id, u.dim, u.val FROM (
+                 SELECT vec_id,
+                        unnest(list_transform(embedding,
+                            (x, i) -> {{'dim': i - 1,
+                                        'val': CAST(x AS DOUBLE)}})) AS u
+                 FROM embeddings)),
+        sx AS MATERIALIZED (SELECT vec_id, dim // {_PQ_SUB} AS m, dim % {_PQ_SUB} AS sd,
+                      val
+               FROM ex),
+        init AS (SELECT vec_id,
+                        row_number() OVER (ORDER BY vec_id) - 1 AS code
+                 FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}),
+        bk(i, m, code, sd, val) AS (
+          SELECT 0, s.m, n.code, s.sd, floor(s.val * 10000 + 0.5) / 10000
+          FROM init n JOIN sx s USING (vec_id)
+          UNION ALL
+          SELECT c.i + 1, c.m, c.code, c.sd, coalesce(n.val, c.val)
+          FROM bk c LEFT JOIN (
+            WITH d AS (
+              SELECT s.vec_id, t.m, t.code,
+                     sum((s.val - t.val) * (s.val - t.val)) AS d2
+              FROM sx s JOIN bk t ON t.m = s.m AND t.sd = s.sd
+              GROUP BY s.vec_id, t.m, t.code),
+            best AS (
+              SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, code) AS rn
+                FROM d) WHERE rn = 1)
+            SELECT b.m, b.code, s.sd,
+                   floor(avg(s.val) * 10000 + 0.5) / 10000 AS val
+            FROM best b JOIN sx s ON s.vec_id = b.vec_id AND s.m = b.m
+            GROUP BY b.m, b.code, s.sd
+          ) n ON n.m = c.m AND n.code = c.code AND n.sd = c.sd
+          WHERE c.i < {_IVF_ITERS}),
+        books AS MATERIALIZED (SELECT m, code, sd, val FROM bk WHERE i = {_IVF_ITERS}),
+        enc_d AS (
+          SELECT s.vec_id, t.m, t.code,
+                 sum((s.val - t.val) * (s.val - t.val)) AS d2
+          FROM sx s JOIN books t ON t.m = s.m AND t.sd = s.sd
+          GROUP BY s.vec_id, t.m, t.code),
+        enc AS MATERIALIZED (SELECT vec_id, m, code FROM (
+                  SELECT vec_id, m, code,
+                         row_number() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2, code) AS rn
+                  FROM enc_d) WHERE rn = 1),
+        qn AS (SELECT vec_id, sqrt(sum(val * val)) AS nq FROM ex
+               WHERE vec_id < {N_QUERIES} GROUP BY vec_id),
+        lut AS (SELECT q.vec_id AS query_id, b.m, b.code,
+                       sum(q.val * b.val) AS dot
+                FROM sx q JOIN books b ON b.m = q.m AND b.sd = q.sd
+                WHERE q.vec_id < {N_QUERIES}
+                GROUP BY q.vec_id, b.m, b.code),
+        code_sq AS (SELECT m, code, sum(val * val) AS sq
+                    FROM books GROUP BY m, code),
+        approx AS (
+          SELECT l.query_id, v.vec_id AS neighbor_id,
+                 floor(sum(l.dot)
+                       / (any_value(q.nq) * sqrt(sum(cs.sq)))
+                       * 1e9 + 0.5) / 1e9 AS approx_cos
+          FROM enc v
+          JOIN lut l ON l.m = v.m AND l.code = v.code
+          JOIN code_sq cs ON cs.m = v.m AND cs.code = v.code
+          JOIN qn q ON q.vec_id = l.query_id
+          WHERE v.vec_id <> l.query_id
+          GROUP BY l.query_id, v.vec_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          row_number() OVER (
+                              PARTITION BY query_id
+                              ORDER BY approx_cos DESC, neighbor_id
+                          ) AS arnk
+                   FROM approx) WHERE arnk <= {_PQ_RERANK})
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]),
+                       4) AS cos_sim,
+                 row_number() OVER (
+                     PARTITION BY c.query_id
+                     ORDER BY round(list_cosine_similarity(
+                                  q.embedding::DOUBLE[],
+                                  e.embedding::DOUBLE[]), 4) DESC,
+                              c.neighbor_id) AS rnk
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.neighbor_id)
+        WHERE rnk <= {TOP_K}
+    """,
+    # ann_topk_ivf: exact replay of the deterministic quantizer training
+    # (same recursive-CTE fixed-round pattern as kmeans_embeddings's
+    # oracle: init = _IVF_CELLS smallest vec_ids, per-round 1e-4
+    # floor-half-up centroid quantization, argmin ties to lowest cell,
+    # empty cells carry forward), then assignment, probing, and scoring.
+    # Valid while the corpus fits the ≤2048-vector training sample —
+    # true at every grading SF; the sampled scale path keeps its recall
+    # pin in tests.
+    "ann_topk_ivf": f"""
+        WITH RECURSIVE
+        ex AS MATERIALIZED (SELECT vec_id, u.dim, u.val FROM (
+                 SELECT vec_id,
+                        unnest(list_transform(embedding,
+                            (x, i) -> {{'dim': i - 1,
+                                        'val': CAST(x AS DOUBLE)}})) AS u
+                 FROM embeddings)),
+        init AS (SELECT vec_id,
+                        row_number() OVER (ORDER BY vec_id) - 1 AS cell
+                 FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}),
+        it(i, cell, dim, val) AS (
+          SELECT 0, n.cell, e.dim, floor(e.val * 10000 + 0.5) / 10000
+          FROM init n JOIN ex e USING (vec_id)
+          UNION ALL
+          SELECT c.i + 1, c.cell, c.dim, coalesce(n.val, c.val)
+          FROM it c LEFT JOIN (
+            WITH d AS (
+              SELECT e.vec_id, t.cell,
+                     sum((e.val - t.val) * (e.val - t.val)) AS d2
+              FROM ex e JOIN it t USING (dim)
+              GROUP BY e.vec_id, t.cell),
+            best AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rn
+                FROM d) WHERE rn = 1)
+            SELECT b.cell, e.dim,
+                   floor(avg(e.val) * 10000 + 0.5) / 10000 AS val
+            FROM best b JOIN ex e ON e.vec_id = b.vec_id
+            GROUP BY b.cell, e.dim
+          ) n ON n.cell = c.cell AND n.dim = c.dim
+          WHERE c.i < {_IVF_ITERS}),
+        d2a AS MATERIALIZED (
           SELECT e.vec_id, t.cell,
                  sum((e.val - t.val) * (e.val - t.val)) AS d2
           FROM ex e JOIN it t USING (dim)
           WHERE t.i = {_IVF_ITERS}
           GROUP BY e.vec_id, t.cell),
-        assign AS (SELECT vec_id, cell FROM (
+        assign AS MATERIALIZED (SELECT vec_id, cell FROM (
                      SELECT vec_id, cell,
                             row_number() OVER (PARTITION BY vec_id
                                                ORDER BY d2, cell) AS rn
@@ -967,7 +1332,7 @@ ORACLE = {
         WHERE rnk <= {TOP_K}
     """,
     "embedding_quantize_int8": """
-        WITH ex AS (
+        WITH ex AS MATERIALIZED (
             SELECT vec_id, u.dim, u.val FROM (
                 SELECT vec_id,
                        unnest(list_transform(embedding,
