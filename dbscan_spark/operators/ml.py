@@ -776,7 +776,18 @@ def embedding_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic, and are shipped back as literal arrays for a
     zero-shuffle JVM-side projection. Eigendecomposition is not
     SQL-expressible → rows-only driver check; tests pin the projection
-    against numpy's full PCA on the collected matrix."""
+    against numpy's full PCA on the collected matrix.
+
+    Round-8 promotion attempt, measured dead end: the quantized
+    trajectory-replay recipe that exact-gated kmeans/IVF/PQ needs an
+    iteration BOTH engines can replay, and power iteration is the only
+    SQL-expressible candidate — but this corpus is near-isotropic
+    (top eigengap 1.3-1.7%; |cos(power_iter(256 rounds), eigh top)| =
+    0.098 at sf0.1 from a fixed start), so a replayable trajectory
+    would no longer compute PCA, and inlining the eigh vectors into
+    the oracle would make it circular (unlike the LSH planes, they are
+    data-derived, not algorithm constants). Rows-only is the honest
+    contract here."""
     from dbscan_spark.functions import dot
 
     parts = _gram_partials(spark, sf_dir).toPandas()
