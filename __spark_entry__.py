@@ -202,6 +202,16 @@ _REGRADE = {
     # are untouched (driver_sim hash-green re-verified) but the
     # certified pair drifted, so it re-certifies too.
     "embedding_quantize_int8": 7,
+    # round 8 bug class found by inspection: Spark's sequence(a, b)
+    # yields a DESCENDING array when b < a, so degenerate rows
+    # (single-char words / empty payloads) emitted bogus elements the
+    # DuckDB oracles (range(): empty) never count — latent on the
+    # shipped corpora only because the bogus counts stayed below the
+    # top-N cutoffs. Guards added on the Spark side; values at the
+    # shipped SFs now TRUE on both engines (verified hash-green at
+    # sf0.01 and sf0.1 pre-commit) — re-certify under the driver.
+    "text_bpe_pair_merges": 7,
+    "multimodal_chunk_dedup": 7,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

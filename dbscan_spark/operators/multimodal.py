@@ -333,10 +333,19 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_hash, whose keys are fixed-width digests (perfectly
     hash-partitionable at 100 TB)."""
     d = load_table(spark, sf_dir, "documents")
-    chunks = F.expr(
-        "transform(sequence(0, int(floor((length(text) - 1) / 256))),"
-        " i -> md5(substring(text, i * 256 + 1, 256)))"
-    )
+    # The empty-payload guard is load-bearing (round-8 fix): Spark's
+    # sequence(0, -1) yields the DESCENDING [0, -1], so a zero-length
+    # payload emitted two bogus ''-chunks while the oracle's
+    # range(0, 0) (empty) emits none. Latent on the shipped corpora
+    # (no empty documents at any SF) but a real 100 TB corpus has them;
+    # both engines now agree: no content -> no blocks.
+    chunks = F.when(
+        F.length("text") >= 1,
+        F.expr(
+            "transform(sequence(0, int(floor((length(text) - 1) / 256))),"
+            " i -> md5(substring(text, i * 256 + 1, 256)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select("doc_id", F.explode(chunks).alias("chunk_hash"))
         .groupBy("chunk_hash")

@@ -825,12 +825,20 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word, count) FIRST (vocabulary-sized), then each distinct word
     expands to its pairs weighted by count — the full token stream is
     never exploded per occurrence. Top 20 with a deterministic
-    (count desc, pair) tiebreak."""
+    (count desc, pair) tiebreak.
+
+    The `length(w) >= 2` guard is load-bearing (round-8 fix): Spark's
+    ``sequence(1, 0)`` yields the DESCENDING ``[1, 0]``, so without it a
+    single-char word emitted two bogus "pairs" (``substr`` clamps
+    position 0 to 1) that the oracle's ``range(1, 1)`` (empty) never
+    counts — latent on the shipped corpus only because the inflated
+    pairs sat below the top-20 cutoff."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
+        .filter(F.length("w") >= 2)
     )
     pairs = words.select(
         F.explode(

@@ -861,3 +861,48 @@ def test_label_propagation_matches_python_replay(spark):
         }
         want.update({(rnd, n): lbl for n, lbl in label.items()})
     assert got == want
+
+
+def test_degenerate_rows_match_oracle_bpe_and_chunks(spark, tmp_path):
+    """Regression for the round-8 sequence(a, b<a) class: Spark's
+    sequence() yields a DESCENDING array when the stop is below the
+    start, so single-char words / empty payloads silently emitted bogus
+    pairs/chunks the DuckDB oracles (range(): empty) never count. The
+    shipped corpora happen not to trigger it (counts stayed below the
+    top-N cutoffs; no empty documents) — this crafted corpus does."""
+    import duckdb
+    import pandas as pd
+
+    from dbscan_spark.operators import text as text_ops
+    import __spark_entry__ as entry_mod
+    from tests.test_oracle_parity import canonicalize
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a a a b c aa ab",      # single-char words dominate
+                "",                      # empty payload
+                "x",                     # 1-char payload, 1-char word
+                "ab ab a b " + "z" * 600,  # multi-chunk + pairs
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [15, 0, 1, 610],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path / 'documents.parquet'}'"
+    )
+    oracles = entry_mod.oracle_sql()
+    for name, fn in (
+        ("text_bpe_pair_merges", text_ops.text_bpe_pair_merges),
+        ("multimodal_chunk_dedup", multimodal.multimodal_chunk_dedup),
+    ):
+        got = canonicalize(fn(spark, str(tmp_path)).toPandas())
+        want = canonicalize(con.sql(oracles[name]).df())
+        assert got == want, f"{name} diverges on degenerate rows"
