@@ -212,6 +212,20 @@ _REGRADE = {
     # sf0.01 and sf0.1 pre-commit) — re-certify under the driver.
     "text_bpe_pair_merges": 7,
     "multimodal_chunk_dedup": 7,
+    # round 8 adversarial-corpus fuzz (tools/make_adversarial_sf.py):
+    # zero-norm embeddings made every cosine query THROW under Spark 4's
+    # default ANSI mode (DIVIDE_BY_ZERO) while DuckDB yields NULL — a
+    # single masked/failed embedding in a real corpus would kill the
+    # job. Both engines now exclude zero-norm vectors from the
+    # similarity corpus (norm > 0: defined semantics, no NULL-ordering
+    # ambiguity). Values at the shipped SFs are unchanged (no zero
+    # vectors there) — verified hash-green at sf0.01, sf0.1 AND the
+    # adversarial corpus pre-commit; re-certify under the driver.
+    "ann_topk_bruteforce": 7,
+    "similarity_range_search": 7,
+    "ann_topk_filtered": 7,
+    "knn_label_predict": 7,
+    "dedup_embedding_cosine": 7,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

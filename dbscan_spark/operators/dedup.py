@@ -437,6 +437,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
+        # zero-norm excluded (cosine undefined; Spark ANSI division
+        # throws) — see similarity._embeddings_with_norms
+        .filter(F.col("nv") > 0.0)
     )
     a, b = e.alias("a"), e.alias("b")
     # precomputed norms: one interpreted fold per vector instead of two
@@ -1078,3 +1081,15 @@ ORACLE = {
         FROM ranked
     """,
 }
+
+# Same zero-norm exclusion as the similarity module (cosine undefined;
+# Spark ANSI division throws) — applied to the two cosine oracles here,
+# including the _LSH_BUCKETS_CTE body already inlined into
+# dedup_embedding_lsh's string above.
+from dbscan_spark.operators.similarity import _EMB_NONZERO as _EMB_NZ  # noqa: E402
+import re as _re  # noqa: E402
+
+for _name in ("dedup_embedding_cosine", "dedup_embedding_lsh"):
+    ORACLE[_name] = _re.sub(
+        r"\b(FROM|JOIN) embeddings\b", rf"\1 {_EMB_NZ}", ORACLE[_name]
+    )

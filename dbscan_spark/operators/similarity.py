@@ -43,11 +43,21 @@ def _embeddings_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v: array<double>, nv: double) — staged projections so the
     array cast runs once per row and every pairwise cosine downstream
     divides by PREcomputed norms: the interpreted fold for a norm then
-    runs once per vector, not once per pair (3 folds/pair → 1)."""
+    runs once per vector, not once per pair (3 folds/pair → 1).
+
+    Zero-norm vectors are EXCLUDED from the similarity corpus (round-8
+    adversarial-fuzz fix): a zero vector has no direction, so cosine is
+    undefined — and under Spark 4's default ANSI mode the division
+    THROWS, killing the whole job on the first masked/failed embedding
+    a real corpus contains, while DuckDB silently yields NULL. Both
+    engines now apply the same `norm > 0` rule (oracles filter on
+    ``list_inner_product(v, v) > 0`` — the sum of squares is positive
+    iff any component is nonzero, summation-order-independent)."""
     return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
+        .filter(F.col("nv") > 0.0)
     )
 
 
@@ -735,7 +745,9 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double_array(F.col("embedding")).alias("v"),
         F.col("label").cast("long").alias("label"),
     )
-    e = e.select("vec_id", "v", "label", l2_norm(F.col("v")).alias("nv"))
+    e = e.select(
+        "vec_id", "v", "label", l2_norm(F.col("v")).alias("nv")
+    ).filter(F.col("nv") > 0.0)  # zero-norm excluded, see _embeddings_with_norms
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -780,7 +792,9 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double_array(F.col("embedding")).alias("v"),
         F.col("label").cast("long").alias("label"),
     )
-    e = e.select("vec_id", "v", "label", l2_norm(F.col("v")).alias("nv"))
+    e = e.select(
+        "vec_id", "v", "label", l2_norm(F.col("v")).alias("nv")
+    ).filter(F.col("nv") > 0.0)  # zero-norm excluded, see _embeddings_with_norms
     probes = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
@@ -1359,3 +1373,33 @@ ORACLE = {
         GROUP BY vec_id
     """,
 }
+
+# Zero-norm vectors are excluded from the similarity corpus on BOTH
+# engines (cosine is undefined for them; Spark ANSI division throws —
+# see _embeddings_with_norms). Applied mechanically to every cosine
+# oracle so the rule lives in one place and cannot drift per-query:
+# each `FROM/JOIN embeddings` becomes a subquery keeping rows with a
+# positive sum of squares (positive iff any component is nonzero,
+# independent of summation order — exact on both engines).
+_EMB_NONZERO = (
+    "(SELECT * FROM embeddings WHERE "
+    "list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)"
+)
+
+_COSINE_ORACLES = (
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "similarity_range_search",
+    "ann_topk_filtered",
+    "knn_label_predict",
+)
+
+import re as _re  # noqa: E402  (module tail, after the big dict literals)
+
+for _name in _COSINE_ORACLES:
+    ORACLE[_name] = _re.sub(
+        r"\b(FROM|JOIN) embeddings\b", rf"\1 {_EMB_NONZERO}", ORACLE[_name]
+    )

@@ -906,3 +906,48 @@ def test_degenerate_rows_match_oracle_bpe_and_chunks(spark, tmp_path):
         got = canonicalize(fn(spark, str(tmp_path)).toPandas())
         want = canonicalize(con.sql(oracles[name]).df())
         assert got == want, f"{name} diverges on degenerate rows"
+
+
+def test_zero_norm_embeddings_match_oracle(spark, tmp_path):
+    """Regression for the round-8 adversarial-fuzz finding: a zero-norm
+    embedding made every cosine query throw DIVIDE_BY_ZERO under Spark's
+    default ANSI mode while DuckDB yields NULL. Both engines now exclude
+    zero-norm vectors from the similarity corpus; this crafted corpus
+    (zero vector, exact-duplicate vector → cosine ties, 1e-30 vector →
+    near-underflow norms) pins three cosine queries end-to-end."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from tests.test_oracle_parity import canonicalize
+
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(64).astype(np.float32) for _ in range(20)]
+    vecs.append(np.zeros(64, dtype=np.float32))      # undefined direction
+    vecs.append(vecs[0].copy())                       # exact dup: ties
+    vecs.append(np.full(64, 1e-30, dtype=np.float32))  # tiny norm
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [list(v) for v in vecs],
+            "label": np.arange(len(vecs)) % 3,
+        }
+    )
+    emb["label"] = emb["label"].astype("int32")
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path / 'embeddings.parquet'}'"
+    )
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    for name in (
+        "ann_topk_bruteforce",
+        "similarity_range_search",
+        "dedup_embedding_cosine",
+    ):
+        got = canonicalize(qs[name](spark, str(tmp_path)).toPandas())
+        want = canonicalize(con.sql(oracles[name]).df())
+        assert got == want, f"{name} diverges on zero-norm corpus"
