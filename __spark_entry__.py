@@ -232,6 +232,7 @@ _REGRADE = {
 # DBSCAN embedding family). Sorted last within the dark set so a
 # time-budget truncation can only cost these rows, never cheap ones.
 _HEAVY = {
+    "text_bpe_train_merges",
     "dedup_semantic_keep_best",
     "kmeans_embeddings",
     "corpus_cluster_profiles",

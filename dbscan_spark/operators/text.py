@@ -857,6 +857,85 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 6
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE merge TRAINING — the greedy tokenizer-training
+    loop itself, not just round-1 statistics (text_bpe_pair_merges):
+    run ``_BPE_ROUNDS`` rounds of count-pairs → pick argmax → merge it
+    everywhere, and return one row per learned merge
+    ``(merge_round, left_sym, right_sym, pair_n)``.
+
+    Scale design: the state is the VOCABULARY (distinct word → count),
+    never the token stream — Heaps' law keeps it sublinear in corpus
+    size, which is how distributed BPE trainers work at 100 TB. Each
+    round costs one vocabulary-sized partial-agg shuffle (pair counts),
+    a 1-row driver collect (the argmax — same bounded-driver-state
+    shape as the kmeans centroid loop), and a row-local string replace.
+
+    Determinism: integers and strings only — no floats anywhere. Words
+    are bracket-encoded (``\\x01sym\\x02`` per symbol) so a literal
+    ``replace()`` of ``\\x01L\\x02\\x01R\\x02`` → ``\\x01LR\\x02``
+    cannot partial-match inside a longer symbol, and both engines'
+    leftmost non-overlapping replace() semantics ARE BPE's greedy
+    left-to-right merge rule (``aaa`` + merge(a,a) → ``(aa)a``). Ties
+    break (count desc, left, right) under binary collation on both
+    engines. The DuckDB oracle replays the identical rounds with a
+    recursive CTE.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        # 1-char words carry no pairs (and sequence(1, 0) is DESCENDING
+        # in Spark — see text_bpe_pair_merges)
+        .filter(F.length("w") >= 2)
+    )
+    cur = words.select(
+        F.regexp_replace("w", "(.)", "\x01$1\x02").alias("s"), "n_w"
+    ).persist()
+    out_rows: list[tuple] = []
+    for merge_round in range(1, _BPE_ROUNDS + 1):
+        sy = F.split(F.expr("substring(s, 2, length(s) - 2)"), "\x02\x01")
+        top = (
+            cur.select(sy.alias("sy"), "n_w")
+            .filter(F.size("sy") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sy) - 1),"
+                        " k -> struct(sy[k-1] AS l, sy[k] AS r))"
+                    )
+                ).alias("p"),
+                "n_w",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n_w").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        out_rows.append((merge_round, left, right, n))
+        target = f"\x01{left}\x02\x01{right}\x02"
+        repl = f"\x01{left}{right}\x02"
+        nxt = cur.select(
+            F.replace(F.col("s"), F.lit(target), F.lit(repl)).alias("s"),
+            "n_w",
+        ).persist()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "merge_round long, left_sym string, right_sym string, pair_n long",
+    )
+
+
 # both patterns use only character classes + bounded quantifiers, the
 # regex subset where Java (Spark) and RE2 (DuckDB) semantics coincide
 _PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
@@ -1089,6 +1168,7 @@ QUERIES = {
     "corpus_train_split": corpus_train_split,
     "text_contamination_bloom": text_contamination_bloom,
     "text_bpe_pair_merges": text_bpe_pair_merges,
+    "text_bpe_train_merges": text_bpe_train_merges,
     "text_bigram_lm_quality": text_bigram_lm_quality,
 }
 
@@ -1211,6 +1291,69 @@ ORACLE = {
                floor(avg(-ln(p)) * 10000 + 0.5) / 10000 AS nll
         FROM pairs JOIN lm USING (prev, cur)
         GROUP BY doc_id
+    """,
+    # text_bpe_train_merges: recursive-CTE replay of the greedy merge
+    # loop — bracket-encode the vocabulary, then per round: split into
+    # symbols, count weighted adjacent pairs, pick the (count desc,
+    # left, right) argmax, replace() it everywhere (leftmost
+    # non-overlapping — BPE's own merge rule). The final SELECT
+    # recomputes the argmax at each retained round i: that IS the merge
+    # that produced round i+1. Integers/strings only — exact.
+    "text_bpe_train_merges": f"""
+        WITH RECURSIVE
+        words AS MATERIALIZED (
+          SELECT w, count(*) AS n_w
+          FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+          GROUP BY w HAVING length(w) >= 2),
+        enc AS MATERIALIZED (
+          SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')
+                   AS s,
+                 n_w
+          FROM words),
+        it(i, s, n_w) AS (
+          SELECT 0, s, n_w FROM enc
+          UNION ALL
+          SELECT c.i + 1, replace(c.s, ch.target, ch.repl), c.n_w
+          FROM it c, (
+            WITH sy AS (
+              SELECT string_split(substring(s, 2, length(s) - 2),
+                                  chr(2) || chr(1)) AS sy,
+                     n_w
+              FROM it),
+            pr AS (
+              SELECT p.l AS l, p.r AS r, sum(p.n) AS n FROM (
+                SELECT unnest(list_transform(range(1, len(sy)),
+                         k -> {{'l': sy[k], 'r': sy[k + 1], 'n': n_w}}))
+                       AS p
+                FROM sy WHERE len(sy) >= 2)
+              GROUP BY p.l, p.r),
+            best AS (SELECT l, r FROM (
+                       SELECT l, r, row_number() OVER
+                                (ORDER BY n DESC, l, r) AS rn
+                       FROM pr) WHERE rn = 1)
+            SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2)
+                     AS target,
+                   chr(1) || l || r || chr(2) AS repl
+            FROM best) ch
+          WHERE c.i < {_BPE_ROUNDS}),
+        sy2 AS (
+          SELECT i, string_split(substring(s, 2, length(s) - 2),
+                                 chr(2) || chr(1)) AS sy,
+                 n_w
+          FROM it WHERE i < {_BPE_ROUNDS}),
+        pr2 AS (
+          SELECT i, p.l AS l, p.r AS r, CAST(sum(p.n) AS BIGINT) AS n
+          FROM (
+            SELECT i, unnest(list_transform(range(1, len(sy)),
+                     k -> {{'l': sy[k], 'r': sy[k + 1], 'n': n_w}})) AS p
+            FROM sy2 WHERE len(sy) >= 2)
+          GROUP BY i, p.l, p.r)
+        SELECT CAST(i + 1 AS BIGINT) AS merge_round,
+               l AS left_sym, r AS right_sym, n AS pair_n
+        FROM (SELECT i, l, r, n, row_number() OVER
+                       (PARTITION BY i ORDER BY n DESC, l, r) AS rn
+              FROM pr2)
+        WHERE rn = 1
     """,
     "text_bpe_pair_merges": f"""
         WITH words AS (

@@ -951,3 +951,74 @@ def test_zero_norm_embeddings_match_oracle(spark, tmp_path):
         got = canonicalize(qs[name](spark, str(tmp_path)).toPandas())
         want = canonicalize(con.sql(oracles[name]).df())
         assert got == want, f"{name} diverges on zero-norm corpus"
+
+
+def test_bpe_train_matches_pure_python_reference(spark, tmp_path):
+    """text_bpe_train_merges vs an independent plain-Python BPE trainer
+    (counts adjacent pairs WITH overlaps, merges leftmost
+    non-overlapping — the canonical greedy rule) on a corpus with
+    merge-order-sensitive words, overlap runs ('aaaa'), and ties."""
+    import duckdb  # noqa: F401  (parity of the same corpus is covered in CI)
+    import pandas as pd
+    from collections import Counter
+
+    from dbscan_spark.operators import text as text_ops
+
+    texts = [
+        "banana bandana cabana",
+        "aaaa aaa banana",
+        "low lower lowest low low",
+        "new newer newest new",
+        "a b c",  # 1-char words: no pairs
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    # independent reference
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if len(w) >= 2:
+                vocab[w] += 1
+    state = {tuple(w): n for w, n in vocab.items()}
+    expected = []
+    for rnd in range(1, text_ops._BPE_ROUNDS + 1):
+        counts: Counter = Counter()
+        for syms, n in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += n
+        if not counts:
+            break
+        (l, r), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rnd, l, r, n))
+        new_state: dict = {}
+        for syms, cnt in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_state[key] = new_state.get(key, 0) + cnt
+        state = new_state
+
+    got = [
+        (r["merge_round"], r["left_sym"], r["right_sym"], r["pair_n"])
+        for r in text_ops.text_bpe_train_merges(spark, str(tmp_path))
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == expected, f"\ngot:      {got}\nexpected: {expected}"
