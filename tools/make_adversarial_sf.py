@@ -13,7 +13,23 @@ documents — empty text, whitespace/punctuation-only text (normalizes to
 embeddings — an all-zero vector (norm 0: cosine undefined — Spark ANSI
   division THROWS where DuckDB yields NULL), an exact duplicate of an
   existing vector (cosine ties), a tiny-magnitude vector (1e-30 — norm
-  underflow), a coordinate-axis vector.
+  underflow), a coordinate-axis vector;
+relational tables (round-8 second extension) — the dirty-warehouse
+  shapes: NULL and dangling join keys (orphan orders, customers with no
+  nation), NULL GROUP BY / pivot keys, NULL window ORDER keys (the
+  NULLS FIRST-vs-LAST engine default divergence class), NULL event
+  time, NaN/±Infinity measures (upstream sensor garbage), zero and
+  negative money (refunds/credits), duplicate primary keys, exact
+  same-user same-timestamp bursts (sessionization ties), and NULL /
+  empty / malformed JSON props.
+
+Deliberately NOT included: a far-future or epoch `ts` outlier in
+events. The gap-fill family materializes an hourly `sequence(min(ts),
+max(ts))` grid, so ONE bogus 2099 row inflates the grid by ~1e6 slots
+per series — a genuine 100 TB operational hazard, but it turns the
+fuzz run into a grid-materialization benchmark. The hazard and the
+mitigation (bound the grid to a sane retention window before
+sequencing) are documented in BASELINE.md §5d instead.
 
 Usage: python tools/make_adversarial_sf.py  →  /root/repo/.scale/adversarial
 Then:  python tools/driver_sim.py --sf /root/repo/.scale/adversarial --first 250
@@ -94,6 +110,116 @@ def embeddings() -> None:
                    f"{OUT}/embeddings.parquet")
 
 
+def _append(name: str, extras: list[dict]) -> None:
+    """Copy a source table verbatim and append degenerate rows, keeping
+    the source schema (all columns are nullable in the shipped files)."""
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    rows = t.to_pylist() + extras
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema),
+                   f"{OUT}/{name}.parquet")
+
+
+def _dt(*a):
+    import datetime
+
+    return datetime.datetime(*a)
+
+
+def relational() -> None:
+    # orders: orphan/dangling custkeys, NULL group & window-order keys,
+    # zero/negative/huge money (refund + cents-sum headroom probe).
+    o = lambda k, **kw: {  # noqa: E731 — row template
+        "o_orderkey": 90000 + k, "o_custkey": 7,
+        "o_orderstatus": "F", "o_totalprice": 1000.0,
+        "o_orderdate": _dt(1998, 6, 15), "o_orderpriority": "5-LOW", **kw,
+    }
+    _append("orders", [
+        o(0, o_custkey=None),                       # orphan order
+        o(1, o_custkey=999_999_999),                # dangling FK
+        o(2, o_totalprice=0.0),
+        o(3, o_totalprice=-500.25),                 # refund
+        o(4, o_totalprice=9e12),                    # cents-sum headroom
+        o(5, o_orderdate=None),                     # NULL window ORDER key
+        o(6, o_orderdate=_dt(1970, 1, 1)),          # epoch boundary
+        o(7, o_orderstatus=None, o_orderpriority=None),  # NULL group keys
+    ])
+
+    # lineitem: NULL join key, zero/negative measures, full discount,
+    # NULL dates/flags, and an exact duplicate of an existing line
+    # (duplicate PK — the retry-ingest shape).
+    li = pq.read_table(f"{SRC}/lineitem.parquet").to_pylist()
+    dup = dict(li[0])
+    l = lambda n, **kw: {  # noqa: E731
+        "l_orderkey": 201, "l_partkey": 101, "l_suppkey": 9,
+        "l_linenumber": 90 + n, "l_quantity": 5.0,
+        "l_extendedprice": 1000.0, "l_discount": 0.05, "l_tax": 0.02,
+        "l_returnflag": "N", "l_linestatus": "O",
+        "l_shipdate": _dt(1998, 3, 1), **kw,
+    }
+    _append("lineitem", [
+        l(0, l_orderkey=None),                      # orphan line
+        l(1, l_quantity=0.0, l_extendedprice=0.0),  # zero measures
+        l(2, l_discount=1.0),                       # revenue → exactly 0
+        l(3, l_extendedprice=-250.75),              # credit line
+        l(4, l_shipdate=None),                      # NULL filter/order key
+        l(5, l_returnflag=None, l_linestatus=None),  # NULL group keys
+        dup,                                        # duplicate PK
+    ])
+
+    # events: NULL event-time/user/type, NaN & ±Infinity measures,
+    # duplicate event_id, an exact same-user same-ts burst
+    # (sessionization / window tie), NULL-empty-malformed JSON props.
+    tie = _dt(2024, 1, 15, 12, 0, 0)
+    e = lambda k, **kw: {  # noqa: E731
+        "event_id": 90000 + k, "ts": _dt(2024, 1, 20, 8, 30, k),
+        "user_id": 13, "event_type": "click", "value": 10.0,
+        "props": '{"k": 1}', **kw,
+    }
+    _append("events", [
+        e(0, ts=None),                              # NULL event time
+        e(1, user_id=None),                         # NULL session key
+        e(2, value=None),
+        e(3, value=float("nan")),                   # sensor garbage
+        e(4, value=float("inf")),
+        e(5, value=float("-inf")),
+        e(6, event_id=0),                           # duplicate PK
+        e(7, ts=tie), e(8, ts=tie), e(9, ts=tie),   # exact-tie burst
+        e(10, event_type=None),                     # NULL group key
+        e(11, props=None), e(12, props=""), e(13, props="not json{"),
+        e(14, props="{}"),
+    ])
+
+    # customer / supplier / part / nation: NULL & dangling dimension
+    # keys, NULL pivot segments, negative balances, zero sizes.
+    _append("customer", [
+        {"c_custkey": 9000, "c_name": "Customer#ADV0", "c_nationkey": None,
+         "c_acctbal": 100.0, "c_mktsegment": "FURNITURE"},
+        {"c_custkey": 9001, "c_name": "Customer#ADV1", "c_nationkey": 99,
+         "c_acctbal": -1e9, "c_mktsegment": None},
+        {"c_custkey": 9002, "c_name": None, "c_nationkey": 2,
+         "c_acctbal": 0.0, "c_mktsegment": "AUTOMOBILE"},
+    ])
+    _append("supplier", [
+        {"s_suppkey": 9000, "s_name": "Supplier#ADV0",
+         "s_nationkey": None, "s_acctbal": -42.5},
+        {"s_suppkey": 9001, "s_name": None, "s_nationkey": 0,
+         "s_acctbal": 0.0},
+    ])
+    _append("part", [
+        {"p_partkey": 9000, "p_name": "adv null type", "p_brand": "Brand#9",
+         "p_type": None, "p_size": 0, "p_retailprice": 100.0},
+        {"p_partkey": 9001, "p_name": "", "p_brand": None,
+         "p_type": "ECONOMY ANODIZED STEEL", "p_size": -1,
+         "p_retailprice": -10.0},
+    ])
+    _append("nation", [
+        {"n_nationkey": 90, "n_name": "ADVERSARIA", "n_regionkey": None},
+    ])
+    _append("region", [
+        {"r_regionkey": 90, "r_name": None},
+    ])
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for name in TABLES:
@@ -102,6 +228,7 @@ def main() -> None:
         shutil.copy(f"{SRC}/{name}.parquet", f"{OUT}/{name}.parquet")
     documents()
     embeddings()
+    relational()
     print(f"adversarial SF written to {OUT}")
 
 
