@@ -226,6 +226,103 @@ _REGRADE = {
     "ann_topk_filtered": 7,
     "knn_label_predict": 7,
     "dedup_embedding_cosine": 7,
+    # round 8 relational shape-fuzz (second extension of
+    # tools/make_adversarial_sf.py): a single non-finite events.value
+    # row (NaN/±Inf sensor garbage) made every ANSI cents-ification
+    # THROW (ARITHMETIC_OVERFLOW on floor(inf*100)::long), and a NULL
+    # events.ts row diverged across engine NULL-ordering defaults
+    # (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) in every windowed
+    # query — streaming plans were already dropping it silently at the
+    # watermark. Both engines now exclude such rows AT INGESTION via
+    # ONE audited rule (io.load_events / io.EVENTS_INGEST_RULE; the
+    # oracle twin is rewritten mechanically at the relational and
+    # streaming module tails, same pattern as the zero-norm embedding
+    # rule). Shipped corpora contain zero such rows (verified by
+    # direct count at sf0.001/0.01/0.1), so certified values are
+    # unchanged — the certified (implementation, oracle) PAIR drifted
+    # for every events-reading query, hence the bumps; all verified
+    # hash-green at sf0.01 and sf0.1 pre-commit.
+    "csv_source_events": 7,
+    "events_ab_welch_t": 7,
+    "events_audience_overlap": 3,
+    "events_bot_suspects": 5,
+    "events_concurrency_hourly": 4,
+    "events_cusum_alerts": 7,
+    "events_dn_retention": 4,
+    "events_dod_change": 7,
+    "events_ewma_user_value": 4,
+    "events_funnel": 3,
+    "events_funnel_latency": 4,
+    "events_gapfill_hourly": 7,
+    "events_gapfill_interp": 7,
+    "events_gapfill_locf": 7,
+    "events_holt_forecast": 7,
+    "events_hypertable_rollup": 7,
+    "events_mad_outliers": 4,
+    "events_ohlc_daily": 4,
+    "events_path_transitions": 4,
+    "events_pattern_vvp": 4,
+    "events_scd2_user_state": 4,
+    "events_seasonal_anomalies": 7,
+    "events_seasonality_profile": 7,
+    "events_sessionize_lag": 3,
+    "events_user_gini": 5,
+    "governance_erasure_audit": 4,
+    "join_asof_last_click": 2,
+    "join_asof_next_view": 4,
+    "join_range_clicks_before_purchase": 3,
+    "join_salted_skew": 3,
+    "json_aggregate_events": 1,
+    "json_corrupt_tolerant_read": 7,
+    "json_extract_events": 1,
+    "json_source_events": 7,
+    "partitioned_prune_events": 7,
+    "retention_cohorts": 3,
+    "sql_udf_value_tier": 5,
+    "streaming_dedup_pairs": 5,
+    "streaming_merge_latest_state": 5,
+    "streaming_session_totals": 5,
+    "users_feature_assembly": 7,
+    "window_session_events": 1,
+    "window_sliding_distinct_users": 4,
+    "window_sliding_events": 1,
+    "window_tumbling_events": 7,
+    # round 8 relational shape-fuzz, second wave — per-query defined-
+    # semantics fixes (each verified hash-green at sf0.01, sf0.1 AND
+    # the adversarial corpus pre-commit):
+    # - NULL-key join-loss class: rel_division (distinct() counted the
+    #   NULL priority into the universe, count(DISTINCT) never can →
+    #   result went permanently EMPTY), customers_rfm (NULL-custkey
+    #   group fell out of the rank branches' equi-joins), basket (lift
+    #   denominator counted the NULL-orderkey basket on one engine
+    #   only) — NULL keys excluded with matching oracle WHEREs;
+    # - NULL-ordering class: explicit NULLS FIRST on the nullable
+    #   o_orderdate window keys (Spark ASC default = NULLS FIRST,
+    #   DuckDB = NULLS LAST) for moving_avg/first_last/running_total/
+    #   order_gaps/range_30d;
+    # - time-series domain class: yoy/seasonal_decompose/cohort_ltv and
+    #   the gap-fill spine restricted to dated rows / known types on
+    #   both engines;
+    # - NULL-total partition class: agg_incremental_daily's delta
+    #   predicate now absorbs NULL dates (date<c / date>=c both drop
+    #   them — the one-shot oracle never did);
+    # - math-domain class: sqrt(<0) and geomean(<=0) are NULL/excluded
+    #   on both engines (Spark NaN vs DuckDB THROW divergence);
+    # - plus json_valid guards on the props oracles (DuckDB throws on
+    #   malformed JSON where get_json_object yields NULL).
+    "agg_incremental_daily": 4,
+    "basket_part_affinity": 4,
+    "customers_cohort_ltv": 7,
+    "customers_rfm_segments": 7,
+    "orders_seasonal_decompose": 7,
+    "orders_yoy_growth": 7,
+    "rel_division_priorities": 4,
+    "scalar_string_math": 6,
+    "udaf_geomean_price": 2,
+    "window_first_last": 3,
+    "window_order_gaps": 5,
+    "window_range_30d_spend": 7,
+    "window_running_total": 7,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

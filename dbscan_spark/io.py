@@ -61,6 +61,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Ingestion validity rule for the events table (round-8 relational
+#: shape-fuzz, BASELINE.md §5d). Two corrupt-telemetry shapes a real
+#: 100 TB event firehose contains: (a) a non-finite ``value`` (NaN/±Inf
+#: sensor garbage) — ONE such row makes every ANSI cents-ification
+#: (``floor(value*100+0.5)::long``) throw ARITHMETIC_OVERFLOW and
+#: poisons NaN grouping; (b) a NULL ``ts`` — event-time analytics on a
+#: row with no event time is undefined, Structured Streaming's
+#: watermark already drops it (``Filter isnotnull(ts)`` is injected
+#: into every watermarked plan), and a NULL window ORDER key diverges
+#: across engine defaults (Spark ASC = NULLS FIRST, DuckDB = NULLS
+#: LAST). Both engines therefore exclude these rows AT INGESTION; a
+#: NULL ``value`` stays (a real event with a missing measurement —
+#: every aggregate skips NULLs identically on both engines). DuckDB
+#: twin (applied mechanically to every events oracle — see the module
+#: tails of operators/relational.py and operators/streaming_queries.py):
+#: ``ts IS NOT NULL AND (value IS NULL OR isfinite(value))``.
+EVENTS_INGEST_RULE = (
+    "ts IS NOT NULL AND (value IS NULL OR "
+    "(NOT isnan(value) AND abs(value) != double('Infinity')))"
+)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with corrupt telemetry rows excluded — the one
+    audited definition of "valid event row" (see EVENTS_INGEST_RULE).
+    Every batch operator, stream source, and format mirror reads events
+    through this rule so the validity semantics cannot drift per-query.
+    The filter is a deterministic row-local predicate: it pushes down
+    to the parquet scan and costs no shuffle."""
+    return load_table(spark, sf_dir, "events").filter(
+        F.expr(EVENTS_INGEST_RULE)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every table in the star schema as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
@@ -102,7 +136,7 @@ def events_json_dir(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(repo_root, ".json_mirror", key, "events")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
-            load_table(spark, sf_dir, "events")
+            load_events(spark, sf_dir)
             .select("event_id", "user_id", "event_type", "value", "props")
             .write.mode("overwrite")
             .json(out)
@@ -124,7 +158,7 @@ def events_csv_dir(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(repo_root, ".json_mirror", key, "events_csv")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
-            load_table(spark, sf_dir, "events")
+            load_events(spark, sf_dir)
             .select("event_id", "user_id", "event_type", "value")
             .write.mode("overwrite")
             .option("header", "true")

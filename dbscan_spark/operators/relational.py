@@ -29,11 +29,18 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from dbscan_spark.functions import as_double_array, zvalue_sql
-from dbscan_spark.io import load_table
+from dbscan_spark.io import load_events, load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events through the one audited ingestion-validity rule
+    (io.load_events: NULL event time and non-finite values excluded on
+    both engines — round-8 relational shape-fuzz, BASELINE.md §5d)."""
+    return load_events(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -496,7 +503,7 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical plan — the r2 number was shared-host variance, not an
     extra exchange.
     """
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir)
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
@@ -600,7 +607,7 @@ def window_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG: days since each customer's previous order."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc_nulls_first("o_orderdate"), "o_orderkey")
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -616,7 +623,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_orderdate"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(
@@ -729,7 +736,16 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
         F.round(F.col("p_retailprice") * 1.1, 2).alias("inflated"),
         F.abs(F.col("p_size") - F.lit(25)).cast("long").alias("size_dist"),
-        F.round(F.sqrt(F.col("p_retailprice")), 4).alias("price_sqrt"),
+        # sqrt is NULL outside its domain: Spark would yield NaN on a
+        # negative price where DuckDB THROWS (round-8 relational
+        # shape-fuzz) — a derived metric of a corrupt row is NULL, not
+        # garbage, on both engines.
+        F.round(
+            F.when(
+                F.col("p_retailprice") >= 0, F.sqrt(F.col("p_retailprice"))
+            ),
+            4,
+        ).alias("price_sqrt"),
     )
 
 
@@ -827,7 +843,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_orderdate"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return o.select(
@@ -866,7 +882,7 @@ def scalar_array_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the events.props payload column."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return e.select(
         "event_id",
         "event_type",
@@ -875,7 +891,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def json_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         e.select("event_type", k.alias("k"))
@@ -897,7 +913,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is broadcast-sized no matter how large the raw events table is.
     The hour key is emitted as a string (engines canonicalize timestamp
     scalars differently; the yyyy-MM-dd HH:00 form is bijective)."""
-    joined = _hourly_spine_joined(_t(spark, sf_dir, "events"))
+    joined = _hourly_spine_joined(_events(spark, sf_dir))
     return joined.select(
         "event_type",
         F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
@@ -909,6 +925,12 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hourly_spine_joined(e: DataFrame) -> DataFrame:
     """Dense (event_type, hr) spine left-joined to the hourly rollup;
     gap hours keep NULL aggregates (callers choose zero-fill vs LOCF).
+
+    The series domain is the KNOWN event types: ``collect_set`` drops
+    NULL, so a NULL-typed event contributes to no series — the oracles'
+    type CTEs carry the matching ``WHERE event_type IS NOT NULL``
+    (round-8 relational shape-fuzz; a NULL gap-fill series is not a
+    meaningful monitoring signal).
 
     Two scans total: one for the rollup, and ONE single-row metadata
     aggregate that carries bounds AND the type set together (min/max hour
@@ -946,7 +968,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     first observation fall back to 0. The LOCF window runs over the
     spine-sized frame (types × hours — tiny at any corpus scale), not the
     raw events."""
-    joined = _hourly_spine_joined(_t(spark, sf_dir, "events"))
+    joined = _hourly_spine_joined(_events(spark, sf_dir))
     w = (
         Window.partitionBy("event_type")
         .orderBy("hr")
@@ -967,7 +989,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total in one pass (the continuous-aggregate shape time-series
     stores maintain). ROLLUP compiles to a single Expand + one partial-
     aggregated shuffle — not one scan per grain."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return (
         e.select(
             # string day key: engines canonicalize date scalars differently
@@ -1036,7 +1058,7 @@ def join_range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
     range predicate prunes co-partitioned buckets). Left join keeps
     zero-click purchases at count 0.
     """
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -1095,7 +1117,7 @@ def json_source_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute tumbling event-time windows per event type."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
@@ -1110,7 +1132,7 @@ def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding every 5 minutes (each event in 2 windows)."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -1127,7 +1149,7 @@ def window_sliding_distinct_users(
     distinct-expand), and each event lands in window/slide = 2 windows;
     at 100 TB per-key cardinality the drop-in replacement is
     approx_count_distinct (the HLL leg, agg_approx_distinct)."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
@@ -1140,7 +1162,7 @@ def window_sliding_distinct_users(
 
 def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -1272,7 +1294,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_orderdate"), "o_orderkey")
         .rowsBetween(-2, 0)
     )
     # windowed arm of the money-average closure: exact cents sum over
@@ -1476,7 +1498,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is too big to broadcast and AQE's sort-merge skew split doesn't
     apply (e.g. two power-law event streams joined by id).
     """
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     n_salt = 8
     stats = (
         e.groupBy("event_type")
@@ -1945,7 +1967,7 @@ def events_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series pattern: the heavy fact scan partial-aggregates to one row
     per (type, day) BEFORE the trivially small lag window runs, so the
     window shuffle moves only the rollup."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     daily = e.groupBy(
         "event_type", F.to_date("ts").cast("string").alias("day")
     ).agg(
@@ -1972,7 +1994,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed joins — every shuffle is on user_id, so at 100 TB all
     three stages co-partition after the first exchange (and AQE reuses
     the exchange); nothing quadratic, no window over raw events."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     views = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -2019,7 +2041,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scan) and one final (cohort × offset) count-distinct — the
     canonical retention-triangle build. The cohort week is emitted as a
     string so cross-engine date canonicalization is moot."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
     return (
         e.join(first, "user_id")
@@ -2048,7 +2070,7 @@ def events_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds 30 minutes; the running sum of starts numbers the sessions.
     Both windows share ONE (user_id, ts) sort in one exchange, then the
     per-session rollup reuses the same user partitioning."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_break = F.when(
         F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
@@ -2085,7 +2107,7 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis behind next-action models. ONE user-keyed sort window
     computes the predecessor, then the pair rollup partial-aggregates
     map-side; the shuffle after the lag carries only (#types² keys)."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     return (
@@ -2111,7 +2133,7 @@ def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     length), and a plain count per bucket follows. This is the scalable
     restatement of the +1/−1 global running sum, which would need one
     totally-ordered window over the whole timeline."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_break = F.when(
         F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
@@ -2163,8 +2185,19 @@ def agg_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price).alias("revenue"),
         )
 
+    # The partition predicate must be NULL-TOTAL: `date < cutoff` and
+    # `date >= cutoff` both evaluate to NULL on a NULL date, so such a
+    # row silently vanished from the incremental rollup while the
+    # one-shot oracle kept it (round-8 relational shape-fuzz) — at
+    # 100 TB that is a slow-drift correctness leak in the nightly ETL.
+    # Rows of unknown date ride the newest delta partition.
     base = rollup(o.filter(F.col("o_orderdate") < F.lit("1998-01-01")))
-    delta = rollup(o.filter(F.col("o_orderdate") >= F.lit("1998-01-01")))
+    delta = rollup(
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01"))
+            | F.col("o_orderdate").isNull()
+        )
+    )
     return (
         base.unionByName(delta)
         .groupBy("o_orderpriority")
@@ -2216,7 +2249,7 @@ def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-group state is the user's event list — bounded by per-user
     activity; at 100 TB a time-bucketed restart (EWMA per user×month,
     chained) bounds it further."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     seq = e.groupBy("user_id").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(ts, event_id,"
@@ -2244,7 +2277,7 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort exchange (same idiom as events_sessionize_lag), the rollup
     reuses the user partitioning, and valid_to is a lead over the
     per-run rollup (tiny relative to the event stream)."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changed = F.when(
         F.lag("event_type").over(w).isNull()
@@ -2504,7 +2537,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula differences between Spark's percentile and DuckDB's
     quantile_cont (lo + (hi−lo)·f vs lo·(1−f) + hi·f — up to 1 ulp)
     cannot propagate into the threshold comparison."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
 
     def _q6(c):
         return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
@@ -2747,7 +2780,7 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |their types|² pair rows (bounded by the tiny type domain), never a
     users×users product — and the per-type totals ride a broadcast join
     onto the #type-pairs-sized rollup."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     tu = e.select("event_type", "user_id").distinct()
     a = tu.select(F.col("event_type").alias("type_a"), "user_id")
     b = tu.select(F.col("event_type").alias("type_b"), "user_id")
@@ -2797,7 +2830,11 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_from_rank,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    # segmentation is over CUSTOMERS: a NULL custkey row is no
+    # customer's order — and it would silently fall out of the rank
+    # branches' custkey equi-joins while the oracle's pure windows keep
+    # it (round-8 relational shape-fuzz: the NULL-key join-loss class)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
     ref = F.lit("2001-08-01").cast("timestamp")
     per_cust = o.groupBy("o_custkey").agg(
         F.datediff(ref, F.max("o_orderdate")).cast("long").alias(
@@ -3125,7 +3162,7 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties deterministically), so open/close come out of the SAME partial-
     aggregated shuffle as high/low — no window pass, no second exchange.
     At 100 TB this is one scan + one fixed-width shuffle on (user, day)."""
-    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     tkey = F.struct(F.col("ts"), F.col("event_id"))
     return (
         e.select(
@@ -3225,7 +3262,7 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation. Forward/backward ignore-null window passes run over the
     spine-sized frame (types × hours), never the raw events; inputs are
     pre-rounded so both engines interpolate identical numbers."""
-    joined = _hourly_spine_joined(_t(spark, sf_dir, "events"))
+    joined = _hourly_spine_joined(_events(spark, sf_dir))
     w_b = (
         Window.partitionBy("event_type")
         .orderBy("hr")
@@ -3277,7 +3314,16 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     side of every rounding boundary. An order with P parts emits P²/2
     pairs — bounded at 7 for TPC-H orders; on power-law baskets you'd
     cap basket size exactly like _co_order_pairs does for suppliers."""
-    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # orphan lines (NULL l_orderkey) are no basket: the oracle's
+    # count(DISTINCT l_orderkey) excludes NULL while .count() on the
+    # collected baskets would include the NULL group — the lift
+    # denominators silently diverge by one (round-8 relational
+    # shape-fuzz). Excluded explicitly on both engines.
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+    )
     # persisted: pair expansion, item supports and the basket count all
     # read the SAME collect_set result — one scan + one exchange total,
     # not one per consumer
@@ -3390,7 +3436,7 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x·10⁶+0.5) trick so both engines round the exact rational
     identically. Spark's dayofweek is 1-based (Sun=1), DuckDB's 0-based
     — the -1 aligns them."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     # mean in exact integer cents (the values are 2dp): S·100/n rounded
     # half-up at 4dp via one floor — float avg() lands on .00005
     # midpoints that the engines' binary reps round apart
@@ -3429,7 +3475,7 @@ def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines over exact-integer inputs — deterministic to the bit,
     so the 4dp round can't straddle. At 100 TB the data-sized stage is
     the single moment scan; everything after is constant-size."""
-    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     c = F.floor(F.col("value") * 100 + 0.5).cast("long")
     # persisted: both sides of the pair self-join read the SAME moment
     # rollup — one scan + one aggregation, not one per side
@@ -3534,7 +3580,15 @@ def events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     = S/n division (c'_t = max(0, c'_{t-1} + n·x_t − S), alert at
     2·n·μ = 2S), so both engines fold identical longs; the DuckDB
     oracle replays the recurrence with a recursive CTE."""
-    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # known-type series only: a NULL event_type cannot ride the
+    # oracle's recursive-CTE equality joins (NULL never equals NULL),
+    # and a per-type monitor keyed by "unknown type" is not a
+    # meaningful series (round-8 relational shape-fuzz)
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+    )
     daily = e.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("x"))
@@ -3587,7 +3641,15 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     are floor-half-up quantized at 1e-4 — the k-means trajectory-pinning
     trick — so summation noise cannot compound and the DuckDB
     recursive-CTE replay reproduces the exact doubles."""
-    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # known-type series only: a NULL event_type cannot ride the
+    # oracle's recursive-CTE equality joins (NULL never equals NULL),
+    # and a per-type monitor keyed by "unknown type" is not a
+    # meaningful series (round-8 relational shape-fuzz)
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+    )
     daily = e.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("x"))
@@ -3674,7 +3736,7 @@ def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     path = os.path.join(
         tempfile.mkdtemp(prefix="dbscan_spark_part_"), "events_by_type"
     )
@@ -3763,7 +3825,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     path = os.path.join(
         tempfile.mkdtemp(prefix="dbscan_spark_evo_"), "events_evo"
     )
@@ -3796,7 +3858,7 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the percentile aggregate runs over the (small) converted-user
     latencies with exact integer-second inputs, quantized floor-half-up
     so cross-engine interpolation can't diverge."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     views = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -3874,7 +3936,11 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     component on the same side of the 4dp boundary. Edge months
     (incomplete centered window) carry NULL trend/seasonal/residual,
     matching statsmodels' convention."""
-    o = _t(spark, sf_dir, "orders")
+    # dated rows only: a NULL order date has no month/cohort slot
+    # (round-8 relational shape-fuzz; the oracle carries the same WHERE)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         F.month("o_orderdate").cast("long").alias("moy"),
@@ -3920,7 +3986,7 @@ def events_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins ALL keyed on user_id — co-partitioned after the first
     exchange, nothing quadratic. Rates use the floor(x·10⁶+0.5) trick
     over exact counts."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     first = e.groupBy("user_id").agg(
         F.to_date(F.min("ts")).alias("d0")
     )
@@ -3957,7 +4023,11 @@ def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cumulative window over the per-(cohort, index) rollup — the
     window runs over #cohorts × #indices rows, never raw orders.
     Revenue accumulates in exact integer cents and converts once."""
-    o = _t(spark, sf_dir, "orders")
+    # dated rows only: a NULL order date has no month/cohort slot
+    # (round-8 relational shape-fuzz; the oracle carries the same WHERE)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     om = o.select(
         "o_custkey",
         F.trunc("o_orderdate", "month").alias("m"),
@@ -4000,7 +4070,7 @@ def governance_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan classifying each row — at 100 TB this runs as the rewrite job
     that materializes the post-erasure table, with this exact audit as
     its summary output."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     is_tomb = F.col("user_id") % 100 == 7
     return e.groupBy("event_type").agg(
         F.sum(F.when(~is_tomb, 1).otherwise(0)).cast("long").alias(
@@ -4057,7 +4127,7 @@ def join_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     with view rows sorted BEFORE purchases at equal timestamps, which
     implements the exclusive (>) bound. Oracle: plain min-over-future
     aggregate in SQL."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -4107,7 +4177,7 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents (same clearing trick as CUSUM): dev = n_dow·x − S_dow
     stays integral, and the MAD threshold comparison cross-multiplies
     instead of dividing. Three narrow rollups, all on tiny frames."""
-    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     daily = e.groupBy(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -4170,7 +4240,7 @@ def events_pattern_vvp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE user-keyed sort exchange detect every match (the k-gram trick;
     longer/variable patterns would fold the collected sequence like the
     EWMA). Only matching users are returned."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     hit = (
         (F.col("event_type") == "purchase")
@@ -4193,9 +4263,12 @@ def rel_division_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single fact shuffle on the dividend key, no nested anti-joins.
     Returns each qualifying customer with their order count."""
     o = _t(spark, sf_dir, "orders")
-    universe = o.select("o_orderpriority").distinct().agg(
-        F.count(F.lit(1)).alias("n_classes")
-    )
+    # countDistinct, NOT distinct()+count: a NULL priority row is a
+    # DISTINCT row but not a countDistinct class, so the universe would
+    # be one larger than any customer's n_covered and the result would
+    # silently go EMPTY the day one dirty row lands (round-8 relational
+    # shape-fuzz finding; count(DISTINCT) excludes NULL on both engines).
+    universe = o.agg(F.countDistinct("o_orderpriority").alias("n_classes"))
     per_cust = o.groupBy("o_custkey").agg(
         F.countDistinct("o_orderpriority").alias("n_covered"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -4217,7 +4290,7 @@ def users_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup computed scale-safe via functions.ranking.global_order_stats
     (bucketed row_number + ntile formula — never a single-partition
     window over #users rows)."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     cnt = lambda t: F.sum(
         F.when(F.col("event_type") == t, 1).otherwise(0)
     ).cast("long").alias(f"n_{t}")
@@ -4321,7 +4394,7 @@ def sql_udf_value_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     spark.udf.register("value_tier", value_tier)
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    _events(spark, sf_dir).createOrReplaceTempView("events_v")
     return spark.sql(
         """
         SELECT event_type, value_tier(value) AS tier,
@@ -4338,7 +4411,10 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared to the same month one year earlier (lag 12 over the
     ~80-row monthly rollup; NULL for the first year). Growth is the
     exact-integer ratio floor-rounded at 1e-4."""
-    o = _t(spark, sf_dir, "orders")
+    # a monthly time series is over DATED rows only: a NULL order date
+    # has no month, and its group would sit at engine-dependent ends of
+    # the lag-12 window (round-8 relational shape-fuzz)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(
@@ -4369,7 +4445,7 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-1e-6 round is engine-exact."""
     from dbscan_spark.functions.ranking import global_order_stats
 
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
     ranked = global_order_stats(
         per_user, [F.asc("x"), F.asc("user_id")], F.col("x"), rn="i"
@@ -4468,7 +4544,7 @@ def events_bot_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_suspect flag (cv below 0.1, the cv² compared cross-multiplied
     in exact integers, never divided) — the flag logic stays
     hash-verified even on an organic corpus with no bots."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = e.select(
         "user_id",
@@ -4739,7 +4815,7 @@ ORACLE = {
         WITH monthly AS (
           SELECT strftime(o_orderdate, '%Y-%m') AS month,
                  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
-          FROM orders GROUP BY 1)
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
         SELECT month, c / 100.0 AS revenue,
                CASE WHEN lag(c, 12) OVER w IS NOT NULL
                     THEN floor((c - lag(c, 12) OVER w) * 1.0
@@ -4899,7 +4975,7 @@ ORACLE = {
         WITH om AS (
           SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-          FROM orders),
+          FROM orders WHERE o_orderdate IS NOT NULL),
         first AS (SELECT o_custkey, min(m) AS m0 FROM om GROUP BY 1),
         idx AS (
           SELECT om.o_custkey, f.m0,
@@ -4925,7 +5001,7 @@ ORACLE = {
           SELECT strftime(o_orderdate, '%Y-%m') AS month,
                  CAST(month(o_orderdate) AS BIGINT) AS moy,
                  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS xc
-          FROM orders GROUP BY 1, 2),
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
         with_t AS (
           SELECT month, moy, xc,
                  sum(xc) OVER w3 AS sw,
@@ -5033,6 +5109,7 @@ ORACLE = {
                  row_number() OVER (PARTITION BY event_type
                                     ORDER BY CAST(ts AS DATE)) AS rn
           FROM events WHERE value IS NOT NULL
+            AND event_type IS NOT NULL
           GROUP BY 1, 2, CAST(ts AS DATE)),
         nd AS (SELECT event_type, count(*) AS n_days FROM daily
                GROUP BY 1 HAVING count(*) >= 2),
@@ -5074,6 +5151,7 @@ ORACLE = {
                  row_number() OVER (PARTITION BY event_type
                                     ORDER BY CAST(ts AS DATE)) AS rn
           FROM events WHERE value IS NOT NULL
+            AND event_type IS NOT NULL
           GROUP BY 1, 2, CAST(ts AS DATE)),
         meta AS (
           SELECT event_type, count(*) AS n_days, sum(x) AS s_tot
@@ -5173,7 +5251,8 @@ ORACLE = {
         GROUP BY s_nationkey
     """,
     "basket_part_affinity": """
-        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                   WHERE l_orderkey IS NOT NULL),
         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
         pc AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
                       count(*) AS n_both
@@ -5237,7 +5316,8 @@ ORACLE = {
     "events_gapfill_interp": """
         WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
                           date_trunc('hour', max(ts)) AS h1 FROM events),
-        types AS (SELECT DISTINCT event_type FROM events),
+        types AS (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IS NOT NULL),
         spine AS (SELECT event_type,
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
                   FROM types, b),
@@ -5307,7 +5387,7 @@ ORACLE = {
                    AS recency_days,
                  count(*) AS frequency,
                  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100 AS monetary
-          FROM orders GROUP BY o_custkey)
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
         SELECT o_custkey, recency_days, frequency, monetary,
                CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
                     AS BIGINT) AS r_score,
@@ -6102,14 +6182,15 @@ ORACLE = {
         SELECT o_custkey, o_orderkey, o_orderdate,
                date_diff('day',
                          lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                                ORDER BY o_orderdate, o_orderkey),
+                                                ORDER BY o_orderdate NULLS FIRST, o_orderkey),
                          o_orderdate) AS days_since_prev
         FROM orders
     """,
     "window_running_total": """
         SELECT o_custkey, o_orderkey,
                sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate NULLS FIRST, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100
                    AS running_spend
         FROM orders
@@ -6150,7 +6231,8 @@ ORACLE = {
                p_brand || '#' || p_type          AS brand_type,
                round(p_retailprice * 1.1, 2)     AS inflated,
                abs(p_size - 25)::BIGINT          AS size_dist,
-               round(sqrt(p_retailprice), 4)     AS price_sqrt
+               CASE WHEN p_retailprice >= 0
+                    THEN round(sqrt(p_retailprice), 4) END AS price_sqrt
         FROM part
     """,
     "scalar_dates": """
@@ -6171,12 +6253,16 @@ ORACLE = {
     """,
     "json_extract_events": """
         SELECT event_id, event_type,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k_val
         FROM events
     """,
     "json_aggregate_events": """
         SELECT event_type,
-               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               round(avg(CASE WHEN json_valid(props)
+                              THEN CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) END), 4) AS avg_k,
                count(*) AS n
         FROM events GROUP BY event_type
     """,
@@ -6381,7 +6467,7 @@ ORACLE = {
         FROM orders
         WINDOW w AS (
             PARTITION BY o_custkey
-            ORDER BY o_orderdate, o_orderkey
+            ORDER BY o_orderdate NULLS FIRST, o_orderkey
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     "setop_union_distinct": """
@@ -6495,7 +6581,8 @@ ORACLE = {
                  / 100 AS spend_30d,
                count(*) OVER w AS n_orders_30d
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST
                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
                                AND CURRENT ROW)
     """,
@@ -6518,14 +6605,16 @@ ORACLE = {
                round(last_value(o_totalprice) OVER w, 2) AS last_price,
                round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING
                               AND UNBOUNDED FOLLOWING)
     """,
     "events_gapfill_hourly": """
         WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
                           date_trunc('hour', max(ts)) AS h1 FROM events),
-        types AS (SELECT DISTINCT event_type FROM events),
+        types AS (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IS NOT NULL),
         spine AS (SELECT event_type,
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
                   FROM types, b),
@@ -6542,7 +6631,8 @@ ORACLE = {
     "events_gapfill_locf": """
         WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
                           date_trunc('hour', max(ts)) AS h1 FROM events),
-        types AS (SELECT DISTINCT event_type FROM events),
+        types AS (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IS NOT NULL),
         spine AS (SELECT event_type,
                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
                   FROM types, b),
@@ -6581,3 +6671,25 @@ ORACLE = {
         FROM part
     """,
 }
+
+
+# Events ingestion-validity rule applied mechanically to every oracle
+# (round-8 relational shape-fuzz; the Spark twin is io.load_events via
+# _events above): rows with NULL event time or a non-finite value are
+# corrupt telemetry and excluded on BOTH engines — one Inf row throws
+# ARITHMETIC_OVERFLOW inside every ANSI cents-ification, and a NULL
+# window ORDER key diverges across engine NULL-ordering defaults. The
+# rewrite lives at the module tail (same pattern as the zero-norm
+# embedding rule, operators/similarity.py) so the rule cannot drift
+# per-query. `events_v`-style identifiers don't match the \b pattern.
+EVENTS_CLEAN_SQL = (
+    "(SELECT * FROM events "
+    "WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value)))"
+)
+
+import re as _re  # noqa: E402  (module tail, after the big dict literals)
+
+for _name, _sql in ORACLE.items():
+    ORACLE[_name] = _re.sub(
+        r"\b(FROM|JOIN) events\b", rf"\1 {EVENTS_CLEAN_SQL}", _sql
+    )

@@ -167,3 +167,15 @@ ORACLE = {
         WHERE rn = 1
     """,
 }
+
+
+# Same mechanical events-validity rewrite as the relational module tail
+# (round-8 relational shape-fuzz): the streaming source applies
+# io.EVENTS_INGEST_RULE after the file-stream read, so every oracle
+# reads events through the identical rule.
+from dbscan_spark.operators.relational import EVENTS_CLEAN_SQL as _EV
+
+import re as _re  # noqa: E402
+
+for _name, _sql in ORACLE.items():
+    ORACLE[_name] = _re.sub(r"\b(FROM|JOIN) events\b", rf"\1 {_EV}", _sql)

@@ -437,7 +437,11 @@ def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     def geomean(v: pd.Series) -> float:
         return float(np.exp(np.log(v.to_numpy()).mean()))
 
-    o = load_table(spark, sf_dir, "orders")
+    # The geometric mean is defined on POSITIVE values only: a zero or
+    # refund row makes DuckDB's ln() THROW while numpy silently yields
+    # 0/NaN (round-8 relational shape-fuzz) — both engines restrict the
+    # aggregate to its mathematical domain instead.
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     return (
         o.groupBy("o_orderpriority")
         .agg(F.round(geomean("o_totalprice"), 4).alias("geomean_price"))
@@ -1455,6 +1459,7 @@ ORACLE = {
         SELECT o_orderpriority,
                round(exp(avg(ln(o_totalprice))), 4) AS geomean_price
         FROM orders
+        WHERE o_totalprice > 0
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,

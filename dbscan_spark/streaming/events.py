@@ -95,7 +95,15 @@ def read_events_stream(
         # watermarks demand TIMESTAMP (LTZ) — EVENT_TIME_IS_NOT_ON_TIMESTAMP
         # on NTZ. The session pins UTC, so this cast keeps the wall clock.
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    # Same ingestion-validity rule as the batch reader (io.load_events):
+    # NULL event time (the watermark would silently drop it anyway —
+    # making the drop explicit keeps batch twins identical) and
+    # non-finite values (one Inf row throws ARITHMETIC_OVERFLOW inside
+    # every ANSI cents-ified streaming aggregate). Stateless row-local
+    # predicate — streaming-safe, pushes to the file-source scan.
+    from dbscan_spark.io import EVENTS_INGEST_RULE
+
+    return raw.filter(F.expr(EVENTS_INGEST_RULE))
 
 
 def events_stream_dir(sf_dir: str) -> str:
