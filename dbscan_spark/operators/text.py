@@ -494,6 +494,53 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-balanced downsampling — the APPLICATION of
+    corpus_mixture_weights: keep a hash-selected subset of each source
+    sized so every source contributes (about) the SAME token mass as
+    the smallest source — the balanced-mixture draw a pre-training run
+    makes from an over-represented crawl. Returns the sampled rows
+    ``(doc_id, source, n_toks)``.
+
+    Determinism at 100 TB: the keep decision is a pure row-local
+    function of ``md5(doc_id)`` (like corpus_train_split) — stable
+    across engines, partitionings, and task retries, where a
+    ``rand()``-based sampler resamples on every retry. The comparison
+    ``bucket · m_src < m_min · 65536`` is exact int64 arithmetic (no
+    float rate): bucket < 2^16 and a 100 TB source's token mass ~1e13
+    keep both products under 2^63. One grouped scan for the per-source
+    masses (map-side partial agg), a broadcast of the tiny per-source
+    rate table, one row-local filter — no data-sized shuffle at all.
+    Sources with zero token mass have nothing to sample and are
+    excluded from the rate table (and from the min) on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    ).cast("long")
+    docs = d.select("doc_id", "source", n_toks.alias("n_toks"))
+    per_src = (
+        docs.groupBy("source")
+        .agg(F.sum("n_toks").alias("m_src"))
+        .filter(F.col("m_src") > 0)
+    )
+    m_min = per_src.agg(F.min("m_src").alias("m_min"))
+    rates = per_src.join(F.broadcast(m_min))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    # NULL-safe join: an unknown (NULL) source is still a stratum — a
+    # plain equi-join would silently drop its documents (the round-8
+    # NULL-key join-loss class); oracle twin uses IS NOT DISTINCT FROM
+    rates = rates.withColumnRenamed("source", "_src")
+    return (
+        docs.join(
+            F.broadcast(rates), docs["source"].eqNullSafe(rates["_src"])
+        )
+        .filter(bucket * F.col("m_src") < F.col("m_min") * F.lit(65536))
+        .select("doc_id", "source", "n_toks")
+    )
+
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture reweighting: per-source token mass and the sampling
     weight that equalizes every source's contribution (uniform target:
@@ -888,6 +935,21 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. The DuckDB oracle replays the identical rounds with a
     recursive CTE.
     """
+    merges, vocab = _bpe_train_vocab(spark, sf_dir)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_round long, left_sym string, right_sym string, pair_n long",
+    )
+
+
+def _bpe_train_vocab(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop (see text_bpe_train_merges for the full
+    algorithm/determinism notes): returns ``(merges, vocab)`` where
+    ``merges`` is the learned ``(round, left, right, n)`` list and
+    ``vocab`` is the PERSISTED final encoded vocabulary ``(w, s, n_w)``
+    — each distinct multi-char word with its post-merge bracket
+    encoding. The caller owns the unpersist."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -898,7 +960,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("w") >= 2)
     )
     cur = words.select(
-        F.regexp_replace("w", "(.)", "\x01$1\x02").alias("s"), "n_w"
+        "w", F.regexp_replace("w", "(.)", "\x01$1\x02").alias("s"), "n_w"
     ).persist()
     out_rows: list[tuple] = []
     for merge_round in range(1, _BPE_ROUNDS + 1):
@@ -928,16 +990,62 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = f"\x01{left}\x02\x01{right}\x02"
         repl = f"\x01{left}{right}\x02"
         nxt = cur.select(
+            "w",
             F.replace(F.col("s"), F.lit(target), F.lit(repl)).alias("s"),
             "n_w",
         ).persist()
         cur.unpersist()
         cur = nxt
-    cur.unpersist()
-    return spark.createDataFrame(
-        out_rows,
-        "merge_round long, left_sym string, right_sym string, pair_n long",
+    return out_rows, cur
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of the tokenizer
+    story: train the ``_BPE_ROUNDS`` merges (identical loop to
+    text_bpe_train_merges via the shared ``_bpe_train_vocab``), then
+    encode every document with them and report per-doc token counts
+    ``(doc_id, n_words, n_char_tokens, n_bpe_tokens)`` — the
+    before/after token budget a pre-training pipeline sizes its
+    sequence packing with.
+
+    Scale shape: encoding happens on the VOCABULARY (distinct word →
+    post-merge symbol count, Heaps-sublinear), never by re-merging each
+    occurrence; the corpus then pays ONE word-keyed shuffle to join the
+    exploded token stream against the encoded vocabulary (the
+    vocabulary outgrows broadcast at corpus scale — same reasoning as
+    text_bigram_lm_quality) plus the doc-keyed aggregation. Words the
+    trained vocabulary doesn't cover (single-char tokens — excluded
+    from training because they carry no pairs) encode as one symbol.
+    All outputs are exact integers; the DuckDB twin replays training
+    with the same recursive CTE as text_bpe_train_merges (shared
+    fragment ``_BPE_IT_SQL``) and re-derives each word's symbol count
+    from the final bracket encoding."""
+    merges, vocab = _bpe_train_vocab(spark, sf_dir)
+    n_sym = (
+        F.length("s")
+        - F.length(F.replace(F.col("s"), F.lit("\x01"), F.lit("")))
+    ).cast("long")
+    enc = vocab.select("w", n_sym.alias("n_sym"))
+    d = load_table(spark, sf_dir, "documents")
+    docw = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0)
+    out = (
+        docw.join(enc, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_char_tokens"),
+            F.sum(F.coalesce(F.col("n_sym"), F.lit(1)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
     )
+    # materialize before dropping the cached training state the join
+    # reads (localCheckpoint keeps the result plan independent of it)
+    out = out.localCheckpoint(eager=True)
+    vocab.unpersist()
+    return out
 
 
 # both patterns use only character classes + bounded quantifiers, the
@@ -1166,6 +1274,7 @@ QUERIES = {
     "udaf_geomean_price": udaf_geomean_price,
     "text_contamination_check": text_contamination_check,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "corpus_sample_mixture": corpus_sample_mixture,
     "corpus_pack_assignments": corpus_pack_assignments,
     "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
     "text_lm_quality": text_lm_quality,
@@ -1173,6 +1282,7 @@ QUERIES = {
     "text_contamination_bloom": text_contamination_bloom,
     "text_bpe_pair_merges": text_bpe_pair_merges,
     "text_bpe_train_merges": text_bpe_train_merges,
+    "text_bpe_encode": text_bpe_encode,
     "text_bigram_lm_quality": text_bigram_lm_quality,
 }
 
@@ -1180,6 +1290,50 @@ _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
 _SQL_EN_LIST = ", ".join(
     f"'{w}'" for lang, w in STOPWORDS if lang == "en"
 )
+
+#: Shared DuckDB replay of the BPE training recursion (used by the
+#: text_bpe_train_merges AND text_bpe_encode oracles so the two replays
+#: cannot drift): the working table carries the original word ``w``
+#: through every round so the final state doubles as the encoded
+#: vocabulary.
+_BPE_IT_SQL = f"""
+        words AS MATERIALIZED (
+          SELECT w, count(*) AS n_w
+          FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+          GROUP BY w HAVING length(w) >= 2),
+        enc AS MATERIALIZED (
+          SELECT w,
+                 regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')
+                   AS s,
+                 n_w
+          FROM words),
+        it(i, w, s, n_w) AS (
+          SELECT 0, w, s, n_w FROM enc
+          UNION ALL
+          SELECT c.i + 1, c.w, replace(c.s, ch.target, ch.repl), c.n_w
+          FROM it c, (
+            WITH sy AS (
+              SELECT string_split(substring(s, 2, length(s) - 2),
+                                  chr(2) || chr(1)) AS sy,
+                     n_w
+              FROM it),
+            pr AS (
+              SELECT p.l AS l, p.r AS r, sum(p.n) AS n FROM (
+                SELECT unnest(list_transform(range(1, len(sy)),
+                         k -> {{'l': sy[k], 'r': sy[k + 1], 'n': n_w}}))
+                       AS p
+                FROM sy WHERE len(sy) >= 2)
+              GROUP BY p.l, p.r),
+            best AS (SELECT l, r FROM (
+                       SELECT l, r, row_number() OVER
+                                (ORDER BY n DESC, l, r) AS rn
+                       FROM pr) WHERE rn = 1)
+            SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2)
+                     AS target,
+                   chr(1) || l || r || chr(2) AS repl
+            FROM best) ch
+          WHERE c.i < {_BPE_ROUNDS})"""
+
 
 ORACLE = {
     "text_bm25_search": f"""
@@ -1305,41 +1459,7 @@ ORACLE = {
     # that produced round i+1. Integers/strings only — exact.
     "text_bpe_train_merges": f"""
         WITH RECURSIVE
-        words AS MATERIALIZED (
-          SELECT w, count(*) AS n_w
-          FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
-          GROUP BY w HAVING length(w) >= 2),
-        enc AS MATERIALIZED (
-          SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')
-                   AS s,
-                 n_w
-          FROM words),
-        it(i, s, n_w) AS (
-          SELECT 0, s, n_w FROM enc
-          UNION ALL
-          SELECT c.i + 1, replace(c.s, ch.target, ch.repl), c.n_w
-          FROM it c, (
-            WITH sy AS (
-              SELECT string_split(substring(s, 2, length(s) - 2),
-                                  chr(2) || chr(1)) AS sy,
-                     n_w
-              FROM it),
-            pr AS (
-              SELECT p.l AS l, p.r AS r, sum(p.n) AS n FROM (
-                SELECT unnest(list_transform(range(1, len(sy)),
-                         k -> {{'l': sy[k], 'r': sy[k + 1], 'n': n_w}}))
-                       AS p
-                FROM sy WHERE len(sy) >= 2)
-              GROUP BY p.l, p.r),
-            best AS (SELECT l, r FROM (
-                       SELECT l, r, row_number() OVER
-                                (ORDER BY n DESC, l, r) AS rn
-                       FROM pr) WHERE rn = 1)
-            SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2)
-                     AS target,
-                   chr(1) || l || r || chr(2) AS repl
-            FROM best) ch
-          WHERE c.i < {_BPE_ROUNDS}),
+        {_BPE_IT_SQL},
         sy2 AS (
           SELECT i, string_split(substring(s, 2, length(s) - 2),
                                  chr(2) || chr(1)) AS sy,
@@ -1358,6 +1478,26 @@ ORACLE = {
                        (PARTITION BY i ORDER BY n DESC, l, r) AS rn
               FROM pr2)
         WHERE rn = 1
+    """,
+    "text_bpe_encode": f"""
+        WITH RECURSIVE
+        {_BPE_IT_SQL},
+        final AS (
+          SELECT w, length(s) - length(replace(s, chr(1), '')) AS n_sym
+          FROM (SELECT w, s, row_number() OVER
+                       (PARTITION BY w ORDER BY i DESC) AS rn
+                FROM it)
+          WHERE rn = 1),
+        docw AS (
+          SELECT doc_id, w
+          FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents)
+          WHERE length(w) > 0)
+        SELECT doc_id,
+               count(*) AS n_words,
+               CAST(sum(length(d.w)) AS BIGINT) AS n_char_tokens,
+               CAST(sum(coalesce(f.n_sym, 1)) AS BIGINT) AS n_bpe_tokens
+        FROM docw d LEFT JOIN final f ON d.w = f.w
+        GROUP BY doc_id
     """,
     "text_bpe_pair_merges": f"""
         WITH words AS (
@@ -1444,6 +1584,24 @@ ORACLE = {
                round(n_tokens / tot, 6) AS token_share,
                round((tot / n_src) / n_tokens, 6) AS mixture_weight
         FROM per_src, tot ORDER BY source
+    """,
+    "corpus_sample_mixture": f"""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter({_SQL_TOKS},
+                                      t -> length(t) > 0)) AS BIGINT)
+                   AS n_toks
+          FROM documents),
+        per_src AS (
+          SELECT source, CAST(sum(n_toks) AS BIGINT) AS m_src
+          FROM docs GROUP BY source HAVING sum(n_toks) > 0),
+        mn AS (SELECT min(m_src) AS m_min FROM per_src)
+        SELECT d.doc_id, d.source, d.n_toks
+        FROM docs d
+        JOIN per_src p ON d.source IS NOT DISTINCT FROM p.source
+        CROSS JOIN mn
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) * p.m_src < mn.m_min * 65536
     """,
     "udtf_sentence_split": """
         SELECT doc_id, sent_idx, sentence,

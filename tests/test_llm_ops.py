@@ -1022,3 +1022,35 @@ def test_bpe_train_matches_pure_python_reference(spark, tmp_path):
         .collect()
     ]
     assert got == expected, f"\ngot:      {got}\nexpected: {expected}"
+
+    # --- encoding against the same independent reference: apply the
+    # learned merges greedily (leftmost, non-overlapping, in merge
+    # order) to every word; 1-char words (outside the trained
+    # vocabulary) encode as one symbol
+    def enc_word(w):
+        syms = list(w)
+        for _, l, r, _n in expected:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want_rows = {}
+    for doc_id, t in enumerate(texts):
+        ws = t.split()
+        want_rows[doc_id] = (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(enc_word(w) for w in ws),
+        )
+    got_rows = {
+        r["doc_id"]: (r["n_words"], r["n_char_tokens"], r["n_bpe_tokens"])
+        for r in text_ops.text_bpe_encode(spark, str(tmp_path)).collect()
+    }
+    assert got_rows == want_rows, f"\ngot:  {got_rows}\nwant: {want_rows}"

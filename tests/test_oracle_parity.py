@@ -113,6 +113,9 @@ def test_query_matches_oracle(spark, con, name):
         "events_cusum_alerts",
         "basket_part_affinity",
         "pysource_synthetic_events",
+        # round-8 additions: iterative training + hash-rate sampling
+        "text_bpe_encode",
+        "corpus_sample_mixture",
     ],
 )
 def test_query_is_run_deterministic(spark, name):
