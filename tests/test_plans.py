@@ -272,6 +272,10 @@ _REVIEWED_NESTED_LOOPS = {
     "parts_abc_analysis",
     "text_tfidf_top_terms",
     "corpus_mixture_weights",
+    # 1-row m_min broadcast crossJoined onto the #sources-bounded rate
+    # table (the corpus itself joins that table null-safe HASH, not
+    # nested-loop)
+    "corpus_sample_mixture",
     "q22_dormant_customers",
     "q11_important_parts",
     "agg_share_of_total",
