@@ -180,6 +180,10 @@ _REGRADE = {
     # under the driver anyway. q2 is here because its _avg_money
     # helper closure changed (it now delegates to _avg_cents_floor).
     "agg_priority_stats": 7,
+    # q1 additionally got the VERDICT r7 item 6 perf staging (rev/charge
+    # products moved into the pre-aggregate projection; value-identical,
+    # hash-green at sf0.01 AND sf0.1 via driver_sim, warm steady-state
+    # back at/below the float-path baseline)
     "q1_pricing_summary": 7,
     "q2_min_cost_supplier": 7,
     "window_moving_avg": 7,

@@ -50,31 +50,38 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: scan-heavy grouped aggregate with derived expressions.
 
-    The integer cents/percent units are projected ONCE per row before
-    the aggregate and every money aggregate consumes the projected
-    integers — Catalyst does not common-subexpression-eliminate across
-    aggregate children, so inlining _money_cents into each of the six
-    money aggregates re-ran the floor(x*100+0.5) cents-ification up to
-    three times per row per column (measured 1.5x on the whole query
-    at sf0.1; the round-7 A/B is recorded in BASELINE.md §4a)."""
+    The integer cents/percent units AND the derived revenue/charge
+    products are projected ONCE per row before the aggregate and every
+    money aggregate consumes the projected integers — Catalyst does not
+    common-subexpression-eliminate across aggregate children, so
+    inlining _money_cents into each of the six money aggregates re-ran
+    the floor(x*100+0.5) cents-ification up to three times per row per
+    column (measured 1.5x on the whole query at sf0.1; the round-7 A/B
+    is in BASELINE.md §4a), and keeping rev_e4/charge_e6 as aggregate-
+    child expressions re-ran the rev_e4 product inside charge_e6 per
+    row (staging both recovered a further ~13%: 0.60 -> 0.53 s median
+    warm at sf0.1, the round-8 A/B — VERDICT r7 item 6)."""
     l = _t(spark, sf_dir, "lineitem")
+    # revenue = price*(1-disc): cents x pct = exact e4 integer units;
+    # charge = price*(1-disc)*(1+tax): cents x pct x pct = exact e6.
+    # Positive domain, so integer `div` == floor — and unlike float
+    # division, stays exact past 2^53 (e6 sums reach ~1.5e17 at sf1.0
+    # group sizes).
+    ep_c = _money_cents(F.col("l_extendedprice"))
+    d_pct = _money_cents(F.col("l_discount"))
+    t_pct = _money_cents(F.col("l_tax"))
+    rev_e4 = ep_c * (F.lit(100) - d_pct)
     lf = l.filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     ).select(
         "l_returnflag",
         "l_linestatus",
         "l_quantity",
-        _money_cents(F.col("l_extendedprice")).alias("_ep_c"),
-        _money_cents(F.col("l_discount")).alias("_d_pct"),
-        _money_cents(F.col("l_tax")).alias("_t_pct"),
+        ep_c.alias("_ep_c"),
+        d_pct.alias("_d_pct"),
+        rev_e4.alias("_rev_e4"),
+        (rev_e4 * (F.lit(100) + t_pct)).alias("_charge_e6"),
     )
-    # revenue = price*(1-disc): cents x pct = exact e4 integer units;
-    # charge = price*(1-disc)*(1+tax): cents x pct x pct = exact e6.
-    # Positive domain, so integer `div` == floor — and unlike float
-    # division, stays exact past 2^53 (e6 sums reach ~1.5e17 at sf1.0
-    # group sizes).
-    rev_e4 = F.col("_ep_c") * (F.lit(100) - F.col("_d_pct"))
-    charge_e6 = rev_e4 * (F.lit(100) + F.col("_t_pct"))
     n = F.count(F.lit(1))
     return (
         lf.groupBy("l_returnflag", "l_linestatus")
@@ -84,8 +91,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # as-is (unlike the 2-decimal money columns below)
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             (F.sum("_ep_c") / 100).alias("sum_base_price"),
-            _e4_to_dollars(F.sum(rev_e4)).alias("sum_disc_price"),
-            F.sum(charge_e6).alias("_charge_e6"),
+            _e4_to_dollars(F.sum("_rev_e4")).alias("sum_disc_price"),
+            F.sum("_charge_e6").alias("_charge_e6"),
             # integer-valued quantities sum exactly in float64, so only
             # the final rounding needs the cross-engine floor idiom;
             # sum*100 is exact (integer-valued), making qty-units
