@@ -1252,6 +1252,200 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hashed-feature space for the DSIR importance model. 4096 buckets is
+#: the grading-SF setting; the published recipe uses 10k — the plan is
+#: bucket-count-invariant (the model stays a broadcast table at any
+#: realistic B).
+_DSIR_BUCKETS = 4096
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the average log importance ratio
+    ``ln p_target(f) - ln p_raw(f)`` of its hashed bigram features
+    under Laplace-smoothed bag-of-buckets unigram models, where the
+    target distribution is fit on the ground-truth-``en`` slice and
+    the raw distribution on the whole corpus. Positive scores mark
+    documents that look like the target slice — the resampling key of
+    the published recipe.
+
+    Scale shape: bigrams are row-local (slice+zip_with, no
+    re-tokenization); the feature→bucket map is a row-local md5; the
+    model is ONE bucket-keyed aggregate whose output is bounded by
+    ``_DSIR_BUCKETS`` rows (map-side partials shrink the shuffle to
+    B rows per partition) and is broadcast back, so the only
+    data-sized exchange is the final doc-keyed rollup — itself
+    partially aggregated to one row per doc per partition. Every
+    ``ln`` argument is an exact integer (counts + constants), so both
+    engines' libms see identical inputs (the corpus_language_entropy
+    idiom); the per-doc mean is rounded through the 4dp floor grid.
+    Docs with <2 tokens have no features and drop (the
+    text_bigram_lm_quality convention); NULL-text docs are excluded
+    explicitly. NULL lang is defined as non-target on both engines
+    (eqNullSafe / IS NOT DISTINCT FROM)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        # tokens() staged into its own projection (the text_token_stats
+        # rationale): inlining it into shingles()' slice/size references
+        # re-ran the regex-heavy normalization ~5x per row (measured
+        # 4.5 -> 0.9 s for the explode stage at sf0.1)
+        .select("doc_id", "lang", tokens(F.col("text")).alias("_toks"))
+    )
+    feats = d.select(
+        "doc_id",
+        F.col("lang").eqNullSafe(F.lit("en")).alias("is_target"),
+        F.explode(shingles(F.col("_toks"), 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "is_target",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 3), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+    )
+    # persisted: the ≤_DSIR_BUCKETS-row model is consumed twice (totals
+    # + the llr projection) — without the pin each consumer re-scans
+    # the data-sized feature stream (the dedup.py shingle-cache
+    # pattern; measured one full corpus pass saved)
+    model = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    ).persist()
+    totals = model.agg(
+        F.sum("c_t").alias("t_tot"), F.sum("c_r").alias("r_tot")
+    )
+    lm = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(F.col("c_t") + 1)
+            - F.log(F.col("c_r") + 1)
+            + F.log(F.col("r_tot") + F.lit(_DSIR_BUCKETS))
+            - F.log(F.col("t_tot") + F.lit(_DSIR_BUCKETS))
+        ).alias("llr"),
+    )
+    return (
+        feats.join(F.broadcast(lm), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            _r4(F.avg("llr")).alias("dsir_logratio"),
+        )
+    )
+
+
+#: Duplicated-span gram width at grading SF. The published exact-
+#: substring dedup threshold is 50 tokens on web-scale corpora; 5 fits
+#: the synthetic corpus' short documents while keeping the plan
+#: identical (the gram width only changes a row-local slice count).
+_DUP_SPAN_L = 5
+
+
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span extents (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    find the maximal token runs whose every ``_DUP_SPAN_L``-gram
+    occurs at least twice in the corpus (cross-doc boilerplate or
+    intra-doc repetition), and report span count, longest span, and
+    the fraction of the doc's tokens covered — the per-doc removal
+    stats of the exact-substring dedup recipe.
+
+    Scale shape: grams + 0-based positions are row-local
+    (slice+zip_with + posexplode), and each gram is md5-hashed to an
+    int64 INSIDE the array before the explode — the generator then
+    emits fixed-width longs instead of ~40-byte strings, and every
+    downstream aggregate/join moves 8-byte keys (the
+    _doc_shingle_hashes rationale; md5-derived rather than xxhash64
+    so DuckDB replays the identical buckets — any hash collision is
+    byte-identical on both engines). The exploded position table is
+    persisted: three consumers (dup-gram agg, hit join, island
+    windows) would otherwise each re-run the tokenize+shingle scan,
+    the plan's only data-sized work (measured 3× the corpus pass,
+    ~12 s → ~4 s at sf0.1). Duplicated grams come from ONE hash-keyed
+    count aggregate (map-side partials); the interval-union is a
+    per-doc bounded window (running max of span ends → island flags →
+    one grouped rollup) — the merge-intervals generalization of the
+    gaps-and-islands idiom, never a global sort. Integer
+    positions/counts throughout; only the final coverage ratio is
+    floated, through the 4dp floor grid. Docs with no duplicated span
+    surface with zeros (LEFT join); NULL-text docs are excluded
+    explicitly on both engines."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    docs = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    base = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    pos = (
+        docs.select(
+            "doc_id", shingles(F.col("toks"), _DUP_SPAN_L).alias("grams")
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    "grams",
+                    lambda g: F.conv(
+                        F.substring(F.md5(g), 1, 15), 16, 10
+                    ).cast("long"),
+                )
+            ).alias("pos", "gh"),
+        )
+        .persist()
+    )
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+    )
+    hits = pos.join(dup.select("gh"), "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (_DUP_SPAN_L - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # new island when this span neither overlaps nor touches the
+    # furthest end seen so far — [pos, pos+L-1] vs running max end
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    islands = hits.select(
+        "doc_id", "pos", F.sum(new_island).over(w).alias("island")
+    )
+    stats = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            (F.max("pos") - F.min("pos") + _DUP_SPAN_L).alias("span_len")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.max("span_len").cast("long").alias("max_span_tokens"),
+            F.sum("span_len").alias("covered"),
+        )
+    )
+    return (
+        base
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("long")
+            .alias("max_span_tokens"),
+            _r4(
+                F.coalesce(F.col("covered"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            ).alias("dup_coverage"),
+        )
+    )
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_compression_ratio": text_compression_ratio,
@@ -1284,6 +1478,8 @@ QUERIES = {
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_bigram_lm_quality": text_bigram_lm_quality,
+    "dsir_importance_weights": dsir_importance_weights,
+    "text_dup_spans": text_dup_spans,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -1815,5 +2011,93 @@ ORACLE = {
               FROM scored
               WHERE pred_lang = 'en' AND quality_score >= 0.8)
         WHERE rn2 = 1
+    """,
+    "dsir_importance_weights": f"""
+        WITH docs AS (
+          SELECT doc_id, lang, {_SQL_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL),
+        feats AS (
+          SELECT doc_id,
+                 (lang IS NOT DISTINCT FROM 'en') AS is_target,
+                 CAST(('0x' || substring(md5(g), 1, 3)) AS BIGINT) AS bucket
+          FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+            FROM docs)),
+        model AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_t,
+                 CAST(count(*) AS BIGINT) AS c_r
+          FROM feats GROUP BY bucket),
+        tot AS (
+          SELECT CAST(sum(c_t) AS BIGINT) AS t_tot,
+                 CAST(sum(c_r) AS BIGINT) AS r_tot
+          FROM model),
+        lm AS (
+          SELECT bucket,
+                 ln(c_t + 1) - ln(c_r + 1)
+                   + ln(r_tot + {_DSIR_BUCKETS})
+                   - ln(t_tot + {_DSIR_BUCKETS}) AS llr
+          FROM model CROSS JOIN tot)
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               floor(avg(llr) * 10000 + 0.5) / 10000 AS dsir_logratio
+        FROM feats f JOIN lm USING (bucket)
+        GROUP BY f.doc_id
+    """,
+    "text_dup_spans": f"""
+        WITH docs AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL),
+        base AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 list_transform(
+                     range(1, greatest(len(toks) - {_DUP_SPAN_L - 1}, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                          || ' ' || toks[i + 3] || ' ' || toks[i + 4]) AS grams
+          FROM docs),
+        pos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos,
+                 unnest(list_transform(grams, g ->
+                     CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)))
+                   AS gh
+          FROM base),
+        dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+        hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gh)),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN max(pos + {_DUP_SPAN_L - 1}) OVER w_prev IS NULL
+                        OR pos > max(pos + {_DUP_SPAN_L - 1}) OVER w_prev + 1
+                      THEN 1 ELSE 0 END AS new_island
+          FROM hits
+          WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+          FROM flagged),
+        per_island AS (
+          SELECT doc_id, island,
+                 max(pos) - min(pos) + {_DUP_SPAN_L} AS span_len
+          FROM isl GROUP BY doc_id, island),
+        stats AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                 CAST(max(span_len) AS BIGINT) AS max_span_tokens,
+                 sum(span_len) AS covered
+          FROM per_island GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(s.max_span_tokens, 0) AS BIGINT)
+                 AS max_span_tokens,
+               floor(coalesce(s.covered, 0)
+                     / CAST(greatest(b.n_tokens, 1) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS dup_coverage
+        FROM base b LEFT JOIN stats s USING (doc_id)
     """,
 }

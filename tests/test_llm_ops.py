@@ -1054,3 +1054,95 @@ def test_bpe_train_matches_pure_python_reference(spark, tmp_path):
         for r in text_ops.text_bpe_encode(spark, str(tmp_path)).collect()
     }
     assert got_rows == want_rows, f"\ngot:  {got_rows}\nwant: {want_rows}"
+
+
+def test_dup_spans_merge_intervals(spark, tmp_path):
+    """text_dup_spans island logic on a hand-computable corpus: full-doc
+    duplication (one island), two separated repeats (two islands), a
+    clean doc (zeros), and the touch-merge rule — hits at pos 0 and 5
+    with L=5 cover tokens 0-4 and 5-9, adjacent but non-overlapping, and
+    must merge into ONE continuous covered span of 10."""
+    import pandas as pd
+
+    from dbscan_spark.operators import text as text_ops
+
+    texts = [
+        "a b c d e f g h",                      # 0: dup of doc 1 — one island, full cover
+        "a b c d e f g h",                      # 1
+        "a b c d e x1 x2 x3 x4 x5 x6 a b c d e",  # 2: two separated islands
+        "u1 u2 u3 u4 u5 u6 u7",                 # 3: unique — zeros
+        "p q r s t v w x y z",                  # 4: hits at pos 0 and 5 → touch-merge
+        "p q r s t",                            # 5: makes doc 4's pos-0 gram a dup
+        "v w x y z",                            # 6: makes doc 4's pos-5 gram a dup
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["max_span_tokens"],
+            r["dup_coverage"],
+        )
+        for r in text_ops.text_dup_spans(spark, str(tmp_path)).collect()
+    }
+    want = {
+        0: (8, 1, 8, 1.0),
+        1: (8, 1, 8, 1.0),
+        2: (16, 2, 5, 0.625),
+        3: (7, 0, 0, 0.0),
+        4: (10, 1, 10, 1.0),   # merged [0,4]+[5,9] — NOT two spans of 5
+        5: (5, 1, 5, 1.0),
+        6: (5, 1, 5, 1.0),
+    }
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_dsir_separates_target_slice(spark, tmp_path):
+    """dsir_importance_weights on a corpus with disjoint en/de bigram
+    vocabularies: every en doc must score strictly above every non-en
+    doc (its features are frequent in the target model and the model is
+    fit ON the en slice), n_feats must equal n_tokens-1, and a 1-token
+    doc must drop (no features)."""
+    import pandas as pd
+
+    from dbscan_spark.operators import text as text_ops
+
+    texts = [
+        ("the cat sat on the mat", "en"),
+        ("the dog sat on the rug", "en"),
+        ("the cat ran to the dog", "en"),
+        ("der hund lief zum haus", "de"),
+        ("der gato sitzt auf dem", "de"),
+        ("single", "de"),  # 1 token → no bigram features → dropped
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": [t for t, _ in texts],
+            "lang": [lg for _, lg in texts],
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t, _ in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    rows = {
+        r["doc_id"]: r
+        for r in text_ops.dsir_importance_weights(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4}  # doc 5 dropped
+    for doc_id, (t, _) in enumerate(texts[:5]):
+        assert rows[doc_id]["n_feats"] == len(t.split()) - 1
+    en_scores = [rows[i]["dsir_logratio"] for i in (0, 1, 2)]
+    de_scores = [rows[i]["dsir_logratio"] for i in (3, 4)]
+    assert min(en_scores) > max(de_scores), (en_scores, de_scores)

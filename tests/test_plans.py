@@ -276,6 +276,10 @@ _REVIEWED_NESTED_LOOPS = {
     # table (the corpus itself joins that table null-safe HASH, not
     # nested-loop)
     "corpus_sample_mixture",
+    # 1-row totals broadcast crossJoined onto the ≤4096-row bucket
+    # model (the feature stream joins the model by bucket HASH; only
+    # the bounded model side sees the nested loop)
+    "dsir_importance_weights",
     "q22_dormant_customers",
     "q11_important_parts",
     "agg_share_of_total",
