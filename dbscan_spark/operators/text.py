@@ -1252,6 +1252,64 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Multilingual sampling temperature — the α in p_l^α (XLM-R / mT5 use
+#: α≈0.3: flattens the language distribution so low-resource languages
+#: are upsampled without drowning the head).
+_MIX_ALPHA = 0.3
+
+
+def corpus_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the XLM-R /
+    mT5 recipe, Conneau et al. 2020): per-language token mass p_l and
+    the renormalized temperature distribution q_l = p_l^α / Σ p_l^α at
+    α = ``_MIX_ALPHA`` — the standard knob for balancing low- vs
+    high-resource languages in a multilingual pretraining mixture (the
+    language-axis sibling of corpus_mixture_weights' uniform-source
+    rule).
+
+    Scale shape: ONE corpus scan feeds a lang-keyed aggregate
+    (map-side partials) whose output is bounded by #languages and
+    persisted — every downstream step (total, powering, partition
+    function Z, final projection) is arithmetic on that tiny cached
+    table plus 1-row broadcasts, so nothing data-sized moves twice.
+    p^α goes through exp(α·(ln m − ln M)) with every ln argument an
+    exact integer (the corpus_language_entropy idiom); Z is a sum over
+    #languages doubles (the udaf_geomean_price exp/ln precedent) and
+    the shares are rounded through the 4dp floor grid. The NULL-lang
+    group is kept (GROUP BY semantics match across engines);
+    zero-token languages drop on both (NULL-safe > 0 filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text"))))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .persist()
+    )
+    totals = per_lang.agg(F.sum("n_tokens").alias("tot"))
+    powered = per_lang.join(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "tot",
+        F.exp(
+            F.lit(_MIX_ALPHA) * (F.log("n_tokens") - F.log("tot"))
+        ).alias("p_alpha"),
+    )
+    z = powered.agg(F.sum("p_alpha").alias("z"))
+    return powered.join(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        _r4(F.col("n_tokens") / F.col("tot")).alias("token_share"),
+        _r4(F.col("p_alpha") / F.col("z")).alias("temp_share"),
+    )
+
+
 #: Hashed-feature space for the DSIR importance model. 4096 buckets is
 #: the grading-SF setting; the published recipe uses 10k — the plan is
 #: bucket-count-invariant (the model stays a broadcast table at any
@@ -1480,6 +1538,7 @@ QUERIES = {
     "text_bigram_lm_quality": text_bigram_lm_quality,
     "dsir_importance_weights": dsir_importance_weights,
     "text_dup_spans": text_dup_spans,
+    "corpus_lang_temperature": corpus_lang_temperature,
 }
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -2099,5 +2158,24 @@ ORACLE = {
                      / CAST(greatest(b.n_tokens, 1) AS DOUBLE)
                      * 10000 + 0.5) / 10000 AS dup_coverage
         FROM base b LEFT JOIN stats s USING (doc_id)
+    """,
+    "corpus_lang_temperature": f"""
+        WITH per_lang AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents
+          GROUP BY lang
+          HAVING sum(len({_SQL_TOKS})) > 0),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per_lang),
+        powered AS (
+          SELECT lang, n_docs, n_tokens, tot,
+                 exp({_MIX_ALPHA} * (ln(n_tokens) - ln(tot))) AS p_alpha
+          FROM per_lang CROSS JOIN tot),
+        z AS (SELECT sum(p_alpha) AS z FROM powered)
+        SELECT lang, n_docs, n_tokens,
+               floor(n_tokens / CAST(tot AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS token_share,
+               floor(p_alpha / z * 10000 + 0.5) / 10000 AS temp_share
+        FROM powered CROSS JOIN z
     """,
 }

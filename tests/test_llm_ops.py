@@ -1146,3 +1146,26 @@ def test_dsir_separates_target_slice(spark, tmp_path):
     en_scores = [rows[i]["dsir_logratio"] for i in (0, 1, 2)]
     de_scores = [rows[i]["dsir_logratio"] for i in (3, 4)]
     assert min(en_scores) > max(de_scores), (en_scores, de_scores)
+
+
+def test_lang_temperature_matches_numpy(spark):
+    """corpus_lang_temperature vs an independent numpy computation of
+    q_l = p_l^alpha / sum p_l^alpha from the operator's own per-lang
+    token counts; plus the recipe's defining property — flattening:
+    the head language's share shrinks, tail languages' shares grow."""
+    import numpy as np
+
+    from dbscan_spark.operators import text as text_ops
+
+    rows = text_ops.corpus_lang_temperature(spark, SF_SMALL).collect()
+    m = np.array([r["n_tokens"] for r in rows], dtype=float)
+    p = m / m.sum()
+    q = p ** text_ops._MIX_ALPHA / (p ** text_ops._MIX_ALPHA).sum()
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-3
+    for r, pi, qi in zip(rows, p, q):
+        assert abs(r["token_share"] - pi) < 5e-4, (r, pi)
+        assert abs(r["temp_share"] - qi) < 5e-4, (r, qi)
+        if pi == p.max():
+            assert qi < pi  # head shrinks
+        if pi == p.min():
+            assert qi > pi  # tail grows

@@ -280,6 +280,9 @@ _REVIEWED_NESTED_LOOPS = {
     # model (the feature stream joins the model by bucket HASH; only
     # the bounded model side sees the nested loop)
     "dsir_importance_weights",
+    # 1-row total + 1-row partition-function broadcasts crossJoined
+    # onto the #languages-bounded persisted aggregate
+    "corpus_lang_temperature",
     "q22_dormant_customers",
     "q11_important_parts",
     "agg_share_of_total",
