@@ -161,170 +161,63 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # (The 50 round-7 bumps — the r6 money cents-ification/floor-idiom
-    # class and the earlier stragglers — were all re-graded hash-green
-    # in CORRECTNESS_r07 and have been pruned; an expired bump is
-    # inert but noisy. Manifest re-baselined round-8 open:
-    # tools/query_hashes.py --write, --check clean.)
+    # (The 44 round-8 bumps — ANN/LSH oracle promotions, the sequence()
+    # guard pair, the zero-norm cosine class, and the earlier r1-r5
+    # stragglers — were all re-graded hash-green in CORRECTNESS_r08 and
+    # have been pruned; an expired bump is inert but noisy. Manifest
+    # re-baselined round-9 open: tools/query_hashes.py --write.)
     #
-    # Two r7 bumps did NOT land in the r7 cohort (their latest grades
-    # are r6, taken BEFORE the r7 floor-idiom change to their shared
-    # money helpers/oracle text) — still stale, keep until re-graded:
+    # The 33 below are the r8 bumps that did NOT fit the 50-slot r8
+    # cohort — their latest grades predate their current code. All were
+    # verified hash-green at sf0.01 AND sf0.1 via tools/driver_sim.py
+    # pre-commit; the rotation puts them first in the r9 cohort.
+    #
+    # r6-stale pair (oldest debt — grades predate the r7 floor-idiom
+    # change to their shared money helpers/oracle text):
     "schema_evolution_read": 6,
     "streaming_tumbling_totals": 6,
-    # round 8 (ADVICE r7): the hand-inlined floor-half-up money-average
-    # expressions were routed through the one audited helper
-    # (_avg_cents_floor, relational.py) — values verified identical vs
-    # the unchanged DuckDB oracles at sf0.01 AND sf0.1 before commit
-    # (tools/driver_sim.py --only ..., all hash-green); re-certify
-    # under the driver anyway. q2 is here because its _avg_money
-    # helper closure changed (it now delegates to _avg_cents_floor).
+    "scalar_string_math": 6,
+    # r5-stale streaming trio (grades predate the r8 events-ingestion
+    # rule rewrite of their oracle tails):
+    "streaming_dedup_pairs": 5,
+    "streaming_merge_latest_state": 5,
+    "streaming_session_totals": 5,
+    # money-helper routing class (r8 _avg_cents_floor consolidation +
+    # the q1 staging commit):
     "agg_priority_stats": 7,
-    # q1 additionally got the VERDICT r7 item 6 perf staging (rev/charge
-    # products moved into the pre-aggregate projection; value-identical,
-    # hash-green at sf0.01 AND sf0.1 via driver_sim, warm steady-state
-    # back at/below the float-path baseline)
     "q1_pricing_summary": 7,
     "q2_min_cost_supplier": 7,
     "window_moving_avg": 7,
-    # round 8 (VERDICT r7 item 8): the ANN family + dedup_embedding_lsh
-    # promoted from rows-only to EXACT oracles — quantizer/codebook
-    # training made SQL-replayable (smallest-vec_id init, per-round
-    # 1e-4 floor-half-up quantization, lowest-code tie-breaks), the
-    # LSH hyperplanes inlined as SQL literals, approx ranking keys
-    # snapped to a 1e-9 grid; the DuckDB twins replay
-    # train→assign/bucket→probe→score→re-rank end-to-end (MATERIALIZED
-    # CTEs keep the ivfpq replay at ~1.3 s). All five verified
-    # hash-green at sf0.01 pre-commit; recall pins still pass.
-    "ann_topk_ivf": 7,
-    "ann_topk_ivfpq": 7,
-    "ann_topk_lsh": 7,
-    "ann_topk_pq": 7,
-    "dedup_embedding_lsh": 7,
-    # embedding_quantize_int8 shares the similarity-module helper
-    # closure that changed in the sweep above; its own plan and values
-    # are untouched (driver_sim hash-green re-verified) but the
-    # certified pair drifted, so it re-certifies too.
+    # similarity-module helper-closure drift (r8 ANN oracle promotion
+    # sweep touched a shared helper; values untouched):
     "embedding_quantize_int8": 7,
-    # round 8 bug class found by inspection: Spark's sequence(a, b)
-    # yields a DESCENDING array when b < a, so degenerate rows
-    # (single-char words / empty payloads) emitted bogus elements the
-    # DuckDB oracles (range(): empty) never count — latent on the
-    # shipped corpora only because the bogus counts stayed below the
-    # top-N cutoffs. Guards added on the Spark side; values at the
-    # shipped SFs now TRUE on both engines (verified hash-green at
-    # sf0.01 and sf0.1 pre-commit) — re-certify under the driver.
-    "text_bpe_pair_merges": 7,
-    "multimodal_chunk_dedup": 7,
-    # round 8 adversarial-corpus fuzz (tools/make_adversarial_sf.py):
-    # zero-norm embeddings made every cosine query THROW under Spark 4's
-    # default ANSI mode (DIVIDE_BY_ZERO) while DuckDB yields NULL — a
-    # single masked/failed embedding in a real corpus would kill the
-    # job. Both engines now exclude zero-norm vectors from the
-    # similarity corpus (norm > 0: defined semantics, no NULL-ordering
-    # ambiguity). Values at the shipped SFs are unchanged (no zero
-    # vectors there) — verified hash-green at sf0.01, sf0.1 AND the
-    # adversarial corpus pre-commit; re-certify under the driver.
-    "ann_topk_bruteforce": 7,
-    "similarity_range_search": 7,
-    "ann_topk_filtered": 7,
-    "knn_label_predict": 7,
-    "dedup_embedding_cosine": 7,
-    # round 8 relational shape-fuzz (second extension of
-    # tools/make_adversarial_sf.py): a single non-finite events.value
-    # row (NaN/±Inf sensor garbage) made every ANSI cents-ification
-    # THROW (ARITHMETIC_OVERFLOW on floor(inf*100)::long), and a NULL
-    # events.ts row diverged across engine NULL-ordering defaults
-    # (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) in every windowed
-    # query — streaming plans were already dropping it silently at the
-    # watermark. Both engines now exclude such rows AT INGESTION via
-    # ONE audited rule (io.load_events / io.EVENTS_INGEST_RULE; the
-    # oracle twin is rewritten mechanically at the relational and
-    # streaming module tails, same pattern as the zero-norm embedding
-    # rule). Shipped corpora contain zero such rows (verified by
-    # direct count at sf0.001/0.01/0.1), so certified values are
-    # unchanged — the certified (implementation, oracle) PAIR drifted
-    # for every events-reading query, hence the bumps; all verified
-    # hash-green at sf0.01 and sf0.1 pre-commit.
+    # events-ingestion-rule class (r8 adversarial fuzz: non-finite
+    # value / NULL-ts rows excluded at ingestion via io.load_events +
+    # mechanical oracle rewrite — the certified pair drifted for every
+    # events-reading query):
     "csv_source_events": 7,
     "events_ab_welch_t": 7,
-    "events_audience_overlap": 3,
-    "events_bot_suspects": 5,
-    "events_concurrency_hourly": 4,
     "events_cusum_alerts": 7,
-    "events_dn_retention": 4,
     "events_dod_change": 7,
-    "events_ewma_user_value": 4,
-    "events_funnel": 3,
-    "events_funnel_latency": 4,
     "events_gapfill_hourly": 7,
     "events_gapfill_interp": 7,
     "events_gapfill_locf": 7,
     "events_holt_forecast": 7,
     "events_hypertable_rollup": 7,
-    "events_mad_outliers": 4,
-    "events_ohlc_daily": 4,
-    "events_path_transitions": 4,
-    "events_pattern_vvp": 4,
-    "events_scd2_user_state": 4,
     "events_seasonal_anomalies": 7,
     "events_seasonality_profile": 7,
-    "events_sessionize_lag": 3,
-    "events_user_gini": 5,
-    "governance_erasure_audit": 4,
-    "join_asof_last_click": 2,
-    "join_asof_next_view": 4,
-    "join_range_clicks_before_purchase": 3,
-    "join_salted_skew": 3,
-    "json_aggregate_events": 1,
     "json_corrupt_tolerant_read": 7,
-    "json_extract_events": 1,
     "json_source_events": 7,
     "partitioned_prune_events": 7,
-    "retention_cohorts": 3,
-    "sql_udf_value_tier": 5,
-    "streaming_dedup_pairs": 5,
-    "streaming_merge_latest_state": 5,
-    "streaming_session_totals": 5,
     "users_feature_assembly": 7,
-    "window_session_events": 1,
-    "window_sliding_distinct_users": 4,
-    "window_sliding_events": 1,
     "window_tumbling_events": 7,
-    # round 8 relational shape-fuzz, second wave — per-query defined-
-    # semantics fixes (each verified hash-green at sf0.01, sf0.1 AND
-    # the adversarial corpus pre-commit):
-    # - NULL-key join-loss class: rel_division (distinct() counted the
-    #   NULL priority into the universe, count(DISTINCT) never can →
-    #   result went permanently EMPTY), customers_rfm (NULL-custkey
-    #   group fell out of the rank branches' equi-joins), basket (lift
-    #   denominator counted the NULL-orderkey basket on one engine
-    #   only) — NULL keys excluded with matching oracle WHEREs;
-    # - NULL-ordering class: explicit NULLS FIRST on the nullable
-    #   o_orderdate window keys (Spark ASC default = NULLS FIRST,
-    #   DuckDB = NULLS LAST) for moving_avg/first_last/running_total/
-    #   order_gaps/range_30d;
-    # - time-series domain class: yoy/seasonal_decompose/cohort_ltv and
-    #   the gap-fill spine restricted to dated rows / known types on
-    #   both engines;
-    # - NULL-total partition class: agg_incremental_daily's delta
-    #   predicate now absorbs NULL dates (date<c / date>=c both drop
-    #   them — the one-shot oracle never did);
-    # - math-domain class: sqrt(<0) and geomean(<=0) are NULL/excluded
-    #   on both engines (Spark NaN vs DuckDB THROW divergence);
-    # - plus json_valid guards on the props oracles (DuckDB throws on
-    #   malformed JSON where get_json_object yields NULL).
-    "agg_incremental_daily": 4,
-    "basket_part_affinity": 4,
+    # NULL-ordering / domain-restriction class (r8 shape-fuzz second
+    # wave — explicit NULLS FIRST on nullable o_orderdate window keys,
+    # dated-row domain restrictions):
     "customers_cohort_ltv": 7,
     "customers_rfm_segments": 7,
     "orders_seasonal_decompose": 7,
     "orders_yoy_growth": 7,
-    "rel_division_priorities": 4,
-    "scalar_string_math": 6,
-    "udaf_geomean_price": 2,
-    "window_first_last": 3,
-    "window_order_gaps": 5,
     "window_range_30d_spend": 7,
     "window_running_total": 7,
 }
