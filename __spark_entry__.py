@@ -220,6 +220,14 @@ _REGRADE = {
     "orders_yoy_growth": 7,
     "window_range_30d_spend": 7,
     "window_running_total": 7,
+    # round 9 (ADVICE r8 items 1+2): _DSIR_BUCKETS derived from
+    # _DSIR_HEX_CHARS (shared by the Spark substring and the oracle),
+    # and the dup-spans oracle concat now BUILT from the width via
+    # _dup_spans_oracle(width) — values identical by construction,
+    # verified hash-green at sf0.01 and sf0.1 via driver_sim
+    # pre-commit; re-certify the drifted pairs under the driver.
+    "dsir_importance_weights": 8,
+    "text_dup_spans": 8,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

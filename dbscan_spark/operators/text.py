@@ -1310,11 +1310,15 @@ def corpus_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Hashed-feature space for the DSIR importance model. 4096 buckets is
-#: the grading-SF setting; the published recipe uses 10k — the plan is
-#: bucket-count-invariant (the model stays a broadcast table at any
-#: realistic B).
-_DSIR_BUCKETS = 4096
+#: Hashed-feature space for the DSIR importance model: md5-hex-prefix
+#: buckets, so the bucket count is 16**chars BY CONSTRUCTION — deriving
+#: one constant from the other keeps the Laplace smoothing terms
+#: ln(r_tot+B)/ln(t_tot+B) in sync with the actual bucket space on both
+#: engines (ADVICE r8). 4096 buckets is the grading-SF setting; the
+#: published recipe uses 10k — the plan is bucket-count-invariant (the
+#: model stays a broadcast table at any realistic B).
+_DSIR_HEX_CHARS = 3
+_DSIR_BUCKETS = 16 ** _DSIR_HEX_CHARS
 
 
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1358,7 +1362,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "is_target",
-        F.conv(F.substring(F.md5(F.col("g")), 1, 3), 16, 10)
+        F.conv(F.substring(F.md5(F.col("g")), 1, _DSIR_HEX_CHARS), 16, 10)
         .cast("long")
         .alias("bucket"),
     )
@@ -1407,6 +1411,9 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-doc repetition), and report span count, longest span, and
     the fraction of the doc's tokens covered — the per-doc removal
     stats of the exact-substring dedup recipe.
+    ``text_dup_spans_w50`` grades the SAME plan at the published
+    50-token width, proving the width-invariance this docstring
+    claims by measurement rather than assertion.
 
     Scale shape: grams + 0-based positions are row-local
     (slice+zip_with + posexplode), and each gram is md5-hashed to an
@@ -1428,6 +1435,22 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     floated, through the 4dp floor grid. Docs with no duplicated span
     surface with zeros (LEFT join); NULL-text docs are excluded
     explicitly on both engines."""
+    return _dup_spans(spark, sf_dir, _DUP_SPAN_L)
+
+
+def text_dup_spans_w50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_dup_spans`` at the published exact-substring width
+    (Lee et al. 2022 use 50 tokens on web-scale corpora). Same plan,
+    same oracle template — the gram width only changes a row-local
+    slice count, so grading both widths proves the plan (and the
+    generated oracle) are width-invariant. On the synthetic corpus'
+    short documents only verbatim-duplicated documents can carry a
+    50-token duplicated run, so most rows report zeros — the LEFT
+    join keeps every doc surfaced either way."""
+    return _dup_spans(spark, sf_dir, 50)
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents").filter(
@@ -1439,7 +1462,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = (
         docs.select(
-            "doc_id", shingles(F.col("toks"), _DUP_SPAN_L).alias("grams")
+            "doc_id", shingles(F.col("toks"), width).alias("grams")
         )
         .select(
             "doc_id",
@@ -1461,7 +1484,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = pos.join(dup.select("gh"), "gh").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + (_DUP_SPAN_L - 1)).over(
+    prev_end = F.max(F.col("pos") + (width - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
     # new island when this span neither overlaps nor touches the
@@ -1475,7 +1498,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (
         islands.groupBy("doc_id", "island")
         .agg(
-            (F.max("pos") - F.min("pos") + _DUP_SPAN_L).alias("span_len")
+            (F.max("pos") - F.min("pos") + width).alias("span_len")
         )
         .groupBy("doc_id")
         .agg(
@@ -1538,8 +1561,68 @@ QUERIES = {
     "text_bigram_lm_quality": text_bigram_lm_quality,
     "dsir_importance_weights": dsir_importance_weights,
     "text_dup_spans": text_dup_spans,
+    "text_dup_spans_w50": text_dup_spans_w50,
     "corpus_lang_temperature": corpus_lang_temperature,
 }
+
+
+def _dup_spans_oracle(width: int) -> str:
+    """DuckDB replay of ``_dup_spans`` at the given gram width. The
+    gram concatenation is BUILT from ``width`` (ADVICE r8: the old
+    hardcoded 5-term concat desynced silently if the constant moved)
+    — the same single-source-of-truth discipline as _BPE_IT_SQL."""
+    gram = " || ' ' || ".join(f"toks[i + {k}]" for k in range(width))
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL),
+        base AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 list_transform(
+                     range(1, greatest(len(toks) - {width - 1}, 0) + 1),
+                     i -> {gram}) AS grams
+          FROM docs),
+        pos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos,
+                 unnest(list_transform(grams, g ->
+                     CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)))
+                   AS gh
+          FROM base),
+        dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+        hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gh)),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN max(pos + {width - 1}) OVER w_prev IS NULL
+                        OR pos > max(pos + {width - 1}) OVER w_prev + 1
+                      THEN 1 ELSE 0 END AS new_island
+          FROM hits
+          WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+          FROM flagged),
+        per_island AS (
+          SELECT doc_id, island,
+                 max(pos) - min(pos) + {width} AS span_len
+          FROM isl GROUP BY doc_id, island),
+        stats AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                 CAST(max(span_len) AS BIGINT) AS max_span_tokens,
+                 sum(span_len) AS covered
+          FROM per_island GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(s.max_span_tokens, 0) AS BIGINT)
+                 AS max_span_tokens,
+               floor(coalesce(s.covered, 0)
+                     / CAST(greatest(b.n_tokens, 1) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS dup_coverage
+        FROM base b LEFT JOIN stats s USING (doc_id)
+    """
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
 _SQL_EN_LIST = ", ".join(
@@ -2078,7 +2161,7 @@ ORACLE = {
         feats AS (
           SELECT doc_id,
                  (lang IS NOT DISTINCT FROM 'en') AS is_target,
-                 CAST(('0x' || substring(md5(g), 1, 3)) AS BIGINT) AS bucket
+                 CAST(('0x' || substring(md5(g), 1, {_DSIR_HEX_CHARS})) AS BIGINT) AS bucket
           FROM (
             SELECT doc_id, lang,
                    unnest(list_transform(
@@ -2107,58 +2190,8 @@ ORACLE = {
         FROM feats f JOIN lm USING (bucket)
         GROUP BY f.doc_id
     """,
-    "text_dup_spans": f"""
-        WITH docs AS (
-          SELECT doc_id, {_SQL_TOKS} AS toks
-          FROM documents WHERE text IS NOT NULL),
-        base AS (
-          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                 list_transform(
-                     range(1, greatest(len(toks) - {_DUP_SPAN_L - 1}, 0) + 1),
-                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
-                          || ' ' || toks[i + 3] || ' ' || toks[i + 4]) AS grams
-          FROM docs),
-        pos AS (
-          SELECT doc_id,
-                 CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos,
-                 unnest(list_transform(grams, g ->
-                     CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)))
-                   AS gh
-          FROM base),
-        dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
-        hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gh)),
-        flagged AS (
-          SELECT doc_id, pos,
-                 CASE WHEN max(pos + {_DUP_SPAN_L - 1}) OVER w_prev IS NULL
-                        OR pos > max(pos + {_DUP_SPAN_L - 1}) OVER w_prev + 1
-                      THEN 1 ELSE 0 END AS new_island
-          FROM hits
-          WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING)),
-        isl AS (
-          SELECT doc_id, pos,
-                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
-                   AS island
-          FROM flagged),
-        per_island AS (
-          SELECT doc_id, island,
-                 max(pos) - min(pos) + {_DUP_SPAN_L} AS span_len
-          FROM isl GROUP BY doc_id, island),
-        stats AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
-                 CAST(max(span_len) AS BIGINT) AS max_span_tokens,
-                 sum(span_len) AS covered
-          FROM per_island GROUP BY doc_id)
-        SELECT b.doc_id, b.n_tokens,
-               CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-               CAST(coalesce(s.max_span_tokens, 0) AS BIGINT)
-                 AS max_span_tokens,
-               floor(coalesce(s.covered, 0)
-                     / CAST(greatest(b.n_tokens, 1) AS DOUBLE)
-                     * 10000 + 0.5) / 10000 AS dup_coverage
-        FROM base b LEFT JOIN stats s USING (doc_id)
-    """,
+    "text_dup_spans": _dup_spans_oracle(_DUP_SPAN_L),
+    "text_dup_spans_w50": _dup_spans_oracle(50),
     "corpus_lang_temperature": f"""
         WITH per_lang AS (
           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1106,6 +1106,43 @@ def test_dup_spans_merge_intervals(spark, tmp_path):
     assert got == want, f"\ngot:  {got}\nwant: {want}"
 
 
+def test_dup_spans_width_invariance(spark, tmp_path):
+    """text_dup_spans_w50 is the same plan at the published width: a
+    60-token doc duplicated verbatim is one full-cover island at BOTH
+    widths, while a doc whose repeats are only 5 tokens long is
+    invisible at width 50 (no 50-gram can repeat) but fully flagged at
+    width 5 — the width must gate detection, not the island math."""
+    import pandas as pd
+
+    from dbscan_spark.operators import text as text_ops
+
+    long_doc = " ".join(f"t{i}" for i in range(60))
+    short_rep = "a b c d e " + " ".join(f"u{i}" for i in range(50)) \
+        + " a b c d e"
+    texts = [long_doc, long_doc, short_rep]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    def run(fn):
+        return {
+            r["doc_id"]: (r["n_dup_spans"], r["max_span_tokens"])
+            for r in fn(spark, str(tmp_path)).collect()
+        }
+
+    got_w50 = run(text_ops.text_dup_spans_w50)
+    assert got_w50 == {0: (1, 60), 1: (1, 60), 2: (0, 0)}, got_w50
+    got_w5 = run(text_ops.text_dup_spans)
+    assert got_w5[2] == (2, 5), got_w5
+    assert got_w5[0] == (1, 60) and got_w5[1] == (1, 60), got_w5
+
+
 def test_dsir_separates_target_slice(spark, tmp_path):
     """dsir_importance_weights on a corpus with disjoint en/de bigram
     vocabularies: every en doc must score strictly above every non-en
