@@ -19,6 +19,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+    Emitted as deltas around the timed loop so a noisy-host capture
+    self-adjudicates: BASELINE.md §4 documents quiet-window totals up
+    to 25% below driver captures, and the steal fraction is the
+    direct evidence of which regime a given run landed in."""
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()[1:]
+        vals = [int(x) for x in fields]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
 #: headline set: scan-agg, join-heavy, window, event-time, dedup (exact +
 #: LSH), similarity, text, and the flagship clustering pipeline
 BENCH_QUERIES = [
@@ -117,11 +133,17 @@ def main() -> None:
 
     events_json_dir(spark, SF_DIR)
 
+    steal0, total0 = _cpu_ticks()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # untimed sweep of blocks a query persisted but (by repo
+        # convention) left for the session to reclaim — keeps a long
+        # bench session's executor memory flat (ADVICE r8)
+        spark.catalog.clearCache()
+    steal1, total1 = _cpu_ticks()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -132,6 +154,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "steal_ticks": steal1 - steal0,
+                "cpu_ticks": total1 - total0,
             }
         )
     )

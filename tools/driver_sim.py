@@ -102,6 +102,10 @@ def main() -> None:
             rec["err"] = traceback.format_exc(limit=3)
         rec["sec"] = round(time.time() - t0, 2)
         results[name] = rec
+        # sweep blocks the query persisted but left for the session to
+        # reclaim — a full 228-query grading session otherwise
+        # accumulates every query's cached tables (ADVICE r8)
+        spark.catalog.clearCache()
         err = rec.get("err")
         if err is not None and err != "no_oracle":
             status = "ERR"
