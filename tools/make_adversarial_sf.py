@@ -11,9 +11,22 @@ documents — empty text, whitespace/punctuation-only text (normalizes to
   empty), single-char words, a 5000-char single word, an exact duplicate
   of an existing document, NULL lang/source;
 embeddings — an all-zero vector (norm 0: cosine undefined — Spark ANSI
-  division THROWS where DuckDB yields NULL), an exact duplicate of an
-  existing vector (cosine ties), a tiny-magnitude vector (1e-30 — norm
-  underflow), a coordinate-axis vector;
+  division THROWS where DuckDB yields NULL), a 2x-scaled copy of an
+  existing vector (bit-identical cosine to its original — powers of two
+  scale every fp dot/norm term exactly — so cosine TIES are fuzzed
+  without duplicating any coordinate tuple), a tiny-magnitude vector
+  (1e-30 — norm underflow), a coordinate-axis vector;
+
+DBSCAN-oracle validity precondition (BASELINE §5d P5, VERDICT r8): the
+dbscan_flags / dbscan_core_components / dbscan_predict_canonical SQL
+oracles count ids, while the engine reproduces the reference's
+VALUE-keyed margin dedup — two ids at identical coordinates inside an
+ε-margin collapse to one engine row but two oracle rows. The oracles
+are therefore only valid on corpora whose coordinate tuples are
+distinct; main() asserts that for both the 2-D (embedding[0],
+embedding[1]) projection and the full vector before this corpus is
+handed to the grader, so a future corpus edit cannot silently grade
+DBSCAN against an invalid oracle.
 relational tables (round-8 second extension) — the dirty-warehouse
   shapes: NULL and dangling join keys (orphan orders, customers with no
   nation), NULL GROUP BY / pivot keys, NULL window ORDER keys (the
@@ -94,7 +107,11 @@ def embeddings() -> None:
     axis[0] = 1.0
     extras = [
         ([0.0] * dim, 0),                    # zero vector: cosine undefined
-        (list(rows[0]["embedding"]), rows[0]["label"]),  # exact dup: ties
+        # 2x-scaled copy: cosine ties bit-exactly with its original
+        # (powers of two scale fp dot/norm terms exactly) while keeping
+        # every coordinate tuple distinct — the DBSCAN oracles' validity
+        # precondition (see module docstring)
+        ([2.0 * x for x in rows[0]["embedding"]], rows[0]["label"]),
         ([1e-30] * dim, 1),                  # norm underflow
         (axis, 2),                           # coordinate axis
     ]
@@ -220,6 +237,26 @@ def relational() -> None:
     ])
 
 
+def _assert_dbscan_oracle_precondition() -> None:
+    """Fail loudly if the written corpus violates the DBSCAN oracles'
+    validity precondition (distinct coordinate tuples — see module
+    docstring); a violating corpus must not reach the grader."""
+    rows = pq.read_table(f"{OUT}/embeddings.parquet").to_pylist()
+    xy = [(r["embedding"][0], r["embedding"][1]) for r in rows]
+    full = [tuple(r["embedding"]) for r in rows]
+    assert len(set(xy)) == len(xy), (
+        "duplicate (embedding[0], embedding[1]) tuples — the 2-D DBSCAN "
+        "oracles (dbscan_flags/dbscan_core_components/"
+        "dbscan_predict_canonical) are id-keyed and INVALID on this "
+        "corpus; de-duplicate the coordinates (e.g. scale a copy by a "
+        "power of two for cosine ties) or grade DBSCAN rows-only"
+    )
+    assert len(set(full)) == len(full), (
+        "duplicate full embedding vectors — the 64-d DBSCAN oracle "
+        "precondition is violated (see 2-D message above)"
+    )
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for name in TABLES:
@@ -229,6 +266,7 @@ def main() -> None:
     documents()
     embeddings()
     relational()
+    _assert_dbscan_oracle_precondition()
     print(f"adversarial SF written to {OUT}")
 
 
