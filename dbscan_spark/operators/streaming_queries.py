@@ -110,11 +110,96 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _worker_has_protobuf(spark: SparkSession) -> bool:
+    """Probe whether Spark's PYTHON WORKERS can import a real protobuf
+    runtime (transformWithState's state-server protocol needs one in the
+    worker, not just the driver). A 1-row mapInPandas is the cheapest
+    faithful probe: the worker environment differs from the driver's
+    (spark-core's jar shades an EMPTY google.protobuf namespace package
+    there, and the tests/_protobuf_shim sitecustomize only engages if
+    PYTHONPATH carried it past the JVM fork), so a driver-side import
+    check would lie in both directions."""
+    import pandas as pd  # noqa: F401
+
+    def probe(batches):
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            ok = True
+        except ImportError:
+            ok = False
+        for _ in batches:
+            pass
+        import pandas as pd
+
+        yield pd.DataFrame({"ok": [ok]})
+
+    row = (
+        spark.range(1)
+        .repartition(1)
+        .mapInPandas(probe, "ok boolean")
+        .collect()
+    )
+    return bool(row and row[0]["ok"])
+
+
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user totals through a CUSTOM stateful streaming
+    operator, graded exactly — the driver-visible promotion of the
+    transformWithState twin (VERDICT r8 item 7). Preferred path:
+    ``transformWithStateInPandas`` with typed ``ValueState`` on the
+    RocksDB store (Spark 4's modern arbitrary-state API). Its Python
+    state-server protocol requires a protobuf runtime in the WORKER,
+    probed via :func:`_worker_has_protobuf`; where absent the query runs
+    the ``applyInPandasWithState`` twin instead. Both twins share the
+    same integer-cents fold (streaming/events.py ``_fold_cents``), so
+    the rows are bit-identical either way and ONE oracle grades both —
+    the fallback changes the state API exercised, never the answer.
+
+    Exactness: cents accumulate as integers (order-independent), the
+    final total is one cents/100 double division — the audited money
+    idiom, so the streaming fold hash-matches the batch SQL. The
+    update-mode memory sink emits one row per key per micro-batch; the
+    final per-user fold keeps the row with the highest running count
+    (totals are monotone), making the result batch-count-invariant.
+
+    Scale shape: one user-keyed shuffle per micro-batch into the state
+    store; state is two longs per user (RocksDB spills past memory on
+    the TWS path); no watermark is needed because the state is the
+    AGGREGATE itself (bounded by #users), not a buffer of rows."""
+    src = se.read_events_stream(spark, se.events_stream_dir(sf_dir))
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        if _worker_has_protobuf(spark):
+            agg = se.streaming_user_totals_cents_tws(src)
+        else:
+            agg = se.streaming_user_totals_cents(src)
+        name = f"streaming_stateful_totals_{next(_SEQ)}"
+        se.run_to_memory(agg, name, output_mode="update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    sink = spark.table(name)
+    final = F.max(F.struct("n_events", "total_value")).alias("s")
+    return (
+        sink.groupBy("user_id")
+        .agg(final)
+        .select("user_id", "s.n_events", "s.total_value")
+    )
+
+
 QUERIES = {
     "streaming_tumbling_totals": streaming_tumbling_totals,
     "streaming_session_totals": streaming_session_totals,
     "streaming_merge_latest_state": streaming_merge_latest_state,
     "streaming_dedup_pairs": streaming_dedup_pairs,
+    "streaming_stateful_totals": streaming_stateful_totals,
 }
 
 ORACLE = {
@@ -152,6 +237,18 @@ ORACLE = {
         SELECT user_id, make_timestamp(min(us)) AS session_start,
                count(*) AS n_events
         FROM sess GROUP BY user_id, sid
+    """,
+    # coalesce: a user whose every value is NULL totals 0.0 — the
+    # engine's integer-cents state starts at 0 and SQL sum() would
+    # yield NULL (defined cross-engine semantics, same class as the
+    # zero-norm embedding rule)
+    "streaming_stateful_totals": """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+                 / 100 AS total_value
+        FROM events
+        GROUP BY user_id
     """,
     "streaming_merge_latest_state": """
         WITH latest AS (

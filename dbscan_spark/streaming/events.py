@@ -497,3 +497,116 @@ def streaming_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: integer-cents state for the GRADED stateful-totals query: exact,
+#: order-independent accumulation (fp addition order never enters), so
+#: the streaming fold hash-matches a batch SQL oracle bit-for-bit.
+_CENTS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def _cents_events(events: DataFrame) -> DataFrame:
+    """Project the stream to (user_id, cents) with the repo's audited
+    half-up cents rule — the same expression the batch money oracles
+    replay, so both stateful twins below fold exact integers."""
+    return events.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def _fold_cents(n: int, cents: int, pdf: pd.DataFrame) -> tuple[int, int]:
+    """One micro-batch step of the cumulative per-user fold: count every
+    row (count(*) semantics), sum only non-NULL cents (SQL sum
+    semantics). Shared by BOTH stateful APIs so the twins cannot
+    drift."""
+    n += len(pdf)
+    cents += int(pdf["cents"].dropna().sum())
+    return n, cents
+
+
+def _totals_row(key: tuple, n: int, cents: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+        }
+    )
+
+
+def streaming_user_totals_cents(events: DataFrame) -> DataFrame:
+    """Cumulative per-user totals via ``applyInPandasWithState`` with
+    integer-cents state — the exact-arithmetic variant of
+    :func:`streaming_user_totals`, built to be GRADED against a DuckDB
+    oracle (identical values regardless of row/batch order). A user
+    whose every value is NULL totals 0.0 (coalesce semantics on the
+    oracle side)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n, cents = _fold_cents(n, cents, pdf)
+        state.update((n, cents))
+        yield _totals_row(key, n, cents)
+
+    return _cents_events(events).groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_CENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_user_totals_cents_tws(events: DataFrame) -> DataFrame:
+    """The SAME integer-cents fold on ``transformWithStateInPandas``
+    (typed ``ValueState`` on the RocksDB store) — Spark 4's modern
+    arbitrary-state API; see :func:`streaming_user_totals_tws` for the
+    provider/protobuf runtime notes. Both twins share ``_fold_cents``,
+    so their outputs are bit-identical and one oracle grades either."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserCentsTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "cents_totals", _CENTS_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n, cents = _fold_cents(n, cents, pdf)
+            self._state.update((n, cents))
+            yield _totals_row(key, n, cents)
+
+        def close(self) -> None:
+            pass
+
+    return _cents_events(events).groupBy("user_id").transformWithStateInPandas(
+        UserCentsTotals(),
+        outputStructType=_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
