@@ -122,64 +122,37 @@ def test_regrade_bump_leads_greens_then_expires(monkeypatch):
     ]
 
 
-def test_round6_cohort_with_current_history():
-    """With the r1-r5 driver files in the repo the registry is fully
-    graded (no dark set), so the round-6 cohort must open with the two
-    _REGRADE bumps (text_vocab_growth / corpus_train_split, both
-    rewritten in r5 after their r4 grades) and then re-green
-    stalest-first starting from the r1 block — the exact VERDICT r5
-    items 1 and 7."""
-    import pytest
-
+def test_rotation_invariants_with_current_history():
+    """Round-agnostic fold of the retired r6/r7 cohort snapshot pins
+    (VERDICT r8 item 8): whatever round the driver history is at, the
+    live registry must satisfy the rotation contract —
+    (a) no EXPIRED _REGRADE bump survives a newer clean grade (the
+        round-open pruning hygiene, previously only a VERDICT ask),
+    (b) every ungraded query and every pending bump precedes every
+        normally-rotating graded query, and
+    (c) the normally-rotating tail is stalest-grade-first."""
     graded = entry_mod._grading_history()
-    if not graded or max(graded.values()) != 5:
-        pytest.skip(
-            "driver history has moved past round 5; the generic "
-            "rotation tests above still pin the ordering logic"
-        )
+    if not graded:
+        import pytest
+
+        pytest.skip("no driver grading history yet")
     names = list(entry_mod.queries())
-    assert all(n in graded for n in names)  # coverage is total: no dark set
-    n_bumps = len(entry_mod._REGRADE)
-    assert sorted(names[:n_bumps]) == sorted(entry_mod._REGRADE)
-    assert all(
-        graded[n] <= entry_mod._REGRADE[n] for n in names[:n_bumps]
-    )  # only genuinely stale grades get bumped
-    rounds = [graded[n] for n in names[n_bumps:]]
-    assert rounds == sorted(rounds)  # stalest-first after the bumps
-    # the cohort window fills with the stalest grades available: the
-    # whole r1 block first, then the oldest r2 grades (only 27 queries
-    # still carry an r1 stamp, so the 50-row window spans both rounds)
-    assert all(graded[n] <= 2 for n in names[n_bumps:50])
-
-
-def test_round7_cohort_with_current_history():
-    """Round-7 cohort pin (self-expiring like the r6 one above): the
-    floor-idiom/money-average sweep bumped 52 queries, two more than
-    the driver's 50-row budget, so the graded cohort must be exactly
-    the 50 STALEST bumps — every slot a _REGRADE entry, ordered
-    stalest-grade-first — with the two freshest (r6-graded,
-    oracle-idiom-only, re-verified at sf0.01+sf0.1 this round)
-    spilling to the head of round 8."""
-    import pytest
-
-    graded = entry_mod._grading_history()
-    if not graded or max(graded.values()) != 6:
-        pytest.skip(
-            "driver history has moved past round 6; the generic "
-            "rotation tests above still pin the ordering logic"
-        )
-    names = list(entry_mod.queries())
-    assert all(n in graded for n in names)  # no dark set
-    bumps = set(entry_mod._REGRADE)
-    assert len(bumps) == 52
-    cohort = names[:50]
-    assert set(cohort) <= bumps
-    spilled = sorted(bumps - set(cohort))
-    assert spilled == ["schema_evolution_read", "streaming_tumbling_totals"]
-    assert all(graded[n] == 6 for n in spilled)  # freshest grades spill
-    # within the bump block, stalest grade first
-    rounds = [graded[n] for n in cohort]
-    assert rounds == sorted(rounds)
+    bumps = entry_mod._REGRADE
+    expired = sorted(
+        n for n, v in bumps.items() if graded.get(n, 0) > v
+    )
+    assert expired == [], (
+        f"expired _REGRADE bumps (newer clean grade exists): {expired} "
+        "— prune at round open"
+    )
+    pending = {n for n, v in bumps.items() if graded.get(n, 0) <= v}
+    head = {n for n in names if n not in graded} | pending
+    n_head = len(head)
+    assert set(names[:n_head]) == head, (
+        "ungraded + pending-bump queries must lead the rotation"
+    )
+    rounds = [graded[n] for n in names[n_head:]]
+    assert rounds == sorted(rounds)  # stalest-first tail
 
 
 def test_no_stale_grades_without_regrade_bump():
