@@ -259,6 +259,7 @@ _REGRADE = {
 _HEAVY = {
     "text_bpe_train_merges",
     "dedup_semantic_keep_best",
+    "dedup_semdedup",
     "kmeans_embeddings",
     "corpus_cluster_profiles",
     "graph_label_propagation",

@@ -783,6 +783,146 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space with k-means, then deduplicate WITHIN each cluster — pairs
+    with cosine >= the threshold are semantic duplicates, and within a
+    duplicate neighborhood the survivor is the example with the LOWEST
+    cosine similarity to its cluster centroid (the paper keeps the
+    "outliers" and drops prototypical near-copies). Deterministic spec
+    of the paper's upper-triangular matrix rule: rank cluster members
+    by (centroid-similarity ASC, vec_id ASC); a member is dropped iff
+    ANY earlier-ranked member of its cluster sits within the cosine
+    threshold — exactly the sorted pairwise-matrix pass the released
+    implementation runs, with the float ranking pinned to the repo's
+    4dp rounded-cosine grid so both engines rank identically.
+
+    Composition: the cluster assignment IS :func:`~dbscan_spark.
+    operators.ml.kmeans_embeddings` (exact recursive-CTE replay), the
+    pairwise verify reuses the dedup_embedding_cosine idiom, and the
+    centroid is the per-cluster mean re-quantized through the k-means
+    1e-4 floor-half-up grid. Zero-norm vectors are excluded (no
+    direction ⇒ no cosine; the module's standard rule) — they are
+    trivially never duplicates.
+
+    Scale shape (the paper's own bound): the only quadratic work is
+    per-cluster, and k grows with the corpus (the paper runs k ≈ 50k on
+    LAION so clusters stay ~2k rows), so the pair join is an equi-join
+    on cluster — never an all-pairs cross. The centroid table is k×d
+    and broadcasts; data-sized exchanges are ONE assignment equi-join,
+    ONE posexplode partial-agg (shrinks to k×d combiner rows), and the
+    cluster-keyed pair join. Reference has no corpus ops (SURVEY §2.2
+    extension class)."""
+    from dbscan_spark.operators.ml import kmeans_embeddings
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
+        .filter(F.col("nv") > 0.0)
+    )
+    assign = kmeans_embeddings(spark, sf_dir)
+    m = e.join(assign, "vec_id").persist()
+    # per-cluster mean centroid, re-quantized on the k-means 1e-4 grid
+    # so the avg's engine-dependent summation-order noise (~1e-15)
+    # cannot move the 4dp-rounded centroid similarity
+    cent = (
+        m.select("cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(
+            (F.floor(F.avg("val") * 10000 + F.lit(0.5)) / 10000).alias(
+                "cval"
+            )
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s.cval,
+            ).alias("cv")
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+    ranked = (
+        m.join(F.broadcast(cent), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            # an all-cancelling cluster mean has no direction: define
+            # its members' centroid similarity as 0.0 on both engines
+            (
+                F.when(
+                    F.col("cn") > 0.0,
+                    F.round(
+                        dot(F.col("v"), F.col("cv"))
+                        / (F.col("nv") * F.col("cn")),
+                        4,
+                    ),
+                ).otherwise(F.lit(0.0))
+                # + 0.0 normalizes IEEE -0.0 (a tiny negative similarity
+                # rounds to it) — the embedding_covariance idiom, applied
+                # on BOTH engines so the hashes agree
+                + F.lit(0.0)
+            ).alias("cent_sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy(
+                    F.asc("cent_sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .persist()
+    )
+    a = m.select(
+        F.col("cluster").alias("c"),
+        F.col("vec_id").alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("nv").alias("n1"),
+    )
+    b = m.select(
+        F.col("cluster").alias("c"),
+        F.col("vec_id").alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("nv").alias("n2"),
+    )
+    pairs = (
+        a.join(b, ["c"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                dot(F.col("v1"), F.col("v2"))
+                / (F.col("n1") * F.col("n2")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DEDUP_THRESHOLD)
+    )
+    r1 = ranked.select(F.col("vec_id").alias("id1"), F.col("rnk").alias("r1"))
+    r2 = ranked.select(F.col("vec_id").alias("id2"), F.col("rnk").alias("r2"))
+    dropped = (
+        pairs.join(r1, "id1")
+        .join(r2, "id2")
+        .select(
+            F.when(F.col("r1") > F.col("r2"), F.col("id1"))
+            .otherwise(F.col("id2"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return ranked.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "cent_sim",
+        F.coalesce("is_dup", F.lit(False)).alias("drop"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -799,6 +939,7 @@ QUERIES = {
     # queries of a driver correctness row
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_semantic_keep_best": dedup_semantic_keep_best,
+    "dedup_semdedup": dedup_semdedup,
     "corpus_split_leakage": corpus_split_leakage,
 }
 
@@ -1093,3 +1234,47 @@ for _name in ("dedup_embedding_cosine", "dedup_embedding_lsh"):
     ORACLE[_name] = _re.sub(
         r"\b(FROM|JOIN) embeddings\b", rf"\1 {_EMB_NZ}", ORACLE[_name]
     )
+
+# dedup_semdedup's oracle is assembled HERE (not in the dict above)
+# because it inlines the k-means recursive replay from the ml module —
+# and it must NOT go through the mechanical zero-norm rewrite: the
+# k-means CTE clusters ALL vectors (matching kmeans_embeddings), while
+# the similarity corpus `e` applies the zero-norm rule explicitly.
+from dbscan_spark.operators.ml import _KMEANS_ORACLE as _KM  # noqa: E402
+
+ORACLE["dedup_semdedup"] = f"""
+        WITH a AS ({_KM}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings
+              WHERE list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0),
+        m AS (SELECT e.vec_id, e.v, a.cluster FROM e JOIN a USING (vec_id)),
+        exm AS (SELECT cluster, u.dim, u.val FROM (
+                  SELECT cluster,
+                         unnest(list_transform(v,
+                             (x, i) -> {{'dim': i - 1, 'val': x}})) AS u
+                  FROM m)),
+        cent AS (SELECT cluster, dim,
+                        floor(avg(val) * 10000 + 0.5) / 10000 AS cval
+                 FROM exm GROUP BY cluster, dim),
+        cv AS (SELECT cluster, list(cval ORDER BY dim) AS cv
+               FROM cent GROUP BY cluster),
+        rk0 AS (SELECT m.vec_id, m.cluster, m.v,
+                       CASE WHEN list_inner_product(c.cv, c.cv) > 0
+                            THEN round(list_cosine_similarity(m.v, c.cv), 4)
+                            ELSE 0.0 END + 0.0 AS cent_sim
+                FROM m JOIN cv c USING (cluster)),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                                            ORDER BY cent_sim, vec_id)
+                           AS rnk
+               FROM rk0),
+        drp AS (SELECT DISTINCT CASE WHEN x.rnk > y.rnk THEN x.vec_id
+                                     ELSE y.vec_id END AS vec_id
+                FROM rk x JOIN rk y
+                  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                WHERE round(list_cosine_similarity(x.v, y.v), 4)
+                      >= {COSINE_DEDUP_THRESHOLD})
+        SELECT r.vec_id, CAST(r.cluster AS BIGINT) AS cluster, r.cent_sim,
+               (d.vec_id IS NOT NULL) AS "drop"
+        FROM rk r LEFT JOIN drp d USING (vec_id)
+"""

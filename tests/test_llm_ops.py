@@ -512,6 +512,64 @@ def test_ann_ivfpq_recall(spark):
     assert recall >= 0.35, f"IVFPQ recall too low: {recall}"
 
 
+def test_semdedup_keep_rule(spark, tmp_path):
+    """dedup_semdedup on a crafted 4-d corpus: recompute the spec in
+    numpy from the query's own cluster/cent_sim outputs and assert the
+    published keep rule — a vector is dropped iff some EARLIER-ranked
+    (lowest centroid-similarity first) member of its cluster sits at
+    cosine >= the threshold, so every surviving pair is below it."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from dbscan_spark.operators import dedup
+
+    vecs = [
+        [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1],
+        [-1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0], [0, 0, 0, -1],
+        [1, 0.05, 0, 0],      # near-dup of 0
+        [0.95, 0.1, 0, 0],    # near-dup of 0 and 8
+        [0, 1, 0.02, 0],      # near-dup of 1
+        [0.1, 0.1, 0.1, 0.1],  # diffuse, above-threshold to several
+    ]
+    pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.array(v, dtype=np.float32) for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    rows = {
+        r["vec_id"]: (r["cluster"], r["cent_sim"], r["drop"])
+        for r in dedup.dedup_semdedup(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == len(vecs)
+    V = np.array(vecs, dtype=np.float64)
+    cos = lambda i, j: round(  # noqa: E731
+        float(V[i] @ V[j])
+        / (np.linalg.norm(V[i]) * np.linalg.norm(V[j])),
+        4,
+    )
+    # at least one genuine duplicate must be exercised
+    assert any(dropped for _, _, dropped in rows.values())
+    for c in {cl for cl, _, _ in rows.values()}:
+        member_rank = sorted(
+            (cs, vid) for vid, (cl, cs, _) in rows.items() if cl == c
+        )
+        order = [vid for _, vid in member_rank]
+        for pos, vid in enumerate(order):
+            want_drop = any(
+                cos(vid, prev) >= dedup.COSINE_DEDUP_THRESHOLD
+                for prev in order[:pos]
+            )
+            assert rows[vid][2] == want_drop, (vid, rows[vid])
+        kept = [v for v in order if not rows[v][2]]
+        for i, j in itertools.combinations(kept, 2):
+            assert cos(i, j) < dedup.COSINE_DEDUP_THRESHOLD, (i, j)
+
+
 def test_semantic_keep_best_survivor_rule(spark):
     """Within every duplicate cluster exactly ONE doc survives, it is the
     longest (doc_id tie-break), and every other member is marked drop."""
