@@ -258,6 +258,7 @@ _REGRADE = {
 # time-budget truncation can only cost these rows, never cheap ones.
 _HEAVY = {
     "text_bpe_train_merges",
+    "corpus_tokenizer_fertility",
     "dedup_semantic_keep_best",
     "dedup_semdedup",
     "kmeans_embeddings",

@@ -842,8 +842,57 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: near-duplicate band excluded from hard-negative mining — the same
+#: threshold the dedup family treats as "semantically the same text"
+#: (dedup.COSINE_DEDUP_THRESHOLD; duplicated here as an algorithm
+#: constant so the module stays import-independent of dedup)
+HARD_NEG_DUP_THRESHOLD = 0.4
+
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR recipe,
+    Karpukhin et al. 2020: the strongest negatives are the top-ranked
+    retrieved passages that are NOT positives): for each query vector,
+    the top-5 most-similar neighbors whose cosine sits BELOW the
+    near-duplicate band — ranked high enough to be hard, excluded if
+    they are semantically the same item (those are positives/dups, and
+    training on them as negatives poisons the objective).
+
+    Exactly ann_topk_bruteforce with the dup-band exclusion, so the
+    same 100 TB note applies: this exact scan is the anchor; at corpus
+    scale candidates come from the IVF/LSH pruned paths and the band
+    filter composes unchanged (it is a row-local predicate on the
+    verified cosine). 4dp-rounded cosine keeps ranking and band
+    membership engine-identical."""
+    e = _embeddings_with_norms(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") < HARD_NEG_DUP_THRESHOLD)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_hard_negatives": ann_hard_negatives,
     "ann_topk_filtered": ann_topk_filtered,
     "knn_label_predict": knn_label_predict,
     "similarity_range_search": similarity_range_search,
@@ -1386,8 +1435,28 @@ _EMB_NONZERO = (
     "list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)"
 )
 
+ORACLE["ann_hard_negatives"] = f"""
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT q.vec_id AS query_id,
+                   e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]), 4) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                             e.embedding::DOUBLE[]), 4) DESC,
+                                e.vec_id) AS rnk
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+              AND round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[]), 4)
+                  < {HARD_NEG_DUP_THRESHOLD})
+        WHERE rnk <= {TOP_K}
+"""
+
 _COSINE_ORACLES = (
     "ann_topk_bruteforce",
+    "ann_hard_negatives",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_pq",

@@ -1048,6 +1048,60 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY (Rust et al. 2021, "How Good is
+    Your Tokenizer?"): after training the shared ``_BPE_ROUNDS`` merges
+    on the whole corpus, report per language the word count, BPE token
+    count, fertility (BPE tokens per word — the paper's headline
+    cross-lingual equity metric; 1.0 = every word kept whole) and chars
+    per BPE token (compression). A multilingual pipeline reads this
+    table to spot languages its tokenizer over-fragments before they
+    are silently under-trained at a fixed token budget.
+
+    Scale shape: identical to text_bpe_encode — training and encoding
+    happen on the VOCABULARY (Heaps-sublinear), the corpus pays ONE
+    word-keyed shuffle to join the exploded token stream, and the
+    output is bounded by #languages (NULL lang is its own stratum on
+    both engines). All counts are exact integers; the two ratios divide
+    exact BIGINTs and round through the 4dp floor grid, so the DuckDB
+    replay (shared ``_BPE_IT_SQL`` recursive CTE) hash-matches."""
+    merges, vocab = _bpe_train_vocab(spark, sf_dir)
+    n_sym = (
+        F.length("s")
+        - F.length(F.replace(F.col("s"), F.lit("\x01"), F.lit("")))
+    ).cast("long")
+    enc = vocab.select("w", n_sym.alias("n_sym"))
+    d = load_table(spark, sf_dir, "documents")
+    docw = d.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0)
+    out = (
+        docw.join(enc, "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.coalesce(F.col("n_sym"), F.lit(1)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            _r4(F.col("n_bpe_tokens") / F.col("n_words")).alias(
+                "fertility"
+            ),
+            _r4(F.col("n_chars") / F.col("n_bpe_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    vocab.unpersist()
+    return out
+
+
 # both patterns use only character classes + bounded quantifiers, the
 # regex subset where Java (Spark) and RE2 (DuckDB) semantics coincide
 _PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
@@ -1558,6 +1612,7 @@ QUERIES = {
     "text_bpe_pair_merges": text_bpe_pair_merges,
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_encode": text_bpe_encode,
+    "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "text_bigram_lm_quality": text_bigram_lm_quality,
     "dsir_importance_weights": dsir_importance_weights,
     "text_dup_spans": text_dup_spans,
@@ -2192,6 +2247,33 @@ ORACLE = {
     """,
     "text_dup_spans": _dup_spans_oracle(_DUP_SPAN_L),
     "text_dup_spans_w50": _dup_spans_oracle(50),
+    "corpus_tokenizer_fertility": f"""
+        WITH RECURSIVE
+        {_BPE_IT_SQL},
+        final AS (
+          SELECT w, length(s) - length(replace(s, chr(1), '')) AS n_sym
+          FROM (SELECT w, s, row_number() OVER
+                       (PARTITION BY w ORDER BY i DESC) AS rn
+                FROM it)
+          WHERE rn = 1),
+        docw AS (
+          SELECT lang, w
+          FROM (SELECT lang, unnest({_SQL_TOKS}) AS w FROM documents)
+          WHERE length(w) > 0),
+        agg AS (
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+                 CAST(sum(coalesce(f.n_sym, 1)) AS BIGINT) AS n_bpe_tokens
+          FROM docw d LEFT JOIN final f ON d.w = f.w
+          GROUP BY lang)
+        SELECT lang, n_words, n_bpe_tokens,
+               floor(n_bpe_tokens * 1.0 / n_words * 10000 + 0.5) / 10000
+                 AS fertility,
+               floor(n_chars * 1.0 / n_bpe_tokens * 10000 + 0.5) / 10000
+                 AS chars_per_token
+        FROM agg
+    """,
     "corpus_lang_temperature": f"""
         WITH per_lang AS (
           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
