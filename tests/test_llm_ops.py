@@ -512,6 +512,87 @@ def test_ann_ivfpq_recall(spark):
     assert recall >= 0.35, f"IVFPQ recall too low: {recall}"
 
 
+def test_tokenizer_fertility_consistent_with_bpe_encode(spark):
+    """corpus_tokenizer_fertility must be exactly the per-language
+    rollup of text_bpe_encode's per-doc token budgets (same trained
+    merges, same vocabulary encoding) — and fertility can never dip
+    below 1 (a word is at least one token)."""
+    from collections import defaultdict
+
+    from dbscan_spark.io import load_table
+    from dbscan_spark.operators import text as text_ops
+
+    per_doc = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in text_ops.text_bpe_encode(spark, SF_TINY).collect()
+    }
+    lang_of = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, SF_TINY, "documents").collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for doc_id, (n_w, n_b) in per_doc.items():
+        want[lang_of[doc_id]][0] += n_w
+        want[lang_of[doc_id]][1] += n_b
+    got = {
+        r["lang"]: (r["n_words"], r["n_bpe_tokens"], r["fertility"])
+        for r in text_ops.corpus_tokenizer_fertility(
+            spark, SF_TINY
+        ).collect()
+    }
+    # langs whose every doc tokenizes to nothing have no word rows
+    assert set(got) == {k for k, v in want.items() if v[0] > 0}
+    import math
+
+    for lang, (n_w, n_b, fert) in got.items():
+        assert (n_w, n_b) == tuple(want[lang]), lang
+        assert fert >= 1.0
+        assert fert == math.floor(n_b / n_w * 10000 + 0.5) / 10000
+
+
+def test_hard_negatives_band_and_rank(spark):
+    """ann_hard_negatives: no returned neighbor may sit in the near-dup
+    band, ranks are contiguous top-k, and the set matches a numpy
+    re-derivation of \"highest cosine below the band\" per query."""
+    import numpy as np
+
+    from dbscan_spark.operators import similarity as sim
+
+    rows = sim.ann_hard_negatives(spark, SF_TINY).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(
+            f"{SF_TINY}/embeddings.parquet"
+        ).collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert r["cos_sim"] < sim.HARD_NEG_DUP_THRESHOLD
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["neighbor_id"], r["cos_sim"])
+        )
+    for qid, entries in by_q.items():
+        entries.sort()
+        assert [e[0] for e in entries] == list(
+            range(1, len(entries) + 1)
+        )
+        qv = emb[qid]
+        cand = []
+        for nid, v in emb.items():
+            if nid == qid:
+                continue
+            c = round(
+                float(qv @ v)
+                / (np.linalg.norm(qv) * np.linalg.norm(v)),
+                4,
+            )
+            if c < sim.HARD_NEG_DUP_THRESHOLD:
+                cand.append((-c, nid))
+        cand.sort()
+        want = [nid for _, nid in cand[: len(entries)]]
+        assert [e[1] for e in entries] == want, qid
+
+
 def test_semdedup_keep_rule(spark, tmp_path):
     """dedup_semdedup on a crafted 4-d corpus: recompute the spec in
     numpy from the query's own cluster/cent_sim outputs and assert the
