@@ -298,6 +298,10 @@ _REVIEWED_NESTED_LOOPS = {
     "knn_label_predict",
     "similarity_range_search",
     "ann_topk_bruteforce",
+    # same bounded shape as bruteforce: the broadcast side is the
+    # N_QUERIES=10 query rows; the non-equi condition is only the
+    # self-pair exclusion
+    "ann_hard_negatives",
     "ann_topk_pq",
     "geo_points_in_boxes",
     # DBSCAN choreography: the broadcast side is the BSP rectangle
