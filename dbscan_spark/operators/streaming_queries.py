@@ -194,12 +194,57 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join, graded exactly — the remaining
+    named Structured Streaming join class beside the graded
+    stream-stream interval join (tests) and the stateful operators:
+    the event stream LEFT-joins a static broadcast dimension
+    (customer → market segment on user_id) and aggregates per segment
+    in complete mode. Events with no matching customer (or NULL user)
+    surface as the NULL segment on both engines instead of being
+    silently dropped — hence LEFT, not inner.
+
+    Scale shape: a stream-static join never shuffles the stream — the
+    static side is broadcast and re-read per micro-batch (which is how
+    Spark picks up dimension updates); the aggregation state is bounded
+    by #segments. The money column folds through the audited
+    integer-cents rule, so the complete-mode drain hash-matches the
+    batch SQL."""
+    from dbscan_spark.io import load_table
+
+    src = se.read_events_stream(spark, se.events_stream_dir(sf_dir))
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = src.join(
+        F.broadcast(dim), src.user_id == dim.c_custkey, "left"
+    )
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ),
+                F.lit(0),
+            )
+            / 100
+        ).alias("total_value"),
+    )
+    name = f"streaming_enriched_totals_{next(_SEQ)}"
+    se.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling_totals": streaming_tumbling_totals,
     "streaming_session_totals": streaming_session_totals,
     "streaming_merge_latest_state": streaming_merge_latest_state,
     "streaming_dedup_pairs": streaming_dedup_pairs,
     "streaming_stateful_totals": streaming_stateful_totals,
+    "streaming_enriched_totals": streaming_enriched_totals,
 }
 
 ORACLE = {
@@ -249,6 +294,14 @@ ORACLE = {
                  / 100 AS total_value
         FROM events
         GROUP BY user_id
+    """,
+    "streaming_enriched_totals": """
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               coalesce(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)), 0)
+                 / 100 AS total_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
     """,
     "streaming_merge_latest_state": """
         WITH latest AS (
