@@ -685,6 +685,50 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality partitioning (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per LANGUAGE, split documents into equal thirds by language-
+    model score (lower avg negative log-likelihood = more corpus-typical
+    = head) — the published shipping format of CommonCrawl corpora,
+    downstream pipelines train on head+middle and drop or re-weight
+    tail. The LM score is :func:`text_lm_quality`'s corpus unigram NLL
+    (CCNet proper scores with a per-language KenLM; the corpus-trained
+    proxy keeps the recipe self-contained — documented substitution).
+
+    Determinism: the thirds are exact ``ntile(3)`` over (4dp-rounded
+    nll ASC, doc_id ASC) within each language — a total order, so both
+    engines cut identical buckets (cross-engine ntile parity is already
+    graded by window_ntile_deciles). Scale note: a per-language window
+    sorts each language slice in one task chain; at 100 TB swap to the
+    paper's own two-pass form — per-language score-CDF cutoffs (a
+    #langs × #distinct-rounded-scores table, tiny) assigned by
+    broadcast compare — which matches ntile up to tie-splitting and IS
+    what CCNet ships. NULL lang is its own stratum on both engines."""
+    from pyspark.sql.window import Window
+
+    scored = text_lm_quality(spark, sf_dir).select("doc_id", "nll")
+    langs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    j = scored.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("nll"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("t", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "nll",
+            F.when(F.col("t") == 1, F.lit("head"))
+            .when(F.col("t") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment: every doc lands in
     exactly one split based on md5(doc_id), so the split is reproducible
@@ -1607,6 +1651,7 @@ QUERIES = {
     "corpus_pack_assignments": corpus_pack_assignments,
     "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
     "text_lm_quality": text_lm_quality,
+    "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "corpus_train_split": corpus_train_split,
     "text_contamination_bloom": text_contamination_bloom,
     "text_bpe_pair_merges": text_bpe_pair_merges,
@@ -2247,6 +2292,26 @@ ORACLE = {
     """,
     "text_dup_spans": _dup_spans_oracle(_DUP_SPAN_L),
     "text_dup_spans_w50": _dup_spans_oracle(50),
+    "corpus_ccnet_buckets": f"""
+        WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w
+                     FROM documents),
+        vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM vocab),
+        lm AS (SELECT w, (cnt + 1) / (total + v) AS p FROM vocab, tot),
+        scored AS (
+          SELECT doc_id, floor(avg(-ln(p)) * 10000 + 0.5) / 10000 AS nll
+          FROM tok JOIN lm USING (w)
+          GROUP BY doc_id),
+        j AS (SELECT s.doc_id, d.lang, s.nll
+              FROM scored s JOIN documents d USING (doc_id)),
+        t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY nll, doc_id) AS t
+              FROM j)
+        SELECT doc_id, lang, nll,
+               CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+        FROM t
+    """,
     "corpus_tokenizer_fertility": f"""
         WITH RECURSIVE
         {_BPE_IT_SQL},

@@ -512,6 +512,41 @@ def test_ann_ivfpq_recall(spark):
     assert recall >= 0.35, f"IVFPQ recall too low: {recall}"
 
 
+def test_ccnet_buckets_tercile_rule(spark):
+    """corpus_ccnet_buckets: within each language the buckets must be
+    ntile(3) thirds of the (nll, doc_id) order — head sizes >= middle
+    >= tail with at most 1 difference, and max(nll) of head <= min(nll)
+    of middle <= ... up to the single tie the doc_id split can cut."""
+    from collections import Counter
+
+    from dbscan_spark.operators import text as text_ops
+
+    rows = text_ops.corpus_ccnet_buckets(spark, SF_TINY).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(
+            (r["nll"], r["doc_id"], r["bucket"])
+        )
+    for lang, entries in by_lang.items():
+        entries.sort()
+        n = len(entries)
+        base, extra = divmod(n, 3)
+        sizes = Counter(b for _, _, b in entries)
+        want = {
+            "head": base + (1 if extra >= 1 else 0),
+            "middle": base + (1 if extra >= 2 else 0),
+            "tail": base,
+        }
+        assert {k: v for k, v in sizes.items() if v} == {
+            k: v for k, v in want.items() if v
+        }, lang
+        # the sorted order must be exactly head*, middle*, tail*
+        order = [b for _, _, b in entries]
+        assert order == ["head"] * want["head"] + ["middle"] * want[
+            "middle"
+        ] + ["tail"] * want["tail"], lang
+
+
 def test_tokenizer_fertility_consistent_with_bpe_encode(spark):
     """corpus_tokenizer_fertility must be exactly the per-language
     rollup of text_bpe_encode's per-doc token budgets (same trained
