@@ -264,6 +264,114 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rh.alias("rolling_hash"))
 
 
+#: winnowing parameters: token-3-gram hashes selected with a window of 4
+#: — guarantee: any shared run of 3 + 4 - 1 = 6 tokens between two docs
+#: shares at least one selected fingerprint (the paper's (k, t)=(3, 6)
+#: guarantee), at an expected density of 2/(w+1) = 40%.
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every ``_WINNOW_K``-token gram, slide a
+    ``_WINNOW_W``-window over the hash sequence, and select the
+    RIGHTMOST MINIMAL hash of each window. Unlike "mod p" sampling the
+    selection is position-robust, and any t-token match between two
+    documents (t = k + w - 1) is GUARANTEED to share a selected
+    fingerprint — the property plagiarism/near-dup detection needs.
+    Output per doc: gram count, selected-fingerprint count, density
+    (≈ 2/(w+1) on random text), and the md5 signature of the sorted
+    distinct selected hashes (identical docs ⇒ identical signatures).
+
+    Scale shape: grams and hashes are row-local (the text_dup_spans
+    md5-int64 idiom); each position then fans out to the ≤w windows
+    containing it — a row-local explode, w× amplification of 8-byte
+    rows, NOT a self-join — and the rightmost-min per window is ONE
+    (doc, window)-keyed aggregate (``min(struct(gh, -pos))`` — map-side
+    combinable, so the shuffle moves one row per window per partition).
+    Ties (hash collisions inside one window) resolve to the rightmost
+    position deterministically on both engines. Docs with fewer than w
+    grams have no full window and select nothing (the paper considers
+    full windows only); they surface with zeros and the empty-set
+    signature."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    docs = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                shingles(F.col("toks"), _WINNOW_K),
+                lambda g: F.conv(
+                    F.substring(F.md5(g), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        ).alias("pos", "gh"),
+    )
+    n_grams = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    base = docs.select("doc_id").join(n_grams, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_grams", F.lit(0)).alias("n_grams")
+    )
+    # fan each position out to the full windows [p, p+w-1] containing it
+    wins = (
+        pos.join(n_grams, "doc_id")
+        .filter(F.col("n_grams") >= _WINNOW_W)
+        .select(
+            "doc_id",
+            "pos",
+            "gh",
+            F.explode(
+                F.sequence(
+                    F.greatest(
+                        F.col("pos") - (_WINNOW_W - 1), F.lit(0)
+                    ),
+                    F.least(
+                        F.col("pos"),
+                        F.col("n_grams") - F.lit(_WINNOW_W),
+                    ),
+                )
+            ).alias("p"),
+        )
+    )
+    sel = (
+        wins.groupBy("doc_id", "p")
+        .agg(F.min(F.struct("gh", (-F.col("pos")).alias("np"))).alias("s"))
+        .select("doc_id", F.col("s.gh").alias("gh"))
+        .distinct()
+    )
+    stats = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("gh")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("winnow_sig"),
+    )
+    return base.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_fingerprints", F.lit(0))
+        .cast("long")
+        .alias("n_fingerprints"),
+        _r4(
+            F.coalesce("n_fingerprints", F.lit(0))
+            / F.greatest(F.col("n_grams"), F.lit(1))
+        ).alias("density"),
+        F.coalesce("winnow_sig", F.md5(F.lit(""))).alias("winnow_sig"),
+    )
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by smoothed TF-IDF
     (``tf × ln((N+1)/(df+1))``), deterministic tie-break on the word.
@@ -1640,6 +1748,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_repetition_score": text_repetition_score,
     "text_rolling_hash": text_rolling_hash,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "text_inverted_index": text_inverted_index,
@@ -2292,6 +2401,56 @@ ORACLE = {
     """,
     "text_dup_spans": _dup_spans_oracle(_DUP_SPAN_L),
     "text_dup_spans_w50": _dup_spans_oracle(50),
+    "text_winnow_fingerprints": f"""
+        WITH docs AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id,
+                 list_transform(
+                     range(1, greatest(len(toks) - {_WINNOW_K - 1}, 0) + 1),
+                     i -> {" || ' ' || ".join(f"toks[i + {k}]" for k in range(_WINNOW_K))})
+                   AS grams
+          FROM docs),
+        pos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos,
+                 unnest(list_transform(grams, x ->
+                     CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)))
+                   AS gh
+          FROM g),
+        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              FROM pos GROUP BY doc_id),
+        base AS (
+          SELECT d.doc_id, coalesce(n.n_grams, 0) AS n_grams
+          FROM docs d LEFT JOIN n USING (doc_id)),
+        wins AS (
+          SELECT p.doc_id, p.pos, p.gh,
+                 unnest(range(greatest(p.pos - {_WINNOW_W - 1}, 0),
+                              least(p.pos, n.n_grams - {_WINNOW_W}) + 1))
+                   AS w
+          FROM pos p JOIN n USING (doc_id)
+          WHERE n.n_grams >= {_WINNOW_W}),
+        sel AS (
+          SELECT DISTINCT doc_id, gh FROM (
+            SELECT doc_id, w, gh,
+                   row_number() OVER (PARTITION BY doc_id, w
+                                      ORDER BY gh, pos DESC) AS rn
+            FROM wins) WHERE rn = 1),
+        stats AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+                 md5(array_to_string(list_sort(list(gh)), ','))
+                   AS winnow_sig
+          FROM sel GROUP BY doc_id)
+        SELECT b.doc_id, b.n_grams,
+               CAST(coalesce(s.n_fingerprints, 0) AS BIGINT)
+                 AS n_fingerprints,
+               floor(coalesce(s.n_fingerprints, 0) * 1.0
+                     / greatest(b.n_grams, 1) * 10000 + 0.5) / 10000
+                 AS density,
+               coalesce(s.winnow_sig, md5('')) AS winnow_sig
+        FROM base b LEFT JOIN stats s USING (doc_id)
+    """,
     "corpus_ccnet_buckets": f"""
         WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w
                      FROM documents),
