@@ -290,6 +290,8 @@ _REVIEWED_NESTED_LOOPS = {
     "text_vocab_growth",
     "text_bm25_search",
     "text_lm_quality",
+    # inherits text_lm_quality's 1-row vocab-totals broadcast cross
+    "corpus_ccnet_buckets",
     "text_bigram_lm_quality",
     "basket_part_affinity",
     "events_ab_welch_t",
