@@ -251,6 +251,45 @@ _REGRADE = {
     # pre-commit; re-certify the drifted pairs under the driver.
     "dsir_importance_weights": 8,
     "text_dup_spans": 8,
+    # round 9 second wave (unicode/ragged shape fuzz): the embeddings
+    # ingestion rule (io.load_embeddings — malformed wrong-dimension
+    # vectors excluded at ONE audited place, oracle twin io.EMB_CLEAN_SQL)
+    # staled every embedding-reading query's certified pair, and the
+    # multimodal oracles were rewritten from codepoint walks to true
+    # UTF-8 byte streams (only valid on ASCII corpora before). All
+    # verified hash-green at sf0.01, sf0.1, the extended adversarial
+    # corpus, AND sf1.0 pre-commit; re-certify under the driver.
+    "ann_topk_bruteforce": 8,
+    "ann_topk_filtered": 8,
+    "ann_topk_ivf": 8,
+    "ann_topk_ivfpq": 8,
+    "ann_topk_lsh": 8,
+    "ann_topk_pq": 8,
+    "corpus_cluster_profiles": 8,
+    "dbscan_core_components": 8,
+    "dbscan_embeddings": 8,
+    "dbscan_embeddings_64d": 8,
+    "dbscan_flags": 8,
+    "dbscan_flags_64d": 8,
+    "dbscan_predict_64d": 8,
+    "dbscan_predict_canonical": 8,
+    "dbscan_predict_holdout": 8,
+    "dedup_embedding_cosine": 8,
+    "dedup_embedding_lsh": 8,
+    "embedding_covariance": 8,
+    "embedding_label_centroids": 8,
+    "embedding_pca_2d": 8,
+    "explode_embedding_head": 8,
+    "geo_points_in_boxes": 8,
+    "kmeans_embeddings": 8,
+    "knn_label_predict": 8,
+    "multimodal_embed_stub": 8,
+    "multimodal_feature_extract": 8,
+    "multimodal_frame_sample": 8,
+    "multimodal_resize_stub": 8,
+    "scalar_array_access": 8,
+    "scalar_array_hof": 8,
+    "similarity_range_search": 8,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

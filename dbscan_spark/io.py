@@ -95,6 +95,57 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of load_embeddings' dimension rule: the modal (most
+#: common) vector length, ties broken to the larger dimension. Oracles
+#: substitute this subquery for the raw table (module tails, the
+#: EVENTS_CLEAN_SQL pattern).
+EMB_CLEAN_SQL = (
+    "(SELECT * FROM embeddings WHERE len(embedding) = "
+    "(SELECT len(embedding) AS d FROM embeddings "
+    "GROUP BY d ORDER BY count(*) DESC, d DESC LIMIT 1))"
+)
+
+#: modal embedding dimension per corpus dir, cached per process — one
+#: tiny size-histogram job per (session, sf_dir), then every consumer's
+#: filter is a pure LITERAL predicate that pushes to the parquet scan.
+_MODAL_DIM_CACHE: dict[str, int] = {}
+
+
+def embeddings_modal_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Most common embedding length in the corpus (ties -> larger) —
+    the data-driven stand-in for "the schema dimension" that a real
+    catalog would declare. Deterministic and engine-replayable."""
+    key = os.path.abspath(sf_dir)
+    if key not in _MODAL_DIM_CACHE:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .groupBy(F.size("embedding").alias("d"))
+            .count()
+            .orderBy(F.desc("count"), F.desc("d"))
+            .first()
+        )
+        _MODAL_DIM_CACHE[key] = int(row["d"]) if row is not None else 0
+    return _MODAL_DIM_CACHE[key]
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with MALFORMED (wrong-dimension) vectors
+    excluded — the one audited definition of "valid embedding row",
+    the vector twin of :func:`load_events` (round-9 ragged-vector fuzz:
+    ONE truncated 32-dim row in a 64-dim corpus crashed every numpy
+    ``np.stack`` path, threw ANSI INVALID_ARRAY_INDEX on ``v[63]``
+    projections, and silently NULL-diverged the zip_with folds while
+    DuckDB threw on mismatched list lengths — 24 queries failed or
+    diverged). The expected dimension is the corpus' modal vector
+    length (cached per sf_dir, so the rule costs one tiny
+    size-histogram job per session and a literal pushed-down predicate
+    per query). Oracle twin: io.EMB_CLEAN_SQL."""
+    d = embeddings_modal_dim(spark, sf_dir)
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == F.lit(d)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every table in the star schema as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

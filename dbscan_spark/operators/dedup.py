@@ -30,7 +30,7 @@ from dbscan_spark.functions import (
     split_assignment_sql,
     tokens,
 )
-from dbscan_spark.io import load_table
+from dbscan_spark.io import load_embeddings, load_table
 
 # DuckDB equivalents of the shared normalization/shingling expressions
 # (dbscan_spark/functions/__init__.py) — kept in one place so every oracle
@@ -434,7 +434,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Near-dup vector pairs by cosine >= 0.4 via brute-force pair join."""
     e = (
-        load_table(spark, sf_dir, "embeddings")
+        load_embeddings(spark, sf_dir)
         .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
         # zero-norm excluded (cosine undefined; Spark ANSI division
@@ -817,7 +817,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbscan_spark.operators.ml import kmeans_embeddings
 
     e = (
-        load_table(spark, sf_dir, "embeddings")
+        load_embeddings(spark, sf_dir)
         .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
         .filter(F.col("nv") > 0.0)
@@ -1256,7 +1256,11 @@ ORACLE["dedup_semdedup"] = f"""
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v
               FROM embeddings
               WHERE list_inner_product(embedding::DOUBLE[],
-                                       embedding::DOUBLE[]) > 0),
+                                       embedding::DOUBLE[]) > 0
+                AND len(embedding) = (SELECT len(embedding) AS d
+                                      FROM embeddings GROUP BY d
+                                      ORDER BY count(*) DESC, d DESC
+                                      LIMIT 1)),
         m AS (SELECT e.vec_id, e.v, a.cluster FROM e JOIN a USING (vec_id)),
         exm AS (SELECT cluster, u.dim, u.val FROM (
                   SELECT cluster,

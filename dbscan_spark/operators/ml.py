@@ -16,11 +16,11 @@ from pyspark.sql.functions import pandas_udf
 
 from dbscan_spark.dbscan import dbscan, predict, train
 from dbscan_spark.functions import as_double_array
-from dbscan_spark.io import load_table
+from dbscan_spark.io import load_embeddings, load_table
 
 
 def _points_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     return e.select(
         "vec_id",
         F.col("embedding")[0].cast("double").alias("x"),
@@ -30,7 +30,7 @@ def _points_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _points_64d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, x, y, v): 2-D partitioning projection + full 64-D vector."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     return e.select(
         "vec_id",
         F.col("embedding")[0].cast("double").alias("x"),
@@ -686,7 +686,7 @@ def _gram_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, emitting a single 1+64+4096-float row per partition. This is
     the tree-aggregation shape for second moments at 100 TB: the shuffle
     moves #partitions rows, never the data."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         as_double_array(F.col("embedding")).alias("v")
     )
 
@@ -806,7 +806,7 @@ def embedding_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         if v[pivot] < 0:
             v = -v
         comps.append(v)
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
     mean_lit = F.array(*[F.lit(float(x)) for x in mean])
@@ -843,11 +843,13 @@ QUERIES = {
 # recursive-CTE min-label transitive closure over the core-core ε-graph.
 # All arithmetic is the same IEEE double expression Spark evaluates, so
 # the comparison is bit-exact, no rounding fudge.
-_DBSCAN_PTS = """
+from dbscan_spark.io import EMB_CLEAN_SQL as _EMB_CLEAN  # noqa: E402
+
+_DBSCAN_PTS = f"""
         pts AS (SELECT vec_id,
                        CAST(embedding[1] AS DOUBLE) AS x,
                        CAST(embedding[2] AS DOUBLE) AS y
-                FROM embeddings)"""
+                FROM {_EMB_CLEAN})"""
 
 
 def _dbscan_core_ctes(src: str) -> str:
@@ -895,7 +897,7 @@ _KMEANS_ORACLE = f"""
                         unnest(list_transform(embedding,
                             (x, i) -> {{'dim': i - 1,
                                         'val': CAST(x AS DOUBLE)}})) AS u
-                 FROM embeddings)),
+                 FROM {_EMB_CLEAN})),
         it(i, cluster, dim, val) AS (
           SELECT 0, vec_id, dim, floor(val * 10000 + 0.5) / 10000
           FROM ex WHERE vec_id < {_KM_K}
@@ -943,7 +945,7 @@ ORACLE: dict[str, str] = {
         WITH dims AS (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i),
         ex AS (SELECT vec_id, i - 1 AS dim,
                       CAST(embedding[i] AS DOUBLE) AS val
-               FROM embeddings, dims)
+               FROM {_EMB_CLEAN} embeddings, dims)
         SELECT a.dim AS dim_i, b.dim AS dim_j,
                round(covar_pop(a.val, b.val), 6) + 0.0 AS cov
         FROM ex a JOIN ex b
@@ -1043,9 +1045,9 @@ ORACLE: dict[str, str] = {
     # kernel's numpy pairwise summation only at ~1e-15 — a threshold
     # flip needs a pair exactly ON the ε boundary, which random floats
     # never are.
-    "dbscan_flags_64d": """
+    "dbscan_flags_64d": f"""
         WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                     FROM embeddings),
+                     FROM {_EMB_CLEAN}),
         nbr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
                 FROM pts a JOIN pts b
                   ON list_sum(list_transform(a.v,

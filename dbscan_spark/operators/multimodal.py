@@ -71,11 +71,13 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     each Arrow batch is decoded in numpy without per-row Python overhead,
     and the output schema is fixed so downstream operators stay columnar.
     Uses the deterministic fake decoder (real codec stubbed, see
-    :func:`decode_image`). EXACT DuckDB oracle: the ASCII corpus makes
-    every output reproducible in SQL — mean and std derive from the
-    exact integer sums Σx and Σx² (both < 2^53, so float64-exact in any
-    summation order on any engine), and the rounding is the half-up
-    floor form both engines compute identically.
+    :func:`decode_image`). EXACT DuckDB oracle over the true UTF-8 BYTE
+    stream (hex(encode(text)) parsed two chars per byte — since the
+    round-9 unicode fuzz; the previous codepoint walk was only valid on
+    ASCII corpora): mean and std derive from the exact integer sums Σx
+    and Σx² (both < 2^53, so float64-exact in any summation order on
+    any engine), and the rounding is the half-up floor form both
+    engines compute identically.
 
     The ``histo16`` histogram is emitted as a canonical JSON string (not
     ``array<long>``): the driver's pandas canonicalizer sorts output
@@ -369,11 +371,19 @@ QUERIES = {
 }
 
 #: exploded byte stream of the ASCII corpus (byte i == ascii(char i))
+# True UTF-8 BYTES of the payload, not codepoints: the Spark side
+# decodes encode(text, 'UTF-8') with numpy, so the oracle must walk the
+# same byte stream. The previous ascii(text[i]) form walked CODEPOINTS —
+# identical on ASCII corpora but divergent (and INT32-overflowing:
+# 0x1F389² > 2³¹) the moment an emoji/CJK/accents row appears (round-9
+# unicode shape fuzz). hex() of the encoded blob gives two hex chars per
+# byte on both engines' UTF-8 storage.
 _SQL_BYTES = """
   SELECT doc_id,
-         unnest(list_transform(range(1, length(text) + 1),
-                               i -> ascii(text[i]))) AS byte
-  FROM documents
+         unnest(list_transform(range(1, octet_length(encode(text)) + 1),
+                i -> CAST(('0x' || substring(hx, (i - 1) * 2 + 1, 2))
+                          AS INTEGER))) AS byte
+  FROM (SELECT doc_id, hex(encode(text)) AS hx, text FROM documents)
 """
 
 _H16 = ", ".join(
@@ -395,19 +405,23 @@ _E8 = ", ".join(
 ORACLE = {
     "multimodal_resize_stub": """
         WITH ks AS (SELECT unnest(range(0, 32)) AS k),
-        base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        base AS (SELECT doc_id, hex(encode(text)) AS hx,
+                        octet_length(encode(text)) AS n FROM documents),
         cells AS (
           SELECT doc_id, n, k,
                  (k * n) // 32 AS lo,
                  ((k + 1) * n) // 32 AS hi,
-                 text
+                 hx
           FROM base, ks),
         vals AS (
           SELECT doc_id, n, k,
                  CASE WHEN hi <= lo THEN NULL
                       ELSE CAST((200000 * list_sum(list_transform(
                                    range(1, hi - lo + 1),
-                                   i -> ascii(text[CAST(lo + i AS INT)])))
+                                   i -> CAST(('0x' || substring(hx,
+                                          CAST((lo + i - 1) * 2 + 1
+                                               AS BIGINT), 2))
+                                        AS INTEGER)))
                                  + (hi - lo)) // (2 * (hi - lo)) AS BIGINT)
                            / 10000.0
                  END AS cell
@@ -447,7 +461,7 @@ ORACLE = {
         WITH ch AS ({_SQL_BYTES}),
         agg AS (
           SELECT doc_id, count(*) AS n, sum(byte) AS s1,
-                 sum(byte * byte) AS s2, {_H16}
+                 sum(CAST(byte AS BIGINT) * byte) AS s2, {_H16}
           FROM ch GROUP BY doc_id)
         SELECT d.doc_id,
                CAST(coalesce(n, 0) AS BIGINT) AS n_bytes,
@@ -478,27 +492,30 @@ ORACLE = {
     # byte sums
     "multimodal_frame_sample": """
         WITH base AS (
-          SELECT doc_id, text,
-                 greatest(1, CAST(ceil(length(text) / 256.0) AS BIGINT))
-                   AS n_frames,
-                 least(greatest(1, CAST(ceil(length(text) / 256.0)
-                                        AS BIGINT)), 4) AS take
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0)
+                                  AS BIGINT)) AS n_frames,
+                 least(greatest(1,
+                       CAST(ceil(octet_length(encode(text)) / 256.0)
+                            AS BIGINT)), 4) AS take
           FROM documents),
         idxs AS (
-          SELECT doc_id, text,
+          SELECT doc_id, hx,
                  unnest(list_sort(list_distinct(list_transform(
                    range(0, take), i -> (i * n_frames) // take)))) AS fi
           FROM base),
         frames AS (
           SELECT doc_id, fi AS frame_idx, fi * 256 AS byte_offset,
-                 substring(text, CAST(fi * 256 + 1 AS BIGINT), 256) AS fr
+                 substring(hx, CAST(fi * 256 * 2 + 1 AS BIGINT), 512) AS fh
           FROM idxs)
         SELECT doc_id, frame_idx, byte_offset,
-               CAST(length(fr) AS BIGINT) AS n_bytes,
-               CASE WHEN length(fr) = 0 THEN NULL
+               CAST(length(fh) // 2 AS BIGINT) AS n_bytes,
+               CASE WHEN length(fh) = 0 THEN NULL
                     ELSE floor(list_sum(list_transform(
-                           range(1, length(fr) + 1),
-                           i -> ascii(fr[i]))) * 1.0 / length(fr)
+                           range(1, length(fh) // 2 + 1),
+                           i -> CAST(('0x' || substring(fh,
+                                      (i - 1) * 2 + 1, 2)) AS INTEGER)))
+                           * 1.0 / (length(fh) // 2)
                            * 10000 + 0.5) / 10000
                END AS byte_mean
         FROM frames

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from dbscan_spark.functions import as_double_array, zvalue_sql
-from dbscan_spark.io import load_events, load_table
+from dbscan_spark.io import load_embeddings, load_events, load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -877,7 +877,7 @@ def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def scalar_array_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-typed column access over the embeddings table."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     return e.select(
         "vec_id",
         F.size(F.col("embedding")).cast("long").alias("dim"),
@@ -1390,7 +1390,7 @@ def explode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash mismatch; observed in the sf1.0 scaling sweep), while
     floor(x*1e6 + 0.5)/1e6 is the same IEEE ops on both engines and
     always yields +0.0."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     return e.select(
         "vec_id",
         F.posexplode(F.slice(F.col("embedding"), 1, 4)).alias("pos", "val_f"),
@@ -1410,7 +1410,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode + grouped avg keeps the mean partial-aggregated map-side
     (rows×64 explode feeds a (labels×64)-cell aggregation), instead of
     collecting vectors anywhere."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     return (
         e.select(
             "label",
@@ -3098,7 +3098,7 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     array columns without exploding 64 rows per vector (explode would
     multiply the shuffle input 64x at scale for what a per-row fold
     computes in place)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     v = as_double_array(F.col("embedding"))
 
     # pure-IEEE floor-half-up, not round(): identical ops on both
@@ -3702,7 +3702,7 @@ def geo_points_in_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is a BroadcastNestedLoopJoin with a pure range predicate —
     the same physical shape the DBSCAN pipeline uses, here hash-gated
     directly. 4×4 grid over [-0.2, 0.2]²."""
-    pts = load_table(spark, sf_dir, "embeddings").select(
+    pts = load_embeddings(spark, sf_dir).select(
         "vec_id",
         F.col("embedding")[0].cast("double").alias("x"),
         F.col("embedding")[1].cast("double").alias("y"),
@@ -6699,4 +6699,20 @@ import re as _re  # noqa: E402  (module tail, after the big dict literals)
 for _name, _sql in ORACLE.items():
     ORACLE[_name] = _re.sub(
         r"\b(FROM|JOIN) events\b", rf"\1 {EVENTS_CLEAN_SQL}", _sql
+    )
+
+# Same mechanical rewrite for the embeddings readers (round-9
+# ragged-vector rule, io.load_embeddings / io.EMB_CLEAN_SQL): only the
+# five queries whose Spark path reads the embeddings table.
+from dbscan_spark.io import EMB_CLEAN_SQL as _EMB_CLEAN  # noqa: E402
+
+for _name in (
+    "geo_points_in_boxes",
+    "scalar_array_access",
+    "scalar_array_hof",
+    "explode_embedding_head",
+    "embedding_label_centroids",
+):
+    ORACLE[_name] = _re.sub(
+        r"\b(FROM|JOIN) embeddings\b", rf"\1 {_EMB_CLEAN}", ORACLE[_name]
     )

@@ -23,7 +23,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from dbscan_spark.functions import as_double_array, dot, l2_norm
-from dbscan_spark.io import load_table
+from dbscan_spark.io import load_embeddings, load_table
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -54,7 +54,7 @@ def _embeddings_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list_inner_product(v, v) > 0`` — the sum of squares is positive
     iff any component is nonzero, summation-order-independent)."""
     return (
-        load_table(spark, sf_dir, "embeddings")
+        load_embeddings(spark, sf_dir)
         .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
         .select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
         .filter(F.col("nv") > 0.0)
@@ -651,7 +651,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     error. Scale shape: the stats table is #dims rows (broadcast), the
     quantization itself is a zero-shuffle map, and the final vec-keyed
     aggregation is the only data-sized exchange."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
     ex = e.select("vec_id", F.posexplode("v").alias("dim", "val"))
@@ -740,7 +740,7 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning happens BEFORE any dot product; at 100 TB the same shape
     becomes a label-partitioned index with per-partition ANN. Exact →
     hash-gated oracle."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id",
         as_double_array(F.col("embedding")).alias("v"),
         F.col("label").cast("long").alias("label"),
@@ -787,7 +787,7 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side broadcasts; scoring stays JVM-side; the vote and the
     accuracy rollup are one window + one aggregate over probe×k rows.
     Exact → hash-gated (DuckDB replays the same vote)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id",
         as_double_array(F.col("embedding")).alias("v"),
         F.col("label").cast("long").alias("label"),
@@ -1430,9 +1430,15 @@ ORACLE = {
 # each `FROM/JOIN embeddings` becomes a subquery keeping rows with a
 # positive sum of squares (positive iff any component is nonzero,
 # independent of summation order — exact on both engines).
+# the WELL-FORMED similarity corpus: the r9 ragged-vector rule (modal
+# dimension — io.load_embeddings / io.EMB_CLEAN_SQL) composed with the
+# r8 zero-norm rule. One constant so the cosine oracles cannot drift
+# from the Spark-side _embeddings_with_norms pipeline.
 _EMB_NONZERO = (
     "(SELECT * FROM embeddings WHERE "
-    "list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)"
+    "list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0 "
+    "AND len(embedding) = (SELECT len(embedding) AS d FROM embeddings "
+    "GROUP BY d ORDER BY count(*) DESC, d DESC LIMIT 1))"
 )
 
 ORACLE["ann_hard_negatives"] = f"""
@@ -1472,3 +1478,13 @@ for _name in _COSINE_ORACLES:
     ORACLE[_name] = _re.sub(
         r"\b(FROM|JOIN) embeddings\b", rf"\1 {_EMB_NONZERO}", ORACLE[_name]
     )
+
+# embedding_quantize_int8 reads load_embeddings but computes no cosine,
+# so it gets ONLY the dimension rule (io.EMB_CLEAN_SQL), not zero-norm.
+from dbscan_spark.io import EMB_CLEAN_SQL as _EMB_DIM_ONLY  # noqa: E402
+
+ORACLE["embedding_quantize_int8"] = _re.sub(
+    r"\b(FROM|JOIN) embeddings\b",
+    rf"\1 {_EMB_DIM_ONLY}",
+    ORACLE["embedding_quantize_int8"],
+)

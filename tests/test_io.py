@@ -230,3 +230,55 @@ def test_python_datasource_partition_parallelism(spark):
     assert r7["user_id"] == (7 * 2654435761) % 997
     assert r7["event_type"] == "purchase"  # EVENT_TYPES[7 % 5]
     assert r7["value"] == ((7 * 1103515245 + 12345) % 10000) / 100.0
+
+
+def test_load_embeddings_excludes_ragged(spark, tmp_path):
+    """The audited wrong-dimension ingestion rule (round-9 ragged-vector
+    fuzz): the modal vector length defines "well-formed", ties break to
+    the larger dimension, and malformed rows never reach a consumer —
+    so a v[dim-1] projection cannot throw INVALID_ARRAY_INDEX and a
+    numpy stack cannot crash on one truncated row."""
+    import numpy as np
+    import pandas as pd
+
+    from dbscan_spark.io import embeddings_modal_dim, load_embeddings
+
+    vecs = [[float(i)] * 4 for i in range(6)] + [[9.0, 9.0]]
+    pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.array(v, dtype=np.float32) for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    assert embeddings_modal_dim(spark, str(tmp_path)) == 4
+    rows = load_embeddings(spark, str(tmp_path)).collect()
+    assert sorted(r["vec_id"] for r in rows) == [0, 1, 2, 3, 4, 5]
+    # the excluded row is exactly the ragged one; surviving rows are
+    # safely indexable at the full dimension
+    got = (
+        load_embeddings(spark, str(tmp_path))
+        .select(F.col("embedding")[3].alias("last"))
+        .collect()
+    )
+    assert len(got) == 6
+
+
+def test_embeddings_modal_dim_tie_breaks_larger(spark, tmp_path):
+    """A 50/50 dimension split resolves to the LARGER dimension — the
+    deterministic tie rule shared with the DuckDB twin
+    (io.EMB_CLEAN_SQL: ORDER BY count(*) DESC, d DESC)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbscan_spark.io import embeddings_modal_dim
+
+    vecs = [[1.0] * 2, [2.0] * 2, [3.0] * 8, [4.0] * 8]
+    pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.array(v, dtype=np.float32) for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    assert embeddings_modal_dim(spark, str(tmp_path)) == 8

@@ -83,6 +83,19 @@ def documents() -> None:
         (dup_of["text"], dup_of["lang"], "adv"),  # exact cross-source dup
         ("null lang row words here", None, "adv"),
         ("null source row words here", "en", None),
+        # round-9 unicode wave: multibyte text diverges engines wherever
+        # "character" and "byte" are conflated (found: the multimodal
+        # oracles walked codepoints while Spark walked UTF-8 bytes, and
+        # a codepoint beyond the BMP overflowed INT32 squaring)
+        ("héllo wörld café naïve résumé", "en", "adv"),
+        ("日本語 のテキスト 処理 テスト 漢字", "ja", "adv"),
+        ("🎉 emoji 🚀 text 🤖 stream 🎯 here", "en", "adv"),
+        ("e\u0301tude re\u0301sume\u0301 franc\u0327ais", "fr", "adv"),
+        ("مرحبا بالعالم هذا نص عربي", "ar", "adv"),
+        ("ΑΒΓΔ αβγδ ΕΛΛΗΝΙΚΑ ελληνικα", "el", "adv"),
+        ("ß groß STRASSE straße", "de", "adv"),
+        ("a\u00a0b\u2009c\u3000d", "en", "adv"),
+        ("𝕞𝕒𝕥𝕙 𝔣𝔯𝔞𝔨𝔱𝔲𝔯 𝗌𝖺𝗇𝗌 text", "en", "adv"),
     ]
     for i, (text, lang, source) in enumerate(extra_texts):
         rows.append(
@@ -114,6 +127,12 @@ def embeddings() -> None:
         ([2.0 * x for x in rows[0]["embedding"]], rows[0]["label"]),
         ([1e-30] * dim, 1),                  # norm underflow
         (axis, 2),                           # coordinate axis
+        # round-9 ragged wave: ONE truncated vector (half the corpus
+        # dimension) crashed every np.stack path, threw ANSI
+        # INVALID_ARRAY_INDEX on v[dim-1] projections, and silently
+        # NULL-diverged zip_with folds — excluded at ingestion by the
+        # audited modal-dimension rule (io.load_embeddings)
+        ([0.1] * (dim // 2), 1),
     ]
     for i, (v, label) in enumerate(extras):
         rows.append(
@@ -242,6 +261,13 @@ def _assert_dbscan_oracle_precondition() -> None:
     validity precondition (distinct coordinate tuples — see module
     docstring); a violating corpus must not reach the grader."""
     rows = pq.read_table(f"{OUT}/embeddings.parquet").to_pylist()
+    # the oracles read through the modal-dimension ingestion rule
+    # (io.EMB_CLEAN_SQL), so the precondition applies to that subset
+    from collections import Counter
+
+    sizes = Counter(len(r["embedding"]) for r in rows)
+    modal = max(sizes, key=lambda d: (sizes[d], d))
+    rows = [r for r in rows if len(r["embedding"]) == modal]
     xy = [(r["embedding"][0], r["embedding"][1]) for r in rows]
     full = [tuple(r["embedding"]) for r in rows]
     assert len(set(xy)) == len(xy), (
