@@ -184,111 +184,50 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # (The 44 round-8 bumps — ANN/LSH oracle promotions, the sequence()
-    # guard pair, the zero-norm cosine class, and the earlier r1-r5
-    # stragglers — were all re-graded hash-green in CORRECTNESS_r08 and
-    # have been pruned; an expired bump is inert but noisy. Manifest
-    # re-baselined round-9 open: tools/query_hashes.py --write.)
+    # (The 42 expired bumps — the r8 events-ingestion class, the r9
+    # embeddings-ingestion/multimodal-byte-stream wave, and the r6-r7
+    # stragglers — were re-graded hash-green in CORRECTNESS_r09 and
+    # pruned at round-10 open; manifest re-baselined via
+    # tools/query_hashes.py --write. An expired bump is inert but the
+    # rotation-invariant test rejects it by design.)
     #
-    # The 33 below are the r8 bumps that did NOT fit the 50-slot r8
+    # The 24 below are the r8/r9 bumps that did NOT fit the 50-slot r9
     # cohort — their latest grades predate their current code. All were
-    # verified hash-green at sf0.01 AND sf0.1 via tools/driver_sim.py
-    # pre-commit; the rotation puts them first in the r9 cohort.
+    # verified hash-green pre-commit via tools/driver_sim.py at
+    # sf0.01 + sf0.1 (the embedding set also at the extended adversarial
+    # corpus and sf1.0); the rotation puts them first in the r10 cohort.
     #
-    # r6-stale pair (oldest debt — grades predate the r7 floor-idiom
-    # change to their shared money helpers/oracle text):
-    "schema_evolution_read": 6,
-    "streaming_tumbling_totals": 6,
-    "scalar_string_math": 6,
-    # r5-stale streaming trio (grades predate the r8 events-ingestion
-    # rule rewrite of their oracle tails):
-    "streaming_dedup_pairs": 5,
-    "streaming_merge_latest_state": 5,
-    "streaming_session_totals": 5,
-    # money-helper routing class (r8 _avg_cents_floor consolidation +
-    # the q1 staging commit):
-    "agg_priority_stats": 7,
-    "q1_pricing_summary": 7,
-    "q2_min_cost_supplier": 7,
-    "window_moving_avg": 7,
-    # similarity-module helper-closure drift (r8 ANN oracle promotion
-    # sweep touched a shared helper; values untouched):
-    "embedding_quantize_int8": 7,
-    # events-ingestion-rule class (r8 adversarial fuzz: non-finite
-    # value / NULL-ts rows excluded at ingestion via io.load_events +
-    # mechanical oracle rewrite — the certified pair drifted for every
-    # events-reading query):
-    "csv_source_events": 7,
+    # events-ingestion-rule class (r8 adversarial fuzz: non-finite /
+    # NULL-ts rows excluded at ingestion via io.load_events + mechanical
+    # oracle rewrite):
+    "customers_cohort_ltv": 7,
     "events_ab_welch_t": 7,
     "events_cusum_alerts": 7,
-    "events_dod_change": 7,
-    "events_gapfill_hourly": 7,
     "events_gapfill_interp": 7,
-    "events_gapfill_locf": 7,
     "events_holt_forecast": 7,
-    "events_hypertable_rollup": 7,
     "events_seasonal_anomalies": 7,
     "events_seasonality_profile": 7,
     "json_corrupt_tolerant_read": 7,
-    "json_source_events": 7,
-    "partitioned_prune_events": 7,
-    "users_feature_assembly": 7,
-    "window_tumbling_events": 7,
-    # NULL-ordering / domain-restriction class (r8 shape-fuzz second
-    # wave — explicit NULLS FIRST on nullable o_orderdate window keys,
-    # dated-row domain restrictions):
-    "customers_cohort_ltv": 7,
-    "customers_rfm_segments": 7,
     "orders_seasonal_decompose": 7,
     "orders_yoy_growth": 7,
-    "window_range_30d_spend": 7,
-    "window_running_total": 7,
+    "partitioned_prune_events": 7,
+    "users_feature_assembly": 7,
     # round 9 (ADVICE r8 items 1+2): _DSIR_BUCKETS derived from
-    # _DSIR_HEX_CHARS (shared by the Spark substring and the oracle),
-    # and the dup-spans oracle concat now BUILT from the width via
-    # _dup_spans_oracle(width) — values identical by construction,
-    # verified hash-green at sf0.01 and sf0.1 via driver_sim
-    # pre-commit; re-certify the drifted pairs under the driver.
+    # _DSIR_HEX_CHARS, dup-spans oracle built from the width constant:
     "dsir_importance_weights": 8,
     "text_dup_spans": 8,
     # round 9 second wave (unicode/ragged shape fuzz): the embeddings
-    # ingestion rule (io.load_embeddings — malformed wrong-dimension
-    # vectors excluded at ONE audited place, oracle twin io.EMB_CLEAN_SQL)
-    # staled every embedding-reading query's certified pair, and the
-    # multimodal oracles were rewritten from codepoint walks to true
-    # UTF-8 byte streams (only valid on ASCII corpora before). All
-    # verified hash-green at sf0.01, sf0.1, the extended adversarial
-    # corpus, AND sf1.0 pre-commit; re-certify under the driver.
+    # ingestion rule (io.load_embeddings + oracle twin io.EMB_CLEAN_SQL)
+    # staled every embedding-reading query's certified pair:
     "ann_topk_bruteforce": 8,
     "ann_topk_filtered": 8,
     "ann_topk_ivf": 8,
     "ann_topk_ivfpq": 8,
     "ann_topk_lsh": 8,
     "ann_topk_pq": 8,
-    "corpus_cluster_profiles": 8,
-    "dbscan_core_components": 8,
-    "dbscan_embeddings": 8,
-    "dbscan_embeddings_64d": 8,
-    "dbscan_flags": 8,
-    "dbscan_flags_64d": 8,
-    "dbscan_predict_64d": 8,
-    "dbscan_predict_canonical": 8,
-    "dbscan_predict_holdout": 8,
     "dedup_embedding_cosine": 8,
     "dedup_embedding_lsh": 8,
-    "embedding_covariance": 8,
-    "embedding_label_centroids": 8,
-    "embedding_pca_2d": 8,
-    "explode_embedding_head": 8,
-    "geo_points_in_boxes": 8,
-    "kmeans_embeddings": 8,
     "knn_label_predict": 8,
-    "multimodal_embed_stub": 8,
-    "multimodal_feature_extract": 8,
-    "multimodal_frame_sample": 8,
-    "multimodal_resize_stub": 8,
-    "scalar_array_access": 8,
-    "scalar_array_hof": 8,
     "similarity_range_search": 8,
 }
 
