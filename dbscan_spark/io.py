@@ -108,7 +108,23 @@ EMB_CLEAN_SQL = (
 #: modal embedding dimension per corpus dir, cached per process — one
 #: tiny size-histogram job per (session, sf_dir), then every consumer's
 #: filter is a pure LITERAL predicate that pushes to the parquet scan.
+#: A corpus REWRITTEN at the same path within one process must call
+#: :func:`clear_modal_dim_cache` (the corpus-writing tools do) — the
+#: cache is deliberately not mtime-keyed so the per-query hot path
+#: stays a dict lookup with no filesystem stat (ADVICE r9).
 _MODAL_DIM_CACHE: dict[str, int] = {}
+
+
+def clear_modal_dim_cache(sf_dir: str | None = None) -> None:
+    """Invalidate the cached modal embedding dimension for ``sf_dir``
+    (or all dirs) — required after rewriting a corpus at a path this
+    process already measured (regenerated adversarial corpus, reused
+    test dir), otherwise :func:`load_embeddings` keeps filtering with
+    the stale dimension."""
+    if sf_dir is None:
+        _MODAL_DIM_CACHE.clear()
+    else:
+        _MODAL_DIM_CACHE.pop(os.path.abspath(sf_dir), None)
 
 
 def embeddings_modal_dim(spark: SparkSession, sf_dir: str) -> int:

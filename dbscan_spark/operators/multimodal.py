@@ -189,11 +189,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The "video" is the blob segmented into 256-byte frames; up to 4 frames
     are sampled uniformly (deterministic — no codec in this container, see
-    :func:`decode_image`). EXACT DuckDB oracle: the corpus is pure ASCII,
-    so the frame-selection integer math and per-frame byte means are
-    reproducible in SQL from the text column — the Arrow plumbing's
-    VALUES are hash-gated, not just its row counts; unit tests
-    additionally pin offsets/stats vs numpy.
+    :func:`decode_image`). EXACT DuckDB oracle over the true UTF-8 BYTE
+    stream (``hex(encode(text))`` parsed two chars per byte — round-9
+    unicode fuzz rewrite; valid on any corpus, not just ASCII): the
+    frame-selection integer math and per-frame byte means are reproduced
+    in SQL from that byte stream — the Arrow plumbing's VALUES are
+    hash-gated, not just its row counts; unit tests additionally pin
+    offsets/stats vs numpy.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
@@ -249,7 +251,8 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     path). Output is the thumbnail's md5 (over the comma-joined
     quantized values) + first/last cells, so the driver hash-gates the
     RESIZED VALUES themselves; the DuckDB oracle recomputes the strided
-    means from the ASCII text with identical floor-half-up quantization."""
+    means from the true UTF-8 byte stream (``hex(encode(text))``, two hex
+    chars per byte) with identical floor-half-up quantization."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
@@ -370,7 +373,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
-#: exploded byte stream of the ASCII corpus (byte i == ascii(char i))
+#: exploded byte stream of the payload.
 # True UTF-8 BYTES of the payload, not codepoints: the Spark side
 # decodes encode(text, 'UTF-8') with numpy, so the oracle must walk the
 # same byte stream. The previous ascii(text[i]) form walked CODEPOINTS —
@@ -486,10 +489,10 @@ ORACLE = {
         SELECT doc_id, {_E8}
         FROM normed
     """,
-    # frame sampling is reproducible in SQL because the corpus is pure
-    # ASCII (byte i == ascii(char i), checked in tests): same ceil-div
-    # frame count, same evenly-spaced distinct frame ids, same per-frame
-    # byte sums
+    # frame sampling is reproducible in SQL from the true UTF-8 byte
+    # stream (hex(encode(text)), two hex chars per byte — valid on any
+    # corpus): same ceil-div frame count, same evenly-spaced distinct
+    # frame ids, same per-frame byte sums
     "multimodal_frame_sample": """
         WITH base AS (
           SELECT doc_id, hex(encode(text)) AS hx,

@@ -282,3 +282,37 @@ def test_embeddings_modal_dim_tie_breaks_larger(spark, tmp_path):
         }
     ).to_parquet(tmp_path / "embeddings.parquet", index=False)
     assert embeddings_modal_dim(spark, str(tmp_path)) == 8
+
+
+def test_clear_modal_dim_cache_invalidates_rewritten_corpus(
+    spark, tmp_path
+):
+    """ADVICE r9: a corpus REWRITTEN at the same path within one process
+    must not keep the stale cached modal dimension — corpus-writing
+    tools invoke io.clear_modal_dim_cache after rewriting."""
+    import numpy as np
+    import pandas as pd
+
+    from dbscan_spark.io import clear_modal_dim_cache, embeddings_modal_dim
+
+    def write(dim):
+        pd.DataFrame(
+            {
+                "vec_id": range(3),
+                "embedding": [
+                    np.ones(dim, dtype=np.float32) for _ in range(3)
+                ],
+                "label": [0] * 3,
+            }
+        ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    write(4)
+    assert embeddings_modal_dim(spark, str(tmp_path)) == 4
+    write(8)
+    # stale without the hook (documented process-lifetime cache) ...
+    assert embeddings_modal_dim(spark, str(tmp_path)) == 4
+    # ... fresh after it
+    clear_modal_dim_cache(str(tmp_path))
+    assert embeddings_modal_dim(spark, str(tmp_path)) == 8
+    # path-scoped: clearing one dir leaves others untouched
+    clear_modal_dim_cache(None)

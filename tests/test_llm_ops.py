@@ -654,6 +654,14 @@ def test_tokenizer_fertility_consistent_with_bpe_encode(spark):
         assert fert == math.floor(n_b / n_w * 10000 + 0.5) / 10000
 
 
+def test_hard_negative_threshold_pins_dedup_band():
+    """ADVICE r9: HARD_NEG_DUP_THRESHOLD intentionally duplicates
+    dedup.COSINE_DEDUP_THRESHOLD (keeps similarity.py import-independent
+    of dedup.py); this pin turns any future one-sided move into a test
+    failure instead of a silently diverged near-dup band."""
+    assert similarity.HARD_NEG_DUP_THRESHOLD == dedup.COSINE_DEDUP_THRESHOLD
+
+
 def test_hard_negatives_band_and_rank(spark):
     """ann_hard_negatives: no returned neighbor may sit in the near-dup
     band, ranks are contiguous top-k, and the set matches a numpy

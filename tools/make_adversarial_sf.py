@@ -293,6 +293,15 @@ def main() -> None:
     embeddings()
     relational()
     _assert_dbscan_oracle_precondition()
+    # a process that already measured OUT's modal embedding dimension
+    # (in-process regeneration) must not keep filtering with the stale
+    # value — the cache is deliberately not mtime-keyed (io.py, ADVICE r9)
+    import importlib.util
+
+    if importlib.util.find_spec("dbscan_spark") is not None:
+        from dbscan_spark.io import clear_modal_dim_cache
+
+        clear_modal_dim_cache(OUT)
     print(f"adversarial SF written to {OUT}")
 
 

@@ -205,6 +205,14 @@ def main() -> None:
     relational()
     documents()
     embeddings()
+    # in-process regeneration at a path already measured must drop the
+    # cached modal embedding dimension (io.py, ADVICE r9)
+    import importlib.util
+
+    if importlib.util.find_spec("dbscan_spark") is not None:
+        from dbscan_spark.io import clear_modal_dim_cache
+
+        clear_modal_dim_cache(OUT)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
