@@ -197,6 +197,12 @@ _REGRADE = {
     # sf0.01 + sf0.1 (the embedding set also at the extended adversarial
     # corpus and sf1.0); the rotation puts them first in the r10 cohort.
     #
+    # round 10 (VERDICT r9 #4): corpus_ccnet_buckets' per-language
+    # ntile window replaced with the paper's CDF-cutoff broadcast form
+    # (same exact oracle, no per-language full sort); verified
+    # hash-green at sf0.01 + sf0.1 + adversarial + unicode + sf1.0
+    # pre-commit, warm sf1.0/sf0.1 ratio 2.1x:
+    "corpus_ccnet_buckets": 9,
     # events-ingestion-rule class (r8 adversarial fuzz: non-finite /
     # NULL-ts rows excluded at ingestion via io.load_events + mechanical
     # oracle rewrite):

@@ -806,35 +806,79 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the thirds are exact ``ntile(3)`` over (4dp-rounded
     nll ASC, doc_id ASC) within each language — a total order, so both
-    engines cut identical buckets (cross-engine ntile parity is already
-    graded by window_ntile_deciles). Scale note: a per-language window
-    sorts each language slice in one task chain; at 100 TB swap to the
-    paper's own two-pass form — per-language score-CDF cutoffs (a
-    #langs × #distinct-rounded-scores table, tiny) assigned by
-    broadcast compare — which matches ntile up to tie-splitting and IS
-    what CCNet ships. NULL lang is its own stratum on both engines."""
+    engines cut identical buckets (the oracle IS that ntile).
+
+    Scale shape (the paper's own two-pass form, r9 VERDICT #4 — a
+    per-language window would sort the dominant language, ~45% of
+    CommonCrawl, through ONE task chain): pass 1 is a per-(lang,
+    rounded-score) histogram — one map-side-combinable corpus shuffle
+    on a well-distributed key; the per-language score CDF and the exact
+    ntile(3) boundary ranks are then computed on that TINY table
+    (#langs × #distinct-4dp-scores rows) and broadcast back. A score
+    group wholly inside a third is bucketed by pure comparison; only
+    the ≤2 boundary tie-groups per language need a doc_id row_number —
+    a window over (lang, score) partitions of the boundary rows alone,
+    reproducing ntile's positional tie-splitting exactly. NULL lang is
+    its own stratum on both engines (null-safe broadcast-join key)."""
     from pyspark.sql.window import Window
 
     scored = text_lm_quality(spark, sf_dir).select("doc_id", "nll")
     langs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang"
     )
-    j = scored.join(langs, "doc_id")
-    w = Window.partitionBy("lang").orderBy(
-        F.asc("nll"), F.asc("doc_id")
+    # persisted: three consumers (the histogram, the whole-group branch,
+    # the boundary branch) would otherwise each recompute the full LM
+    # scoring subtree; session owns the reclaim (repo convention)
+    j = scored.join(langs, "doc_id").persist()
+
+    counts = j.groupBy("lang", "nll").agg(F.count(F.lit(1)).alias("c"))
+    wl = (
+        Window.partitionBy("lang")
+        .orderBy("nll")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        j.withColumn("t", F.ntile(3).over(w))
-        .select(
-            "doc_id",
-            "lang",
-            "nll",
-            F.when(F.col("t") == 1, F.lit("head"))
-            .when(F.col("t") == 2, F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
+    n = F.sum("c").over(Window.partitionBy("lang"))
+    # ntile(3) boundary ranks: the first n % 3 thirds get one extra row
+    q3, r3 = F.floor(n / 3), n % 3
+    b1 = q3 + F.when(r3 >= 1, 1).otherwise(0)
+    b2 = b1 + q3 + F.when(r3 >= 2, 1).otherwise(0)
+    cuts = counts.select(
+        F.col("lang").alias("_cl"),
+        F.col("nll").alias("_cs"),
+        (F.sum("c").over(wl) - F.col("c")).alias("_lo"),
+        F.sum("c").over(wl).alias("_hi"),
+        b1.alias("_b1"),
+        b2.alias("_b2"),
+    )
+    base = j.join(
+        F.broadcast(cuts),
+        j["lang"].eqNullSafe(cuts["_cl"]) & (j["nll"] == cuts["_cs"]),
+    ).drop("_cl", "_cs")
+    whole = (
+        F.when(F.col("_hi") <= F.col("_b1"), F.lit("head"))
+        .when(
+            (F.col("_lo") >= F.col("_b1"))
+            & (F.col("_hi") <= F.col("_b2")),
+            F.lit("middle"),
         )
+        .when(F.col("_lo") >= F.col("_b2"), F.lit("tail"))
     )
+    out_cols = ["doc_id", "lang", "nll", "bucket"]
+    nonb = base.withColumn("bucket", whole).filter(
+        F.col("bucket").isNotNull()
+    )
+    grank = F.col("_lo") + F.row_number().over(
+        Window.partitionBy("lang", "nll").orderBy("doc_id")
+    )
+    bnd = base.withColumn("bucket", whole).filter(
+        F.col("bucket").isNull()
+    ).withColumn(
+        "bucket",
+        F.when(grank <= F.col("_b1"), F.lit("head"))
+        .when(grank <= F.col("_b2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return nonb.select(*out_cols).unionByName(bnd.select(*out_cols))
 
 
 def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:

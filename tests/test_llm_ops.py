@@ -1457,3 +1457,74 @@ def test_lang_temperature_matches_numpy(spark):
             assert qi < pi  # head shrinks
         if pi == p.min():
             assert qi > pi  # tail grows
+
+
+def test_ccnet_buckets_skewed_language_exact_and_plan(spark, tmp_path):
+    """VERDICT r9 #4 pin: corpus_ccnet_buckets on a 95%-one-language
+    corpus (the CommonCrawl dominant-language shape) with MASS TIES at
+    the rounded-score boundary — exact DuckDB ntile replay must match,
+    and the plan must contain no ntile window (the old per-language
+    full sort; the CDF-cutoff form buckets by broadcast compare and
+    windows only the boundary tie-groups)."""
+    import duckdb
+    import pandas as pd
+
+    from dbscan_spark.operators.text import corpus_ccnet_buckets
+
+    # 95% "en" / 4% "de" / one NULL-lang stratum; word pools sized so
+    # many docs share identical unigram NLL (rounded) — tie groups
+    # straddle both ntile cuts
+    rows = []
+    for i in range(300):
+        if i < 285:
+            lang = "en"
+            text = ["alpha beta", "alpha gamma", "beta gamma"][i % 3]
+        elif i < 297:
+            lang = "de"
+            text = ["der die", "der das"][i % 2]
+        else:
+            lang = None
+            text = "nix nada none"
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": lang,
+                "source": "s",
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    got = (
+        corpus_ccnet_buckets(spark, str(tmp_path))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"FROM '{tmp_path}/documents.parquet'"
+    )
+    import __spark_entry__ as e
+
+    want = (
+        con.sql(e.oracle_sql()["corpus_ccnet_buckets"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 300
+    assert list(got["bucket"]) == list(want["bucket"])
+    assert [round(x, 4) for x in got["nll"]] == [
+        round(x, 4) for x in want["nll"]
+    ]
+    # every stratum (incl. NULL lang) cut into thirds of the right sizes
+    for lang, grp in want.groupby("lang", dropna=False):
+        sizes = grp["bucket"].value_counts()
+        assert max(sizes) - min(sizes) <= 1
+    # plan shape: no ntile window anywhere (the skew-killer)
+    plan = corpus_ccnet_buckets(spark, str(tmp_path))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ntile" not in plan.lower()
