@@ -26,6 +26,7 @@ from dbscan_spark.functions import (
     as_double_array,
     dot,
     l2_norm,
+    norm_text,
     shingles,
     split_assignment_sql,
     tokens,
@@ -726,6 +727,87 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet stage-1 paragraph-level dedup (Wenzek et al. 2020 §3.1):
+    the crawl's ACTUAL first dedup pass keys on normalized PARAGRAPH
+    hashes across the whole corpus, not whole documents — boilerplate
+    (headers, cookie banners, license blurbs) repeats at paragraph
+    granularity while the enclosing pages differ. Every paragraph
+    occurrence except the globally FIRST (min (doc_id, position)) is
+    dropped; per document we emit kept/dropped paragraph counts and the
+    md5 of the residual (kept paragraphs, original order) — the shape a
+    pipeline needs to rewrite the cleaned corpus and audit removal
+    rates.
+
+    Scale shape: paragraph split + normalization are row-local
+    (``posexplode`` inside the scan projection); the first-occurrence
+    rule is ONE map-side-combinable min-struct aggregate keyed on the
+    paragraph hash (well-distributed; never a window over the corpus);
+    the tag-back join is hash-co-keyed on that same hash (both sides
+    corpus-sized — deliberately NOT broadcast); the per-doc rollup is
+    one doc_id-keyed aggregate. Within-doc repeats dedup too (only the
+    min position survives), matching CCNet's global rule.
+
+    EXACT DuckDB oracle: the same split/normalize/first-occurrence
+    replayed via row_number over (doc_id, pos) per paragraph hash;
+    residual via ordered string_agg. Empty-after-normalization
+    paragraphs are excluded on both engines; a doc whose every
+    paragraph normalizes to empty keeps a row with zero counts and a
+    NULL residual_hash."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    paras = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn("np", norm_text(F.col("para")))
+        .filter(F.length("np") > 0)
+        .withColumn("ph", F.md5("np"))
+    )
+    first = paras.groupBy("ph").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    tagged = paras.join(first, "ph").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    agg = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("kept"), F.struct("pos", "np"))
+            )
+        ).alias("ks"),
+    )
+    agg = agg.select(
+        "doc_id",
+        "n_paragraphs",
+        "n_kept",
+        (F.col("n_paragraphs") - F.col("n_kept")).alias("n_dropped"),
+        F.when(
+            F.col("n_kept") > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("ks"), lambda s: s["np"]), "\n"
+                )
+            ),
+        ).alias("residual_hash"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        "residual_hash",
+    )
+
+
 def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-leakage audit — the check a pipeline runs right after
     corpus_train_split: a NEAR-duplicate pair whose two documents land
@@ -964,6 +1046,7 @@ QUERIES = {
     "dedup_semantic_keep_best": dedup_semantic_keep_best,
     "dedup_semdedup": dedup_semdedup,
     "corpus_split_leakage": corpus_split_leakage,
+    "corpus_paragraph_dedup": corpus_paragraph_dedup,
 }
 
 # Shared oracle scaffolding for the connected-component family: the
@@ -1049,6 +1132,42 @@ def _similarity_lsh_cte() -> str:
 
 
 ORACLE = {
+    "corpus_paragraph_dedup": """
+        WITH base AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts
+          FROM documents WHERE text IS NOT NULL),
+        pos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(parts))) AS BIGINT) AS pos,
+                 unnest(parts) AS p
+          FROM base),
+        nz AS (
+          SELECT doc_id, pos,
+                 trim(regexp_replace(regexp_replace(lower(p),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS np
+          FROM pos),
+        tagged AS (
+          SELECT doc_id, pos, np,
+                 row_number() OVER (PARTITION BY md5(np)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM nz WHERE length(np) > 0),
+        agg AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_paragraphs,
+                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 md5(string_agg(CASE WHEN rn = 1 THEN np END, chr(10)
+                                ORDER BY pos)) AS residual_hash
+          FROM tagged GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(coalesce(a.n_paragraphs - a.n_kept, 0) AS BIGINT)
+                 AS n_dropped,
+               a.residual_hash
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.text IS NOT NULL
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
                min(doc_id) AS keep_id,

@@ -1528,3 +1528,49 @@ def test_ccnet_buckets_skewed_language_exact_and_plan(spark, tmp_path):
     plan = corpus_ccnet_buckets(spark, str(tmp_path))._jdf.queryExecution(
     ).executedPlan().toString()
     assert "ntile" not in plan.lower()
+
+
+def test_paragraph_dedup_ccnet_semantics(spark, tmp_path):
+    """corpus_paragraph_dedup concrete semantics on a hand-built corpus:
+    global first occurrence (min (doc_id, pos)) keeps, later docs drop
+    the shared boilerplate, within-doc repeats drop, normalization
+    collapses case/punct variants, empty paragraphs never count, and
+    the residual hash is the md5 of kept normalized paragraphs in
+    original order."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    from dbscan_spark.operators.dedup import corpus_paragraph_dedup
+
+    docs = [
+        (0, "Header!\nbody zero\nFooter."),
+        (1, "header\nbody one\nfooter"),        # both ends dup of doc 0
+        (2, "body two\nbody two\nBODY TWO!!"),   # within-doc repeats
+        (3, "\n\n!!!\n"),                        # all-empty paragraphs
+        (4, "body zero"),                        # dup of doc 0's middle
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: r
+        for r in corpus_paragraph_dedup(spark, str(tmp_path)).collect()
+    }
+    md5 = lambda s: _h.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (got[0]["n_paragraphs"], got[0]["n_kept"], got[0]["n_dropped"]) == (3, 3, 0)
+    assert got[0]["residual_hash"] == md5("header\nbody zero\nfooter")
+    assert (got[1]["n_paragraphs"], got[1]["n_kept"]) == (3, 1)
+    assert got[1]["residual_hash"] == md5("body one")
+    assert (got[2]["n_paragraphs"], got[2]["n_kept"]) == (3, 1)
+    assert got[2]["residual_hash"] == md5("body two")
+    assert (got[3]["n_paragraphs"], got[3]["n_kept"]) == (0, 0)
+    assert got[3]["residual_hash"] is None
+    assert (got[4]["n_kept"], got[4]["n_dropped"]) == (0, 1)
+    assert got[4]["residual_hash"] is None

@@ -96,6 +96,18 @@ def documents() -> None:
         ("ß groß STRASSE straße", "de", "adv"),
         ("a\u00a0b\u2009c\u3000d", "en", "adv"),
         ("𝕞𝕒𝕥𝕙 𝔣𝔯𝔞𝔨𝔱𝔲𝔯 𝗌𝖺𝗇𝗌 text", "en", "adv"),
+        # round-10 paragraph wave (corpus_paragraph_dedup): the base
+        # corpus has no newlines, so multi-paragraph docs — shared
+        # boilerplate across docs, within-doc repeats, empty/
+        # punctuation-only segments, trailing newline — live here
+        ("shared cookie banner\nunique body one\nshared footer",
+         "en", "adv"),
+        ("shared cookie banner\nunique body two\nshared footer",
+         "en", "adv"),
+        ("repeat me\nrepeat me\nREPEAT ME!\nmiddle text\n",
+         "en", "adv"),
+        ("\n\n!!!\n   \nonly real paragraph here\n\n", "en", "adv"),
+        ("\n\n\n", "en", "adv"),  # every paragraph normalizes empty
     ]
     for i, (text, lang, source) in enumerate(extra_texts):
         rows.append(
