@@ -1777,7 +1777,109 @@ def _dup_spans(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
     )
 
 
+#: the paper's 8-word English stop list (Rae et al. 2021 Table A1) —
+#: a doc must contain ≥2 DISTINCT of these to pass the stop-word rule
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule bundle (Rae et al. 2021 Table A1) — the
+    published per-rule pass/fail vector production filters ship, not
+    just a composite score: word-count bounds [50, 100 000], mean word
+    length [3, 10], '#'/'...'-symbol-to-word ratio ≤ 0.1, ≤ 90% of
+    lines bullet-initial, ≤ 30% of lines ellipsis-final, ≥ 80% of
+    words containing an (ASCII-proxy) alphabetic character, and ≥ 2
+    distinct words from the paper's 8-word English stop list; ``keep``
+    is the conjunction. Words are raw whitespace ([ \\t\\n]+) splits of
+    the UNnormalized text (the paper filters raw crawl text); lines
+    are newline splits with whitespace-only lines excluded from the
+    line-fraction denominators (both-empty ⇒ the line rules pass
+    vacuously, and zero words fails the word rules explicitly — no
+    NULL booleans).
+
+    Entirely JVM-side higher-order functions over one corpus scan — no
+    shuffle at all: every rule is a row-local projection, so the plan
+    is a single WholeStageCodegen scan at any corpus size. EXACT
+    DuckDB oracle: identical splits/counts via list_filter /
+    list_transform; every ratio is one double division of identical
+    integers, so the boolean comparisons cannot diverge."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ws = F.filter(
+        F.split(F.col("text"), "[ \t\n]+"), lambda w: F.length(w) > 0
+    )
+    ls = F.filter(
+        F.split(F.col("text"), "\n"),
+        lambda line: F.length(F.trim(line)) > 0,
+    )
+    b = d.select("doc_id", "text", ws.alias("ws"), ls.alias("ls"))
+    n_words = F.size("ws")
+    n_lines = F.size("ls")
+    sum_wl = F.aggregate(
+        "ws", F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(
+        F.filter("ws", lambda w: w.rlike("[a-zA-Z]"))
+    )
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_ellsym = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    n_bullet = F.size(
+        F.filter(
+            "ls",
+            lambda line: F.substring(line, 1, 1).isin("•", "-", "*"),
+        )
+    )
+    n_elline = F.size(
+        F.filter(
+            "ls",
+            lambda line: line.endswith("...") | line.endswith("…"),
+        )
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("ws", F.lower)),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    has_words = n_words > 0
+    has_lines = n_lines > 0
+    rules = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100000),
+        "r_mean_word_len": F.when(
+            has_words,
+            (sum_wl / n_words >= 3) & (sum_wl / n_words <= 10),
+        ).otherwise(F.lit(False)),
+        "r_symbol_ratio": F.when(
+            has_words, (n_hash + n_ellsym) / n_words <= 0.1
+        ).otherwise(F.lit(False)),
+        "r_bullet_lines": F.when(
+            has_lines, n_bullet / n_lines <= 0.9
+        ).otherwise(F.lit(True)),
+        "r_ellipsis_lines": F.when(
+            has_lines, n_elline / n_lines <= 0.3
+        ).otherwise(F.lit(True)),
+        "r_alpha_words": F.when(
+            has_words, n_alpha / n_words >= 0.8
+        ).otherwise(F.lit(False)),
+        "r_stopwords": n_stop >= 2,
+    }
+    cols = [F.col("doc_id"), n_words.cast("long").alias("n_words")]
+    keep = F.lit(True)
+    for name, expr in rules.items():
+        cols.append(expr.alias(name))
+        keep = keep & expr
+    cols.append(keep.alias("keep"))
+    return b.select(*cols)
+
+
 QUERIES = {
+    "corpus_gopher_rules": corpus_gopher_rules,
     "text_pii_scrub": text_pii_scrub,
     "text_compression_ratio": text_compression_ratio,
     "corpus_language_entropy": corpus_language_entropy,
@@ -1927,6 +2029,64 @@ _BPE_IT_SQL = f"""
 
 
 ORACLE = {
+    # stop list inlined from _GOPHER_STOPWORDS (single source — the
+    # Spark side and this SQL cannot drift)
+    "corpus_gopher_rules": f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '[ \t\n]+'),
+                             w -> length(w) > 0) AS ws,
+                 list_filter(string_split(text, chr(10)),
+                             l -> length(trim(l)) > 0) AS ls
+          FROM documents WHERE text IS NOT NULL),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 len(ls) AS n_lines,
+                 coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                   AS sum_wl,
+                 len(list_filter(ws,
+                     w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) / 3
+                   AS n_ellsym,
+                 len(list_filter(ls, l -> substring(l, 1, 1)
+                     IN ('•', '-', '*'))) AS n_bullet,
+                 len(list_filter(ls, l -> l LIKE '%...'
+                     OR l LIKE '%…')) AS n_elline,
+                 len(list_intersect(
+                     list_distinct(list_transform(ws, w -> lower(w))),
+                     [{", ".join("'" + s + "'" for s in _GOPHER_STOPWORDS)}]))
+                   AS n_stop
+          FROM base),
+        r AS (
+          SELECT doc_id, n_words,
+                 n_words >= 50 AND n_words <= 100000 AS r_word_count,
+                 CASE WHEN n_words > 0
+                      THEN sum_wl / n_words >= 3 AND sum_wl / n_words <= 10
+                      ELSE FALSE END AS r_mean_word_len,
+                 CASE WHEN n_words > 0
+                      THEN (n_hash + n_ellsym) / n_words <= 0.1
+                      ELSE FALSE END AS r_symbol_ratio,
+                 CASE WHEN n_lines > 0
+                      THEN n_bullet / n_lines <= 0.9
+                      ELSE TRUE END AS r_bullet_lines,
+                 CASE WHEN n_lines > 0
+                      THEN n_elline / n_lines <= 0.3
+                      ELSE TRUE END AS r_ellipsis_lines,
+                 CASE WHEN n_words > 0
+                      THEN n_alpha / n_words >= 0.8
+                      ELSE FALSE END AS r_alpha_words,
+                 n_stop >= 2 AS r_stopwords
+          FROM m)
+        SELECT doc_id, n_words, r_word_count, r_mean_word_len,
+               r_symbol_ratio, r_bullet_lines, r_ellipsis_lines,
+               r_alpha_words, r_stopwords,
+               r_word_count AND r_mean_word_len AND r_symbol_ratio
+               AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+               AND r_stopwords AS keep
+        FROM r
+    """,
     "text_bm25_search": f"""
         WITH per_doc AS (
           SELECT doc_id, t,

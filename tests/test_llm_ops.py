@@ -1574,3 +1574,51 @@ def test_paragraph_dedup_ccnet_semantics(spark, tmp_path):
     assert got[3]["residual_hash"] is None
     assert (got[4]["n_kept"], got[4]["n_dropped"]) == (0, 1)
     assert got[4]["residual_hash"] is None
+
+
+def test_gopher_rules_each_rule_fires(spark, tmp_path):
+    """corpus_gopher_rules: each Table A1 rule flips on a purpose-built
+    doc while the others hold, and a well-formed doc passes all seven."""
+    import pandas as pd
+
+    from dbscan_spark.operators.text import corpus_gopher_rules
+
+    good = ("the quick brown fox and the lazy dog be running to "
+            "the old mill of the valley that have seen many summers "
+            "with friends ") * 3  # ~90 words, stopword-rich, clean
+    docs = [
+        (0, good),
+        (1, "short text with the and of"),             # < 50 words
+        (2, " ".join(["a"] * 60) + " the of"),          # mean len < 3
+        (3, good + " " + "#" * 40),                     # symbol ratio
+        (4, "\n".join("- bullet line the of" for _ in range(10))),
+        (5, "\n".join("line the of trailing..." for _ in range(10))),
+        (6, " ".join(["123"] * 60) + " the of"),        # low alpha
+        (7, " ".join(["word"] * 60)),                   # no stopwords
+        (8, ""),                                         # degenerate
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_gopher_rules(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["keep"] is True
+    assert got[1]["r_word_count"] is False and got[1]["r_stopwords"]
+    assert got[2]["r_mean_word_len"] is False
+    assert got[3]["r_symbol_ratio"] is False and got[3]["r_word_count"]
+    assert got[4]["r_bullet_lines"] is False
+    assert got[5]["r_ellipsis_lines"] is False
+    assert got[6]["r_alpha_words"] is False
+    assert got[7]["r_stopwords"] is False
+    assert got[8]["n_words"] == 0 and got[8]["keep"] is False
+    # vacuous line rules pass on the no-lines doc; word rules fail hard
+    assert got[8]["r_bullet_lines"] is True
+    assert got[8]["r_mean_word_len"] is False
