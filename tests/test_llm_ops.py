@@ -1622,3 +1622,39 @@ def test_gopher_rules_each_rule_fires(spark, tmp_path):
     # vacuous line rules pass on the no-lines doc; word rules fail hard
     assert got[8]["r_bullet_lines"] is True
     assert got[8]["r_mean_word_len"] is False
+
+
+def test_ann_pq_deep_scales_depth_and_recall(spark):
+    """ann_topk_pq_deep (VERDICT r9 #8): the production scaled-re-rank
+    configuration must (a) never recall WORSE than the fixed-depth
+    stack, (b) emit exactly 5 rows per query, and (c) actually scale
+    its depth with the corpus (N/10 > 32 at the grading SF, so the
+    candidate cutoff genuinely differs from ann_topk_pq's)."""
+    import math
+    from collections import Counter
+
+    from dbscan_spark.operators.similarity import (
+        _PQ_DEEP_DIV,
+        _PQ_RERANK,
+        _embeddings_with_norms,
+    )
+
+    n = _embeddings_with_norms(spark, SF_SMALL).count()
+    assert math.ceil(n / _PQ_DEEP_DIV) > _PQ_RERANK
+
+    bf = similarity.ann_topk_bruteforce(spark, SF_SMALL)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    fixed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_pq(spark, SF_SMALL).collect()
+    }
+    rows = similarity.ann_topk_pq_deep(spark, SF_SMALL).collect()
+    deep = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(v == 5 for v in per_q.values()), per_q
+    r_fixed = len(fixed & truth) / len(truth)
+    r_deep = len(deep & truth) / len(truth)
+    assert r_deep >= r_fixed, (r_deep, r_fixed)
+    # floor against regressions (measured 0.78 at N=500/depth=50; the
+    # sf1.0 production-depth number, 0.90, is recorded in BASELINE §5i)
+    assert r_deep >= 0.7, f"deep recall too low at the grading SF: {r_deep}"
