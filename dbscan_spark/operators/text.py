@@ -1878,8 +1878,150 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(*cols)
 
 
+#: Gopher Table A1 repetition thresholds (Rae et al. 2021): pass iff
+#: fraction ≤ threshold. Single source for the Spark side, the oracle,
+#: and the composite keep.
+_GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def corpus_gopher_repetition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher repetition-rule bundle (Rae et al. 2021 Table A1, the
+    repetition sub-table) — the within-document repetition signals the
+    word-level bundle (:func:`corpus_gopher_rules`) doesn't cover:
+    duplicate-line fraction and duplicate-line CHARACTER fraction,
+    top-{2,3,4}-gram character fractions, and duplicated-{5..10}-gram
+    character fractions, each with the paper's threshold and a
+    composite ``keep``.
+
+    Semantics (documented substitutions, shared with the open-source
+    reimplementations): fractions are over the NORMALIZED token stream
+    (chars = tokens joined by single spaces; the paper's raw-char
+    denominators aren't reproducible post-normalization), duplicated
+    n-gram mass counts every occurrence of every ≥2× gram (Dolma/NeMo
+    convention; the paper's span-union variant is the separately-graded
+    text_dup_spans), and all-members-count for duplicate lines. Ties
+    for the top gram break to the lexicographically smallest.
+
+    Scale shape: ZERO shuffle — tokenization/line-normalization stay
+    JVM-side (the audited :func:`norm_text`/:func:`tokens`, so every
+    string the Python stage sees is pure ``[a-z0-9 ]`` — no
+    cross-language unicode semantics in play), and the per-doc multiset
+    counting runs in ONE Arrow-batched pandas UDF emitting 11 exact
+    integer masses per doc (a pure map). This is the documented
+    UDF-justified tier: the built-in formulation (9 shingle builds + 11
+    run-length ``F.aggregate`` walks per row) is semantically identical
+    but interpreted expression-tree evaluation measured 10 s at sf0.1
+    vs well under 1 s for the Arrow counter — per-row multiset
+    frequency maps are exactly what higher-order builtins can't express
+    efficiently. All divisions/rounding happen JVM-side on the returned
+    integers, so the boolean/4dp parity argument is unchanged. EXACT
+    DuckDB oracle: per-doc GROUP BY replays of the same counts
+    (generated from the shared threshold dict)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    # non-cheap expressions behind COLUMN ALIASES so CollapseProject
+    # (SPARK-36718) computes each once
+    t1 = d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("tk"),
+        F.filter(
+            F.transform(F.split(F.col("text"), "\n"), norm_text),
+            lambda nl: F.length(nl) > 0,
+        ).alias("lns"),
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    fields = ["dl", "dlch", "tm2", "tm3", "tm4"] + [
+        f"dm{n}" for n in range(5, 11)
+    ]
+
+    @pandas_udf("struct<" + ", ".join(f"{f}: long" for f in fields) + ">")
+    def masses(tk: pd.Series, lns: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        out: dict[str, list] = {f: [] for f in fields}
+        for toks, lines in zip(tk, lns):
+            toks = list(toks)
+            lcnt = Counter(lines)
+            out["dl"].append(
+                sum(c for c in lcnt.values() if c >= 2)
+            )
+            out["dlch"].append(
+                sum(c * len(g) for g, c in lcnt.items() if c >= 2)
+            )
+            for n in (2, 3, 4):
+                grams = [
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+                if grams:
+                    cnt = Counter(grams)
+                    best = max(cnt.values())
+                    g = min(k for k, c in cnt.items() if c == best)
+                    out[f"tm{n}"].append(best * len(g))
+                else:
+                    out[f"tm{n}"].append(0)
+            for n in range(5, 11):
+                cnt = Counter(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+                out[f"dm{n}"].append(
+                    sum(c * len(g) for g, c in cnt.items() if c >= 2)
+                )
+        return pd.DataFrame(out)
+
+    t3 = t1.select(
+        "doc_id",
+        F.length(F.concat_ws(" ", "tk")).cast("long").alias("tc"),
+        F.size("lns").cast("long").alias("tl"),
+        F.aggregate(
+            "lns",
+            F.lit(0).cast("long"),
+            lambda acc, nl: acc + F.length(nl),
+        ).alias("tlch"),
+        masses(F.col("tk"), F.col("lns")).alias("m"),
+    )
+    fracs = {
+        "dup_line_frac": F.col("m.dl")
+        / F.nullif(F.col("tl").cast("double"), F.lit(0.0)),
+        "dup_line_char_frac": F.col("m.dlch")
+        / F.nullif(F.col("tlch").cast("double"), F.lit(0.0)),
+    }
+    tc = F.nullif(F.col("tc").cast("double"), F.lit(0.0))
+    for n in (2, 3, 4):
+        fracs[f"top_{n}gram_char_frac"] = F.col(f"m.tm{n}") / tc
+    for n in range(5, 11):
+        fracs[f"dup_{n}gram_char_frac"] = F.col(f"m.dm{n}") / tc
+    cols = [F.col("doc_id")]
+    keep = F.lit(True)
+    for name, thr in _GOPHER_REP_THRESHOLDS.items():
+        cols.append(_r4(fracs[name]).alias(name))
+        # NULL fraction (no lines / no tokens) passes vacuously
+        keep = keep & F.coalesce(fracs[name] <= thr, F.lit(True))
+    cols.append(keep.alias("keep"))
+    return t3.select(*cols)
+
+
 QUERIES = {
     "corpus_gopher_rules": corpus_gopher_rules,
+    "corpus_gopher_repetition": corpus_gopher_repetition,
     "text_pii_scrub": text_pii_scrub,
     "text_compression_ratio": text_compression_ratio,
     "corpus_language_entropy": corpus_language_entropy,
@@ -2028,7 +2170,98 @@ _BPE_IT_SQL = f"""
           WHERE c.i < {_BPE_ROUNDS})"""
 
 
+def _gopher_rep_oracle() -> str:
+    """DuckDB replay of corpus_gopher_repetition, GENERATED from
+    _GOPHER_REP_THRESHOLDS and the gram widths (single source — the
+    rule set, the thresholds, and this SQL cannot drift). The oracle
+    replays per-doc multiset counts with GROUP BYs (correctness-only;
+    the Spark side is the zero-shuffle run-walk)."""
+    line_norm = (
+        "trim(regexp_replace(regexp_replace(lower(l), '[^a-z0-9 ]', ' ',"
+        " 'g'), ' +', ' ', 'g'))"
+    )
+    ctes = [
+        f"docs AS (SELECT doc_id, {_SQL_TOKS} AS t, text"
+        " FROM documents WHERE text IS NOT NULL)",
+        "base AS (SELECT doc_id,"
+        " CAST(length(array_to_string(t, ' ')) AS BIGINT) AS tc"
+        " FROM docs)",
+        "lraw AS (SELECT doc_id, unnest(string_split(text, chr(10)))"
+        " AS l FROM docs)",
+        f"lns AS (SELECT doc_id, {line_norm} AS nl FROM lraw)",
+        "lc AS (SELECT doc_id, nl, count(*) AS c FROM lns"
+        " WHERE length(nl) > 0 GROUP BY doc_id, nl)",
+        "lstat AS (SELECT doc_id,"
+        " sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dl, sum(c) AS tlc,"
+        " sum(CASE WHEN c >= 2 THEN c * length(nl) ELSE 0 END) AS dlch,"
+        " sum(c * length(nl)) AS tlch"
+        " FROM lc GROUP BY doc_id)",
+    ]
+    for n in range(2, 11):
+        gram = " || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+        ctes.append(
+            f"gr{n} AS (SELECT doc_id, unnest(list_transform("
+            f"range(1, greatest(len(t) - {n - 1}, 0) + 1),"
+            f" i -> {gram})) AS g FROM docs)"
+        )
+        ctes.append(
+            f"gc{n} AS (SELECT doc_id, g, count(*) AS c FROM gr{n}"
+            " GROUP BY doc_id, g)"
+        )
+    for n in (2, 3, 4):
+        ctes.append(
+            f"tp{n} AS (SELECT doc_id, c * length(g) AS mass FROM ("
+            "SELECT doc_id, g, c, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY c DESC, g) AS rn"
+            f" FROM gc{n}) WHERE rn = 1)"
+        )
+    for n in range(5, 11):
+        ctes.append(
+            f"dp{n} AS (SELECT doc_id, sum(c * length(g)) AS mass"
+            f" FROM gc{n} WHERE c >= 2 GROUP BY doc_id)"
+        )
+    raw = {
+        "dup_line_frac": "coalesce(ls.dl, 0) / nullif(ls.tlc, 0)",
+        "dup_line_char_frac": "coalesce(ls.dlch, 0) / nullif(ls.tlch, 0)",
+    }
+    for n in (2, 3, 4):
+        raw[f"top_{n}gram_char_frac"] = (
+            f"coalesce(tp{n}.mass, 0) / nullif(b.tc, 0)"
+        )
+    for n in range(5, 11):
+        raw[f"dup_{n}gram_char_frac"] = (
+            f"coalesce(dp{n}.mass, 0) / nullif(b.tc, 0)"
+        )
+    ctes.append(
+        "j AS (SELECT b.doc_id, "
+        + ", ".join(f"{expr} AS raw_{name}" for name, expr in raw.items())
+        + " FROM base b"
+        + " LEFT JOIN lstat ls USING (doc_id)"
+        + "".join(
+            f" LEFT JOIN tp{n} USING (doc_id)" for n in (2, 3, 4)
+        )
+        + "".join(
+            f" LEFT JOIN dp{n} USING (doc_id)" for n in range(5, 11)
+        )
+        + ")"
+    )
+    out = ", ".join(
+        f"floor(raw_{name} * 10000 + 0.5) / 10000 AS {name}"
+        for name in _GOPHER_REP_THRESHOLDS
+    )
+    keep = " AND ".join(
+        f"coalesce(raw_{name} <= {thr}, TRUE)"
+        for name, thr in _GOPHER_REP_THRESHOLDS.items()
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT doc_id, {out}, ({keep}) AS keep FROM j"
+    )
+
+
 ORACLE = {
+    "corpus_gopher_repetition": _gopher_rep_oracle(),
     # stop list inlined from _GOPHER_STOPWORDS (single source — the
     # Spark side and this SQL cannot drift)
     "corpus_gopher_rules": f"""

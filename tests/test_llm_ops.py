@@ -1658,3 +1658,51 @@ def test_ann_pq_deep_scales_depth_and_recall(spark):
     # floor against regressions (measured 0.78 at N=500/depth=50; the
     # sf1.0 production-depth number, 0.90, is recorded in BASELINE §5i)
     assert r_deep >= 0.7, f"deep recall too low at the grading SF: {r_deep}"
+
+
+def test_gopher_repetition_rules(spark, tmp_path):
+    """corpus_gopher_repetition: hand-checked fractions on purpose-built
+    docs — dup lines (all members count), top-gram char mass (tie to
+    lexicographically smallest), dup-5-gram mass (every occurrence of
+    every >=2x gram), and vacuous passes on degenerate docs."""
+    import pandas as pd
+
+    from dbscan_spark.operators.text import corpus_gopher_repetition
+
+    docs = [
+        # 4 lines, "dup line" x2 -> dup_line_frac = 0.5; chars: dup
+        # lines 2*8=16 of 8+8+6+5=27
+        (0, "dup line\ndup line\nline a\nother"),
+        # tokens: b a b a c -> top 2-grams: 'b a' x2, 'a b' x1, 'a c'
+        # x1 -> top mass 2*3=6, tc = 9 ("b a b a c")
+        (1, "b a b a c"),
+        # looping 5-gram text: 'x y z w v' * 3 -> every 5-gram repeats
+        (2, "x y z w v " * 3),
+        (3, ""),  # degenerate: no tokens, no lines -> all vacuous
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_gopher_repetition(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["dup_line_frac"] == 0.5
+    assert got[0]["dup_line_char_frac"] == round(16 / 27, 4)
+    assert got[0]["keep"] is False  # 0.5 > 0.30
+    assert got[1]["top_2gram_char_frac"] == round(6 / 9, 4)
+    assert got[1]["keep"] is False
+    # doc 2: 15 tokens -> 11 5-grams, all "x y z w v"-rotations; every
+    # gram occurs >= 2x except none — check all 11 occur in dup mass:
+    # rotations each appear 2-3x, so dup mass = sum over all 11
+    # occurrences * 9 chars = 99; tc = len("x y z w v "*3 normalized)
+    assert got[2]["dup_5gram_char_frac"] > 0.5
+    assert got[2]["keep"] is False
+    assert got[3]["keep"] is True  # all vacuous
+    assert got[3]["dup_line_frac"] is None

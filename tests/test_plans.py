@@ -305,6 +305,10 @@ _REVIEWED_NESTED_LOOPS = {
     # self-pair exclusion
     "ann_hard_negatives",
     "ann_topk_pq",
+    # identical reviewed shape to ann_topk_pq (shared _pq_search body):
+    # the broadcast side is the N_QUERIES=10 query rows; only the
+    # re-rank depth differs
+    "ann_topk_pq_deep",
     "geo_points_in_boxes",
     # DBSCAN choreography: the broadcast side is the BSP rectangle
     # table (#partitions-bounded, reference O7/O8 shape)
