@@ -2019,9 +2019,100 @@ def corpus_gopher_repetition(
     return t3.select(*cols)
 
 
+def corpus_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2) — the published
+    line- and page-level rules as they shipped in the C4 pipeline,
+    emitting the per-page audit a corpus build needs: a LINE is kept
+    iff (trimmed) it ends in terminal punctuation ('.', '!', '?', '"'),
+    has ≥ 3 whitespace words, and doesn't mention "javascript"; a PAGE
+    is kept iff its cleaned text has ≥ 5 sentence-terminal marks, no
+    "lorem ipsum", and no '{'. Output: per-doc line counts
+    kept/dropped, the sentence count, the two page flags, ``keep``,
+    and the md5 of the cleaned text (kept trimmed lines joined by
+    newline) so the rewrite itself is hash-gated. The paper's external
+    badword-list rule is NOT substituted (no list ships with the
+    paper); sentence count = terminal-mark count over kept lines
+    (documented proxy for the paper's sentence splitter).
+
+    Zero shuffle: every rule is a row-local split/filter/flag
+    projection over one corpus scan — built-ins only. EXACT DuckDB
+    oracle replaying the same splits and flags."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    kept = F.filter(
+        F.transform(
+                F.split(F.col("text"), "\n"), lambda ln: F.trim(ln)
+            ),
+        lambda ln: (F.length(ln) > 0)
+        & F.substring(ln, -1, 1).isin(".", "!", "?", '"')
+        & (
+            F.size(
+                F.filter(
+                    F.split(ln, "[ \t]+"), lambda w: F.length(w) > 0
+                )
+            )
+            >= 3
+        )
+        & ~F.lower(ln).contains("javascript"),
+    )
+    t1 = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.transform(
+                F.split(F.col("text"), "\n"), lambda ln: F.trim(ln)
+            ),
+                lambda ln: F.length(ln) > 0,
+            )
+        )
+        .cast("long")
+        .alias("n_lines"),
+        kept.alias("kept"),
+        F.lower(F.col("text")).contains("lorem ipsum").alias(
+            "has_lorem_ipsum"
+        ),
+        F.col("text").contains("{").alias("has_brace"),
+    )
+    cleaned = F.array_join(F.col("kept"), "\n")
+    n_sent = (
+        F.length(cleaned)
+        - F.length(
+            F.replace(
+                F.replace(
+                    F.replace(cleaned, F.lit("."), F.lit("")),
+                    F.lit("!"),
+                    F.lit(""),
+                ),
+                F.lit("?"),
+                F.lit(""),
+            )
+        )
+    ).cast("long")
+    t2 = t1.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").cast("long").alias("n_lines_kept"),
+        (F.col("n_lines") - F.size("kept")).cast("long").alias(
+            "n_lines_dropped"
+        ),
+        n_sent.alias("n_sentences"),
+        "has_lorem_ipsum",
+        "has_brace",
+        F.when(F.size("kept") > 0, F.md5(cleaned)).alias("cleaned_md5"),
+    )
+    return t2.withColumn(
+        "keep",
+        (F.col("n_sentences") >= 5)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace"),
+    )
+
+
 QUERIES = {
     "corpus_gopher_rules": corpus_gopher_rules,
     "corpus_gopher_repetition": corpus_gopher_repetition,
+    "corpus_c4_filters": corpus_c4_filters,
     "text_pii_scrub": text_pii_scrub,
     "text_compression_ratio": text_compression_ratio,
     "corpus_language_entropy": corpus_language_entropy,
@@ -2261,6 +2352,48 @@ def _gopher_rep_oracle() -> str:
 
 
 ORACLE = {
+    "corpus_c4_filters": """
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            l -> trim(l)),
+                             l -> length(l) > 0) AS lines
+          FROM documents WHERE text IS NOT NULL),
+        k AS (
+          SELECT doc_id,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 list_filter(lines, l ->
+                     right(l, 1) IN ('.', '!', '?', '"')
+                     AND len(list_filter(
+                             regexp_split_to_array(l, '[ \t]+'),
+                             w -> length(w) > 0)) >= 3
+                     AND NOT contains(lower(l), 'javascript')) AS kept,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                 contains(text, '{') AS has_brace
+          FROM base),
+        c AS (
+          SELECT doc_id, n_lines,
+                 CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                 CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
+                 -- DuckDB: array_to_string([]) is NULL; Spark
+                 -- array_join([]) is '' — align on ''
+                 coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+                 has_lorem_ipsum, has_brace
+          FROM k),
+        s AS (
+          SELECT *, CAST(length(cleaned)
+                 - length(replace(replace(replace(cleaned, '.', ''),
+                                          '!', ''), '?', ''))
+                 AS BIGINT) AS n_sentences
+          FROM c)
+        SELECT doc_id, n_lines, n_lines_kept, n_lines_dropped,
+               n_sentences, has_lorem_ipsum, has_brace,
+               CASE WHEN n_lines_kept > 0 THEN md5(cleaned) END
+                 AS cleaned_md5,
+               n_sentences >= 5 AND NOT has_lorem_ipsum
+                 AND NOT has_brace AS keep
+        FROM s
+    """,
     "corpus_gopher_repetition": _gopher_rep_oracle(),
     # stop list inlined from _GOPHER_STOPWORDS (single source — the
     # Spark side and this SQL cannot drift)

@@ -1706,3 +1706,51 @@ def test_gopher_repetition_rules(spark, tmp_path):
     assert got[2]["keep"] is False
     assert got[3]["keep"] is True  # all vacuous
     assert got[3]["dup_line_frac"] is None
+
+
+def test_c4_filters_line_and_page_rules(spark, tmp_path):
+    """corpus_c4_filters: each published rule checked by hand — line
+    keep requires terminal punctuation + >=3 words + no 'javascript';
+    page keep requires >=5 sentence marks, no lorem ipsum, no brace;
+    cleaned_md5 hashes exactly the kept trimmed lines."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    from dbscan_spark.operators.text import corpus_c4_filters
+
+    docs = [
+        (0, "Keep this line here.\nno punct line\nok.\n"
+            "uses javascript sadly.\nAnother good line stays! "
+            "Ok? Sure. Fine."),
+        (1, "Lorem ipsum dolor sit. More words here. And more. "
+            "Even more. Fifth sentence here."),
+        (2, "Brace page { code }. One two three. Four five six. "
+            "Seven eight nine. Ten eleven twelve."),
+        (3, "Too few sentences but clean lines stay fine."),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_c4_filters(spark, str(tmp_path)).collect()
+    }
+    # doc 0: lines -> keep: "Keep this line here." and the 4-sentence
+    # last line; dropped: no-punct, 2-word "ok.", javascript line
+    assert got[0]["n_lines"] == 5
+    assert got[0]["n_lines_kept"] == 2
+    md5 = lambda s: _h.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[0]["cleaned_md5"] == md5(
+        "Keep this line here.\nAnother good line stays! Ok? Sure. Fine."
+    )
+    assert got[0]["n_sentences"] == 5 and got[0]["keep"] is True
+    assert got[1]["has_lorem_ipsum"] is True and got[1]["keep"] is False
+    assert got[2]["has_brace"] is True and got[2]["keep"] is False
+    assert got[3]["n_sentences"] == 1 and got[3]["keep"] is False

@@ -108,6 +108,20 @@ def documents() -> None:
          "en", "adv"),
         ("\n\n!!!\n   \nonly real paragraph here\n\n", "en", "adv"),
         ("\n\n\n", "en", "adv"),  # every paragraph normalizes empty
+        # round-10 C4 wave (corpus_c4_filters): the base corpus has no
+        # sentence punctuation, so the keep path lives here — terminal
+        # punctuation, short lines, javascript lines, lorem ipsum,
+        # code braces
+        ("This page has real sentences. It keeps five of them! "
+         "Does it pass? Yes it does. Five marks total.",
+         "en", "adv"),
+        ("Good line stays here.\nshort one.\nNo terminal punct line\n"
+         "this javascript line is dropped.\nAnother keeper line stays.",
+         "en", "adv"),
+        ("Lorem ipsum dolor sit amet. Plus other sentences. More here. "
+         "And more. And a fifth.", "en", "adv"),
+        ("A code page { return 0; } with sentences. One. Two. Three. "
+         "Four sentences more.", "en", "adv"),
     ]
     for i, (text, lang, source) in enumerate(extra_texts):
         rows.append(
