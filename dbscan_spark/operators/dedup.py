@@ -808,6 +808,72 @@ def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup — the shape a production pipeline
+    runs on every new crawl batch: dedup the INCOMING slice against the
+    EXISTING corpus without reprocessing the corpus. The corpus side
+    collapses to its content index (md5(text) → earliest doc_id, plus
+    the normalized-fingerprint twin) in one aggregate each; the batch
+    then LEFT-joins those indexes. Verdict per incoming doc, in
+    priority order: ``drop_exact`` (raw text already in the corpus),
+    ``drop_near`` (normalized fingerprint already in the corpus),
+    ``drop_batch_dup`` (an earlier doc in the SAME batch has identical
+    raw text — batch-internal exactness only, documented), else
+    ``ingest``.
+
+    The existing/incoming split is a deterministic pure function of
+    doc_id (md5 first hex ≥ 'e' → incoming, ~12.5%), so the operator is
+    reproducible across engines and retries — same discipline as
+    corpus_train_split. Scale shape: every aggregate and join is keyed
+    on a content hash (well-distributed; the index side is
+    |distinct existing texts| and is deliberately NOT broadcast — at
+    100 TB it's a co-keyed shuffle join against a materialized index
+    table). EXACT DuckDB oracle replaying the split, both indexes, and
+    the batch-internal window."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    incoming_flag = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("e", "f")
+    th = F.md5(F.col("text"))
+    fp = F.md5(F.concat_ws(" ", tokens(F.col("text"))))
+    base = d.select(
+        "doc_id", th.alias("th"), fp.alias("fp"), incoming_flag.alias("inc")
+    )
+    existing = base.filter(~F.col("inc"))
+    incoming = base.filter(F.col("inc"))
+    ex_idx = existing.groupBy("th").agg(
+        F.min("doc_id").alias("first_seen_exact")
+    )
+    fp_idx = existing.groupBy("fp").agg(
+        F.min("doc_id").alias("first_seen_fp")
+    )
+    batch_first = incoming.groupBy("th").agg(
+        F.min("doc_id").alias("batch_first")
+    )
+    j = (
+        incoming.join(ex_idx, "th", "left")
+        .join(fp_idx, "fp", "left")
+        .join(batch_first, "th")
+    )
+    exact = F.col("first_seen_exact").isNotNull()
+    near = F.col("first_seen_fp").isNotNull()
+    bdup = F.col("batch_first") < F.col("doc_id")
+    return j.select(
+        "doc_id",
+        exact.alias("exact_dup"),
+        near.alias("fp_dup"),
+        "first_seen_exact",
+        "first_seen_fp",
+        F.when(exact, F.lit("drop_exact"))
+        .when(near, F.lit("drop_near"))
+        .when(bdup, F.lit("drop_batch_dup"))
+        .otherwise(F.lit("ingest"))
+        .alias("action"),
+    )
+
+
 def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-leakage audit — the check a pipeline runs right after
     corpus_train_split: a NEAR-duplicate pair whose two documents land
@@ -1047,6 +1113,7 @@ QUERIES = {
     "dedup_semdedup": dedup_semdedup,
     "corpus_split_leakage": corpus_split_leakage,
     "corpus_paragraph_dedup": corpus_paragraph_dedup,
+    "dedup_incremental": dedup_incremental,
 }
 
 # Shared oracle scaffolding for the connected-component family: the
@@ -1132,6 +1199,36 @@ def _similarity_lsh_cte() -> str:
 
 
 ORACLE = {
+    "dedup_incremental": f"""
+        WITH base AS (
+          SELECT doc_id, md5(text) AS th,
+                 md5(array_to_string({_SQL_TOKS}, ' ')) AS fp,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('e', 'f') AS inc
+          FROM documents WHERE text IS NOT NULL),
+        ex_idx AS (SELECT th, min(doc_id) AS first_seen_exact
+                   FROM base WHERE NOT inc GROUP BY th),
+        fp_idx AS (SELECT fp, min(doc_id) AS first_seen_fp
+                   FROM base WHERE NOT inc GROUP BY fp),
+        bidx AS (SELECT th, min(doc_id) AS batch_first
+                 FROM base WHERE inc GROUP BY th)
+        SELECT i.doc_id,
+               e.first_seen_exact IS NOT NULL AS exact_dup,
+               f.first_seen_fp IS NOT NULL AS fp_dup,
+               e.first_seen_exact, f.first_seen_fp,
+               CASE WHEN e.first_seen_exact IS NOT NULL
+                      THEN 'drop_exact'
+                    WHEN f.first_seen_fp IS NOT NULL
+                      THEN 'drop_near'
+                    WHEN b.batch_first < i.doc_id
+                      THEN 'drop_batch_dup'
+                    ELSE 'ingest' END AS action
+        FROM base i
+        LEFT JOIN ex_idx e USING (th)
+        LEFT JOIN fp_idx f USING (fp)
+        JOIN bidx b USING (th)
+        WHERE i.inc
+    """,
     "corpus_paragraph_dedup": """
         WITH base AS (
           SELECT doc_id, string_split(text, chr(10)) AS parts

@@ -1754,3 +1754,44 @@ def test_c4_filters_line_and_page_rules(spark, tmp_path):
     assert got[1]["has_lorem_ipsum"] is True and got[1]["keep"] is False
     assert got[2]["has_brace"] is True and got[2]["keep"] is False
     assert got[3]["n_sentences"] == 1 and got[3]["keep"] is False
+
+
+def test_dedup_incremental_every_verdict(spark, tmp_path):
+    """dedup_incremental: every verdict branch forced on hand-built
+    docs whose md5(doc_id) split side is precomputed — incoming ids
+    {3, 5, 34, 44, 49}, existing ids {0, 1, 2, 4, ...}."""
+    import pandas as pd
+
+    from dbscan_spark.operators.dedup import dedup_incremental
+
+    docs = [
+        (0, "corpus doc one stays"),             # existing
+        (1, "Corpus DOC one!! stays"),           # existing fp-twin of 0
+        (2, "another corpus doc"),               # existing
+        (3, "corpus doc one stays"),             # incoming: exact dup of 0
+        (5, "Corpus doc ONE stays?"),            # incoming: fp dup of 0
+        (34, "fresh incoming text a"),           # incoming: ingest
+        (44, "batch twin text"),                 # incoming: batch first
+        (49, "batch twin text"),                 # incoming: batch dup of 44
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_incremental(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {3, 5, 34, 44, 49}  # only the incoming slice
+    assert got[3]["action"] == "drop_exact"
+    assert got[3]["first_seen_exact"] == 0
+    assert got[5]["action"] == "drop_near"
+    assert got[5]["first_seen_fp"] == 0  # fp index keeps the EARLIEST
+    assert got[34]["action"] == "ingest"
+    assert got[44]["action"] == "ingest"  # batch-first occurrence keeps
+    assert got[49]["action"] == "drop_batch_dup"
