@@ -216,6 +216,49 @@ def read_events_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path, schema=EVENTS_JSON_SCHEMA)
 
 
+def documents_blob_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) a raw-binary landing zone — one
+    ``<doc_id>.bin`` file per document holding the UTF-8 bytes of its
+    text — and return its path. This is the shape multimodal data
+    actually ARRIVES in (an object-store prefix of opaque blobs), and
+    it feeds the ``binaryFile`` source surface; the mirror is written
+    DISTRIBUTED (``foreachPartition``, each task writes its own rows'
+    files — no driver collect), mirroring how a real landing zone is
+    populated executor-side. One-file-per-record is deliberately the
+    ingestion-boundary shape only: everything downstream converts to
+    blob COLUMNS in parquet (the multimodal table idiom) precisely
+    because millions of small files are the storage anti-pattern."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(repo_root, ".blob_mirror", key, "documents")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+
+        def write_part(rows) -> None:
+            for r in rows:
+                with open(
+                    os.path.join(out, f"{r['doc_id']}.bin"), "wb"
+                ) as fh:
+                    fh.write(r["text"].encode("utf-8"))
+
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text")
+            .foreachPartition(write_part)
+        )
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def read_documents_blobs(spark: SparkSession, path: str) -> DataFrame:
+    """``binaryFile`` source over a blob landing zone: (path,
+    modificationTime, length, content) per file, content as raw bytes."""
+    return spark.read.format("binaryFile").load(path)
+
+
 def events_csv_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf_dir) a headered CSV mirror of ``events``
     (sans free-text props — CSV is the wrong place for embedded JSON) and

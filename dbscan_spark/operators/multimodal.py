@@ -363,7 +363,42 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def binaryfile_source_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Raw-binary landing-zone ingestion (SURVEY §2.2 scans — the
+    ``binaryFile`` source surface): read the one-blob-per-document
+    mirror (io.documents_blob_dir) with ``spark.read.format
+    ("binaryFile")``, recover the record key from the PATH (the only
+    metadata a landing zone has), and emit per-blob size + content md5
+    — proving the binary scan reproduces the structured table's bytes.
+    The EXACT oracle recomputes both from the parquet text column
+    (length = UTF-8 octet_length, md5 over the same byte stream), so
+    the whole ingestion boundary — distributed blob write, binaryFile
+    scan, path parse — is value-hash-gated. The plan is JVM-only: path
+    regexp + md5 over the content bytes, no Python.
+
+    Found-and-pinned boundary semantics: Spark's ``binaryFile`` format
+    SILENTLY SKIPS zero-byte files (empty splits never reach the
+    reader), so a landing zone must never encode "empty record" as an
+    empty file — both sides here exclude empty payloads, and the
+    adversarial corpus's empty-text doc pins the skip."""
+    from dbscan_spark.io import documents_blob_dir, read_documents_blobs
+
+    b = read_documents_blobs(
+        spark, documents_blob_dir(spark, sf_dir)
+    )
+    return b.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
 QUERIES = {
+    "binaryfile_source_documents": binaryfile_source_documents,
     "multimodal_chunk_dedup": multimodal_chunk_dedup,
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_resize_stub": multimodal_resize_stub,
@@ -406,6 +441,17 @@ _E8 = ", ".join(
 )
 
 ORACLE = {
+    # binaryFile ingestion boundary: the blob mirror holds exactly the
+    # UTF-8 bytes of text, so size and digest recompute from the table
+    # (DuckDB md5(varchar) hashes the string's UTF-8 bytes — the same
+    # stream Spark's md5(binary) sees)
+    "binaryfile_source_documents": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
+        WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+    """,
     "multimodal_resize_stub": """
         WITH ks AS (SELECT unnest(range(0, 32)) AS k),
         base AS (SELECT doc_id, hex(encode(text)) AS hx,

@@ -328,7 +328,21 @@ def main() -> None:
         from dbscan_spark.io import clear_modal_dim_cache
 
         clear_modal_dim_cache(OUT)
+    # derived on-disk mirrors (JSON/CSV events, binary blob landing
+    # zone) are keyed by this corpus' basename and memoized by a
+    # _SUCCESS marker — purge them so regeneration can't leave a
+    # stale mirror silently certified against the new parquet
+    _purge_mirrors(OUT)
     print(f"adversarial SF written to {OUT}")
+
+
+def _purge_mirrors(sf_dir: str) -> None:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = os.path.basename(os.path.normpath(sf_dir))
+    for root in (".json_mirror", ".blob_mirror"):
+        p = os.path.join(repo_root, root, key)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
 
 
 if __name__ == "__main__":

@@ -213,6 +213,16 @@ def main() -> None:
         from dbscan_spark.io import clear_modal_dim_cache
 
         clear_modal_dim_cache(OUT)
+    # purge derived on-disk mirrors (keyed by basename, memoized via
+    # _SUCCESS) so regeneration can't leave a stale mirror behind
+    import shutil
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = os.path.basename(os.path.normpath(OUT))
+    for root in (".json_mirror", ".blob_mirror"):
+        p = os.path.join(repo_root, root, key)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
