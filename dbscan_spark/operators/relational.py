@@ -4593,11 +4593,54 @@ def events_bot_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match entity resolution — the edit-distance join
+    class (record linkage): match customer names against supplier
+    names via BLOCK-then-VERIFY, never all-pairs. Names are normalized
+    (lowercase, non-alphanumerics stripped), blocked on their trailing
+    3 characters (the stand-in for a phonetic/prefix blocking key —
+    candidates only form within a block, so the join is equi-keyed and
+    shuffle-bounded by block sizes at any scale), and candidates are
+    verified with exact Levenshtein distance ≤ 6 (JVM built-in; the
+    'customer'/'supplier' stems differ by 5 edits, so same-number and
+    near-number entities match). Output: each customer's single best
+    match (lowest distance, lowest s_suppkey tie-break).
+
+    EXACT DuckDB oracle: same normalization, blocking, levenshtein
+    (both engines implement the standard DP edit distance on these
+    ASCII keys), and best-match window."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_replace(F.lower("c_name"), "[^a-z0-9]", "").alias("cn"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.regexp_replace(F.lower("s_name"), "[^a-z0-9]", "").alias("sn"),
+    )
+    cand = cust.withColumn("blk", F.substring("cn", -3, 3)).join(
+        supp.withColumn("blk", F.substring("sn", -3, 3)), "blk"
+    )
+    verified = cand.withColumn(
+        "distance", F.levenshtein("cn", "sn").cast("long")
+    ).filter(F.col("distance") <= 6)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.asc("distance"), F.asc("s_suppkey")
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", "distance")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "er_fuzzy_name_match": er_fuzzy_name_match,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -4745,6 +4788,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "er_fuzzy_name_match": """
+        WITH c AS (SELECT c_custkey,
+                          regexp_replace(lower(c_name), '[^a-z0-9]', '',
+                                         'g') AS cn
+                   FROM customer),
+        s AS (SELECT s_suppkey,
+                     regexp_replace(lower(s_name), '[^a-z0-9]', '',
+                                    'g') AS sn
+              FROM supplier),
+        cand AS (SELECT c_custkey, s_suppkey,
+                        CAST(levenshtein(cn, sn) AS BIGINT) AS distance
+                 FROM c JOIN s ON right(cn, 3) = right(sn, 3)),
+        v AS (SELECT *, row_number() OVER (
+                  PARTITION BY c_custkey
+                  ORDER BY distance, s_suppkey) AS rn
+              FROM cand WHERE distance <= 6)
+        SELECT c_custkey, s_suppkey, distance FROM v WHERE rn = 1
+    """,
     "events_bot_suspects": """
         WITH gaps AS (
           SELECT user_id,
