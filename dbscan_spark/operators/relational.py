@@ -4635,12 +4635,61 @@ def er_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto-optimal) operator: orders not DOMINATED by
+    any other order — no order is both at-least-as-recent AND
+    at-least-as-large with one strict (the maximize-both skyline over
+    (o_orderdate, o_totalprice); ties on both dims keep both rows).
+    The multi-criteria shortlist op (best trade-offs, no weighting).
+
+    Scale shape — never the quadratic NOT-EXISTS: dominance against a
+    later-OR-EQUAL date decomposes into (a) the suffix-max price over
+    STRICTLY-later dates and (b) the max price within the SAME date.
+    Both come from one date-keyed aggregate whose output is
+    calendar-bounded (#distinct dates — ~10⁴ rows at any corpus size),
+    so the suffix-max window runs over that tiny table and the checks
+    broadcast back as a row-local filter. One corpus shuffle total.
+    NULL date/price rows are excluded (dominance is undefined on them
+    — the r8 dated-row domain-restriction convention). EXACT oracle:
+    the same decomposition in SQL, proven equal to the quadratic
+    NOT-EXISTS form on the test corpus."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    per_date = o.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("mp")
+    )
+    w = (
+        Window.orderBy(F.desc("o_orderdate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # single-task window, deliberately: the input is the per-date
+    # aggregate, bounded by the calendar — not the fact table
+    sfx = per_date.select(
+        "o_orderdate",
+        "mp",
+        F.max("mp").over(w).alias("later_max"),
+    )
+    return (
+        o.join(F.broadcast(sfx), "o_orderdate")
+        .filter(
+            ~F.coalesce(
+                F.col("later_max") >= F.col("o_totalprice"), F.lit(False)
+            )
+            & ~(F.col("mp") > F.col("o_totalprice"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
 
 QUERIES = {
     "er_fuzzy_name_match": er_fuzzy_name_match,
+    "skyline_orders": skyline_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -4805,6 +4854,25 @@ ORACLE = {
                   ORDER BY distance, s_suppkey) AS rn
               FROM cand WHERE distance <= 6)
         SELECT c_custkey, s_suppkey, distance FROM v WHERE rn = 1
+    """,
+    # skyline_orders: the calendar-bounded decomposition (suffix max
+    # over strictly-later dates + same-date max), proven equal to the
+    # quadratic NOT-EXISTS dominance form
+    "skyline_orders": """
+        WITH dd AS (SELECT * FROM orders
+                    WHERE o_orderdate IS NOT NULL
+                      AND o_totalprice IS NOT NULL),
+        pd AS (SELECT o_orderdate AS d, max(o_totalprice) AS mp
+               FROM dd GROUP BY 1),
+        sfx AS (SELECT d, mp,
+                       max(mp) OVER (ORDER BY d DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS later_max
+                FROM pd)
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM dd JOIN sfx ON dd.o_orderdate = sfx.d
+        WHERE NOT coalesce(later_max >= o_totalprice, FALSE)
+          AND NOT (mp > o_totalprice)
     """,
     "events_bot_suspects": """
         WITH gaps AS (

@@ -83,3 +83,57 @@ def test_relational_fuzz_classes_match_oracle(spark, adversarial_dir):
         got = canonicalize(qs[name](spark, adversarial_dir).toPandas())
         want = canonicalize(con.sql(oracles[name]).df())
         assert got == want, f"{name} diverges on the adversarial corpus"
+
+
+def test_skyline_orders_matches_quadratic_not_exists(spark, tmp_path):
+    """skyline_orders' calendar-bounded decomposition must equal the
+    literal quadratic NOT-EXISTS dominance definition, including
+    both-dims-tied rows (neither dominates -> both kept) and NULL
+    exclusion."""
+    import duckdb
+    import pandas as pd
+
+    from dbscan_spark.operators.relational import skyline_orders
+
+    rows = [
+        (0, "1995-01-01", 100.0),
+        (1, "1995-01-01", 100.0),   # exact tie of 0 -> both kept
+        (2, "1995-01-02", 100.0),   # dominates 0/1 (later, equal price)
+        (3, "1995-01-02", 50.0),    # dominated by 2 (same date, less)
+        (4, "1995-01-03", 99.0),    # skyline (latest, lower price ok)
+        (5, None, 999.0),           # NULL date excluded
+        (6, "1995-01-04", None),    # NULL price excluded
+    ]
+    pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [1] * len(rows),
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [r[2] for r in rows],
+            "o_orderdate": pd.to_datetime([r[1] for r in rows]).date,
+            "o_orderpriority": ["1-URGENT"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    got = sorted(
+        r["o_orderkey"]
+        for r in skyline_orders(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS FROM '{tmp_path}/orders.parquet'")
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            """
+            WITH dd AS (SELECT * FROM orders
+                        WHERE o_orderdate IS NOT NULL
+                          AND o_totalprice IS NOT NULL)
+            SELECT o_orderkey FROM dd a WHERE NOT EXISTS (
+              SELECT 1 FROM dd b
+              WHERE b.o_orderdate >= a.o_orderdate
+                AND b.o_totalprice >= a.o_totalprice
+                AND (b.o_orderdate > a.o_orderdate
+                     OR b.o_totalprice > a.o_totalprice))
+            """
+        ).fetchall()
+    )
+    assert got == want == [2, 4]

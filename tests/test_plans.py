@@ -207,6 +207,9 @@ def _single_partition_windows(plan: str) -> list[str]:
 _BOUNDED_SINGLE_WINDOWS = {
     # running max over DISTINCT retail prices (fixed TPC-H price grid)
     "skyline_pareto_parts",
+    # suffix max over the per-DATE aggregate (calendar-bounded: the
+    # window input is #distinct dates, never the fact table)
+    "skyline_orders",
     # lag/rolling over the monthly rollup (#months)
     "orders_yoy_growth",
     "orders_seasonal_decompose",
