@@ -1795,3 +1795,25 @@ def test_dedup_incremental_every_verdict(spark, tmp_path):
     assert got[34]["action"] == "ingest"
     assert got[44]["action"] == "ingest"  # batch-first occurrence keeps
     assert got[49]["action"] == "drop_batch_dup"
+
+
+def test_rewarm_pair_cache_restores_evicted_memo(spark):
+    """VERDICT r9 #3 regression pin: after a blanket clearCache()
+    sweep, the shared MinHash pair-graph memo must be re-persistable
+    via dedup.rewarm_pair_cache so a downstream consumer (bench's
+    dedup_cluster_cc) reads cached blocks instead of silently
+    recomputing the LSH pipeline inside its own timing."""
+    from pyspark import StorageLevel
+
+    from dbscan_spark.operators.dedup import (
+        _minhash_lsh_pairs_cached,
+        rewarm_pair_cache,
+    )
+
+    df = _minhash_lsh_pairs_cached(spark, SF_TINY)
+    df.count()
+    assert df.storageLevel != StorageLevel.NONE
+    spark.catalog.clearCache()
+    assert df.storageLevel == StorageLevel.NONE  # the r9 bench regime
+    rewarm_pair_cache(spark, SF_TINY)
+    assert df.storageLevel != StorageLevel.NONE  # marked AND materialized
