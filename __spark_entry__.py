@@ -184,57 +184,14 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # (The 42 expired bumps — the r8 events-ingestion class, the r9
-    # embeddings-ingestion/multimodal-byte-stream wave, and the r6-r7
-    # stragglers — were re-graded hash-green in CORRECTNESS_r09 and
-    # pruned at round-10 open; manifest re-baselined via
-    # tools/query_hashes.py --write. An expired bump is inert but the
-    # rotation-invariant test rejects it by design.)
-    #
-    # The 24 below are the r8/r9 bumps that did NOT fit the 50-slot r9
-    # cohort — their latest grades predate their current code. All were
-    # verified hash-green pre-commit via tools/driver_sim.py at
-    # sf0.01 + sf0.1 (the embedding set also at the extended adversarial
-    # corpus and sf1.0); the rotation puts them first in the r10 cohort.
-    #
-    # round 10 (VERDICT r9 #4): corpus_ccnet_buckets' per-language
-    # ntile window replaced with the paper's CDF-cutoff broadcast form
-    # (same exact oracle, no per-language full sort); verified
-    # hash-green at sf0.01 + sf0.1 + adversarial + unicode + sf1.0
-    # pre-commit, warm sf1.0/sf0.1 ratio 2.1x:
-    "corpus_ccnet_buckets": 9,
-    # events-ingestion-rule class (r8 adversarial fuzz: non-finite /
-    # NULL-ts rows excluded at ingestion via io.load_events + mechanical
-    # oracle rewrite):
-    "customers_cohort_ltv": 7,
-    "events_ab_welch_t": 7,
-    "events_cusum_alerts": 7,
-    "events_gapfill_interp": 7,
-    "events_holt_forecast": 7,
-    "events_seasonal_anomalies": 7,
-    "events_seasonality_profile": 7,
-    "json_corrupt_tolerant_read": 7,
-    "orders_seasonal_decompose": 7,
-    "orders_yoy_growth": 7,
-    "partitioned_prune_events": 7,
-    "users_feature_assembly": 7,
-    # round 9 (ADVICE r8 items 1+2): _DSIR_BUCKETS derived from
-    # _DSIR_HEX_CHARS, dup-spans oracle built from the width constant:
-    "dsir_importance_weights": 8,
-    "text_dup_spans": 8,
-    # round 9 second wave (unicode/ragged shape fuzz): the embeddings
-    # ingestion rule (io.load_embeddings + oracle twin io.EMB_CLEAN_SQL)
-    # staled every embedding-reading query's certified pair:
-    "ann_topk_bruteforce": 8,
-    "ann_topk_filtered": 8,
-    "ann_topk_ivf": 8,
-    "ann_topk_ivfpq": 8,
-    "ann_topk_lsh": 8,
-    "ann_topk_pq": 8,
-    "dedup_embedding_cosine": 8,
-    "dedup_embedding_lsh": 8,
-    "knn_label_predict": 8,
-    "similarity_range_search": 8,
+    # (Empty at round-11 open: the 25 r8/r9 bumps that rode into the
+    # r10 cohort — the events-ingestion class, the embeddings-ingestion
+    # wave, the ccnet CDF-cutoff rewrite, dsir/dup-spans oracle-constant
+    # derivations — were ALL re-graded hash-green in CORRECTNESS_r10
+    # and pruned here; manifest re-baselined via
+    # tools/query_hashes.py --write. An expired bump is inert for the
+    # rotation but the rotation-invariant test rejects it by design,
+    # so prune-at-round-open is mandatory.)
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
