@@ -192,6 +192,23 @@ _REGRADE = {
     # tools/query_hashes.py --write. An expired bump is inert for the
     # rotation but the rotation-invariant test rejects it by design,
     # so prune-at-round-open is mandatory.)
+    #
+    # round 11 (ADVICE r10): gopher bullet/ellipsis line rules now run
+    # on space-trimmed lines (both engines changed identically), and
+    # documents_blob_dir gained the local-mode guard + count-verified
+    # _SUCCESS marker (helper-closure change for the binaryFile query):
+    "corpus_gopher_rules": 10,
+    "binaryfile_source_documents": 10,
+    # round 11: _dup_spans' front half factored into the shared
+    # _dup_span_islands pipeline (now also feeding the new
+    # text_dup_span_removal) — identical dataflow, but the closure
+    # fingerprints moved:
+    "text_dup_spans": 10,
+    "text_dup_spans_w50": 10,
+    # round 11: ann_topk_ivfpq split into _ivfpq_train_encode +
+    # _ivfpq_probe (shared with the new persisted-index query) —
+    # identical dataflow, moved fingerprints:
+    "ann_topk_ivfpq": 10,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

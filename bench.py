@@ -136,6 +136,7 @@ def main() -> None:
     steal0, total0 = _cpu_ticks()
     timings: dict[str, float] = {}
     query_steal: dict[str, int] = {}
+    rewarm_sec = 0.0
     from dbscan_spark.operators.dedup import rewarm_pair_cache
 
     for name in BENCH_QUERIES:
@@ -145,8 +146,13 @@ def main() -> None:
             # the pair compute to dedup_minhash_lsh (timed above) and
             # only the CC rounds here — production materializes the
             # pair table once. VERDICT r9 #3 adjudication: the 2.79×
-            # was this silent recompute, not a cc regression.
+            # was this silent recompute, not a cc regression. The
+            # excluded wall-clock is emitted as `rewarm_sec` so the
+            # exclusion is visible and auditable in every capture
+            # (ADVICE r10).
+            rw0 = time.perf_counter()
             rewarm_pair_cache(spark, SF_DIR)
+            rewarm_sec = round(time.perf_counter() - rw0, 3)
         qs0, _ = _cpu_ticks()
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -164,20 +170,33 @@ def main() -> None:
     steal1, total1 = _cpu_ticks()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "steal_ticks": steal1 - steal0,
-                "cpu_ticks": total1 - total0,
-                "query_steal_ticks": query_steal,
-            }
-        )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "steal_ticks": steal1 - steal0,
+        "cpu_ticks": total1 - total0,
+        "query_steal_ticks": query_steal,
+        "rewarm_sec": rewarm_sec,
+    }
+    line = json.dumps(summary)
+    # The stdout line is the driver contract, but a truncated pipe
+    # capture lost the round-10 headline total entirely (VERDICT r10
+    # #2). Persist the same line atomically beside the repo so the
+    # total survives any stdout mishap: write to a temp file in the
+    # same directory, fsync, then rename (rename is atomic on POSIX).
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
     )
+    tmp_path = out_path + ".tmp"
+    with open(tmp_path, "w") as fh:
+        fh.write(line + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp_path, out_path)
+    print(line)
     spark.stop()
 
 

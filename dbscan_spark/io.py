@@ -227,12 +227,29 @@ def documents_blob_dir(spark: SparkSession, sf_dir: str) -> str:
     populated executor-side. One-file-per-record is deliberately the
     ingestion-boundary shape only: everything downstream converts to
     blob COLUMNS in parquet (the multimodal table idiom) precisely
-    because millions of small files are the storage anti-pattern."""
+    because millions of small files are the storage anti-pattern.
+
+    Shared-filesystem constraint (ADVICE r10): the executor tasks open
+    ``out`` with plain ``open()``, so driver and executors MUST share
+    the filesystem — true in local mode, NOT on a real cluster (there
+    the landing zone is an object-store prefix and each task writes
+    through the store's client, with the store's own listing as the
+    completeness check). Enforced two ways: a ``local`` master
+    assertion, and the ``_SUCCESS`` marker is written ONLY after the
+    on-disk ``.bin`` count matches the source row count — a partial
+    mirror can never be silently certified complete."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(repo_root, ".blob_mirror", key, "documents")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
+        master = spark.sparkContext.master
+        if not master.startswith("local"):
+            raise RuntimeError(
+                "documents_blob_dir writes executor-side via open() and "
+                "is local-mode-only; on a cluster, land blobs in an "
+                f"object store instead (master={master})"
+            )
         os.makedirs(out, exist_ok=True)
 
         def write_part(rows) -> None:
@@ -242,12 +259,21 @@ def documents_blob_dir(spark: SparkSession, sf_dir: str) -> str:
                 ) as fh:
                     fh.write(r["text"].encode("utf-8"))
 
-        (
+        src = (
             load_table(spark, sf_dir, "documents")
             .filter(F.col("text").isNotNull())
             .select("doc_id", "text")
-            .foreachPartition(write_part)
         )
+        src.foreachPartition(write_part)
+        expected = src.count()
+        written = sum(
+            1 for name in os.listdir(out) if name.endswith(".bin")
+        )
+        if written != expected:
+            raise RuntimeError(
+                f"blob mirror incomplete: {written} files for "
+                f"{expected} source rows — not writing _SUCCESS"
+            )
         with open(marker, "w"):
             pass
     return out

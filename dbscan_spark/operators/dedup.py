@@ -808,6 +808,149 @@ def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_paragraph_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paragraph-granularity NEAR-dedup — the production stage after
+    :func:`corpus_paragraph_dedup`'s exact pass (Wenzek et al. 2020
+    §3.1 dedups exact paragraph hashes; Lee et al. 2022 shows the
+    templated near-misses that survive it — boilerplate differing by a
+    counter, a date, one link). Unit of work is the DISTINCT normalized
+    paragraph (exact repeats already collapse to one node keyed by
+    md5), represented by its globally first occurrence (min (doc_id,
+    pos)); near-dup paragraph pairs are found with the repo's banded
+    MinHash-LSH machinery (32 bands × 2 rows over 64 permutations of
+    xxhash64'd 3-gram token shingles) and every candidate is verified
+    with EXACT shingle-set Jaccard ≥ 0.8 — output precision is exact by
+    construction, and CI pins band recall = 1 vs the quadratic baseline
+    at grading SF, so the ground-truth SQL below hash-gates the full
+    output (the dedup_minhash_lsh discipline, one level down).
+
+    Scale shape: paragraph split/normalize/hash are row-local inside
+    the scan; collapsing to distinct paragraphs is one md5-keyed
+    aggregate (the same key the exact pass shuffles on — boilerplate
+    that repeats 10⁶× becomes ONE signature computation, which is why
+    this stage runs after the exact pass); signatures are one
+    paragraph-keyed partial-agg shuffle of 64 longs; the band join is
+    equi-keyed on (band, band-hash); verification joins the compact
+    (paragraph, shingle-array) table candidate-pairs-only. Never an
+    all-pairs scan, never a corpus window. Paragraphs with fewer than
+    3 tokens produce no shingles and are excluded on both engines
+    (too short for trigram evidence — document-level containment
+    covers sub-shingle fragments).
+
+    Output: one row per verified pair, oriented p_hash_1 < p_hash_2,
+    each side carrying its representative first occurrence."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    paras = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn("np", norm_text(F.col("para")))
+        .filter(F.length("np") > 0)
+        .select(F.md5("np").alias("ph"), "doc_id", "pos", "np")
+    )
+    units = paras.groupBy("ph").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.min("np").alias("np"),
+    )
+    # staged projections (the _doc_shingle_hashes rationale: keep the
+    # multiply-referenced token array in its own projection so the
+    # split runs once per row, not once per slice reference)
+    hs = (
+        units.select("ph", F.split("np", " ").alias("t"))
+        .select("ph", shingles(F.col("t"), 3).alias("sh"))
+        .select(
+            "ph",
+            F.array_distinct(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+        .persist()
+    )
+    sigs = hs.select("ph", F.explode("hs").alias("s")).groupBy("ph").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"m{j}")
+            for j in range(_MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    bands = sigs.select(
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"m{i * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for i in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("ph", "b.band", "b.bh")
+    x, y = bands.alias("x"), bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.ph") < F.col("y.ph")),
+        )
+        .select(F.col("x.ph").alias("ph1"), F.col("y.ph").alias("ph2"))
+        .distinct()
+    )
+    h1 = hs.select(F.col("ph").alias("ph1"), F.col("hs").alias("hs1"))
+    h2 = hs.select(F.col("ph").alias("ph2"), F.col("hs").alias("hs2"))
+    c = F.size(F.array_intersect("hs1", "hs2"))
+    jac = (
+        F.floor(
+            c / (F.size("hs1") + F.size("hs2") - c) * 10000 + F.lit(0.5)
+        )
+        / 10000
+    )
+    pairs = (
+        candidates.join(h1, "ph1")
+        .join(h2, "ph2")
+        .select("ph1", "ph2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    r1 = units.select(
+        F.col("ph").alias("ph1"),
+        F.col("first.doc_id").alias("doc_1"),
+        F.col("first.pos").cast("long").alias("pos_1"),
+    )
+    r2 = units.select(
+        F.col("ph").alias("ph2"),
+        F.col("first.doc_id").alias("doc_2"),
+        F.col("first.pos").cast("long").alias("pos_2"),
+    )
+    return (
+        pairs.join(r1, "ph1")
+        .join(r2, "ph2")
+        .select(
+            F.col("ph1").alias("p_hash_1"),
+            F.col("ph2").alias("p_hash_2"),
+            "doc_1",
+            "pos_1",
+            "doc_2",
+            "pos_2",
+            "jaccard",
+        )
+    )
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup — the shape a production pipeline
     runs on every new crawl batch: dedup the INCOMING slice against the
@@ -1113,6 +1256,7 @@ QUERIES = {
     "dedup_semdedup": dedup_semdedup,
     "corpus_split_leakage": corpus_split_leakage,
     "corpus_paragraph_dedup": corpus_paragraph_dedup,
+    "corpus_paragraph_neardup": corpus_paragraph_neardup,
     "dedup_incremental": dedup_incremental,
 }
 
@@ -1264,6 +1408,55 @@ ORACLE = {
                a.residual_hash
         FROM documents d LEFT JOIN agg a USING (doc_id)
         WHERE d.text IS NOT NULL
+    """,
+    # corpus_paragraph_neardup: like dedup_minhash_lsh, the emitted
+    # pairs are exact-Jaccard-verified (precision exact by
+    # construction) and CI pins band recall = 1 vs this quadratic
+    # ground truth at grading SF — so the all-pairs SQL over DISTINCT
+    # normalized paragraphs hash-gates the full output.
+    "corpus_paragraph_neardup": f"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts
+          FROM documents WHERE text IS NOT NULL),
+        pos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(parts))) AS BIGINT) AS pos,
+                 unnest(parts) AS p
+          FROM base),
+        nz AS (
+          SELECT doc_id, pos,
+                 trim(regexp_replace(regexp_replace(lower(p),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS np
+          FROM pos),
+        ranked AS (
+          SELECT md5(np) AS ph, doc_id, pos, np,
+                 row_number() OVER (PARTITION BY md5(np)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM nz WHERE length(np) > 0),
+        units AS (SELECT ph, doc_id, pos, np FROM ranked WHERE rn = 1),
+        toks AS (SELECT ph, string_split(np, ' ') AS t FROM units),
+        sh AS (SELECT DISTINCT ph, unnest({_SQL_SHINGLES}) AS s FROM toks),
+        cnt AS (SELECT ph, count(*) AS n FROM sh GROUP BY ph),
+        common AS (
+            SELECT a.ph AS ph1, b.ph AS ph2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.ph < b.ph
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT ph1, ph2,
+                   floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
+                     AS jaccard
+            FROM common
+            JOIN cnt x ON ph1 = x.ph
+            JOIN cnt y ON ph2 = y.ph
+            WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
+                  >= {JACCARD_THRESHOLD})
+        SELECT ph1 AS p_hash_1, ph2 AS p_hash_2,
+               u1.doc_id AS doc_1, u1.pos AS pos_1,
+               u2.doc_id AS doc_2, u2.pos AS pos_2,
+               jaccard
+        FROM pairs
+        JOIN units u1 ON ph1 = u1.ph
+        JOIN units u2 ON ph2 = u2.ph
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,

@@ -1700,7 +1700,12 @@ def text_dup_spans_w50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dup_spans(spark, sf_dir, 50)
 
 
-def _dup_spans(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
+def _dup_span_islands(spark: SparkSession, sf_dir: str, width: int):
+    """Shared front half of the duplicated-span family (extents AND
+    removal): tokenize, gram-hash, find corpus-duplicated grams, and
+    merge overlapping/touching hits into islands. Returns
+    ``(docs, base, islands)`` where docs = (doc_id, toks),
+    base = (doc_id, n_tokens), islands = (doc_id, pos, island)."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents").filter(
@@ -1745,6 +1750,11 @@ def _dup_spans(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
     islands = hits.select(
         "doc_id", "pos", F.sum(new_island).over(w).alias("island")
     )
+    return docs, base, islands
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
+    docs, base, islands = _dup_span_islands(spark, sf_dir, width)
     stats = (
         islands.groupBy("doc_id", "island")
         .agg(
@@ -1777,6 +1787,80 @@ def _dup_spans(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
     )
 
 
+def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL — the rewrite half of Lee et al. 2022
+    (the paper *removes* the duplicated substrings; ``text_dup_spans``
+    only reports their extents): drop every token covered by a merged
+    duplicated-span island and emit the residual document — kept/
+    removed token counts plus the md5 of the kept token stream
+    (original order, space-joined) so the rewrite itself is hash-gated,
+    the ``corpus_c4_filters`` packaging. Removal operates in the
+    repo's normalized token space (the same stream the gram extents
+    are computed over — extents and rewrite cannot disagree about
+    positions); a doc whose every token is covered keeps its row with
+    a NULL residual hash.
+
+    Scale shape: the front half is the shared ``_dup_span_islands``
+    pipeline (row-local gram hashing, ONE gram-keyed count aggregate,
+    per-doc bounded island windows). New here: islands collapse to
+    per-doc INTERVAL ARRAYS (one doc_id-keyed aggregate, output
+    bounded by spans-per-doc, tiny), which join back to the token
+    table co-keyed on doc_id; the rewrite is then a row-local
+    filter-with-index against the bounded interval array — the corpus
+    is never exploded per token and never globally sorted. EXACT
+    DuckDB oracle: same islands replay, per-token coverage via an
+    interval join, residual via ordered string_agg."""
+    width = _DUP_SPAN_L
+    docs, base, islands = _dup_span_islands(spark, sf_dir, width)
+    intervals = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("s"),
+            (F.max("pos") + (width - 1)).cast("long").alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp")
+        )
+    )
+    joined = docs.join(intervals, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            "sp", F.array().cast("array<struct<s:long,e:long>>")
+        ).alias("sp"),
+    )
+    kept = F.filter(
+        F.transform(
+            "toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda x: ~F.exists(
+            "sp", lambda s: (x["i"] >= s["s"]) & (x["i"] <= s["e"])
+        ),
+    )
+    out = joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        kept.alias("kept"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("long").alias("n_kept_tokens"),
+        (F.col("n_tokens") - F.size("kept"))
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.when(
+            F.size("kept") > 0,
+            F.md5(
+                F.array_join(
+                    F.transform("kept", lambda x: x["t"]), " "
+                )
+            ),
+        ).alias("residual_md5"),
+    )
+    return out
+
+
 #: the paper's 8-word English stop list (Rae et al. 2021 Table A1) —
 #: a doc must contain ≥2 DISTINCT of these to pass the stop-word rule
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -1795,7 +1879,9 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     are newline splits with whitespace-only lines excluded from the
     line-fraction denominators (both-empty ⇒ the line rules pass
     vacuously, and zero words fails the word rules explicitly — no
-    NULL booleans).
+    NULL booleans). The bullet-initial / ellipsis-final checks apply
+    to space-trimmed lines (since r11, ADVICE r10 — indented bullets
+    and trailing-space ellipses count).
 
     Entirely JVM-side higher-order functions over one corpus scan — no
     shuffle at all: every rule is a row-local projection, so the plan
@@ -1829,16 +1915,24 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text")
         - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
     ) / 3
+    # Bullet/ellipsis checks run on space-TRIMMED lines (ADVICE r10):
+    # ' - bullet' and 'text... ' count toward their fractions, per the
+    # Table A1 intent (a crawl line's indentation is presentation, not
+    # content). Spark trim and DuckDB trim both strip ASCII spaces
+    # only, so the two engines see identical trimmed lines.
     n_bullet = F.size(
         F.filter(
             "ls",
-            lambda line: F.substring(line, 1, 1).isin("•", "-", "*"),
+            lambda line: F.substring(F.trim(line), 1, 1).isin(
+                "•", "-", "*"
+            ),
         )
     )
     n_elline = F.size(
         F.filter(
             "ls",
-            lambda line: line.endswith("...") | line.endswith("…"),
+            lambda line: F.trim(line).endswith("...")
+            | F.trim(line).endswith("…"),
         )
     )
     n_stop = F.size(
@@ -2150,6 +2244,7 @@ QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "text_dup_spans": text_dup_spans,
     "text_dup_spans_w50": text_dup_spans_w50,
+    "text_dup_span_removal": text_dup_span_removal,
     "corpus_lang_temperature": corpus_lang_temperature,
 }
 
@@ -2211,6 +2306,76 @@ def _dup_spans_oracle(width: int) -> str:
                      * 10000 + 0.5) / 10000 AS dup_coverage
         FROM base b LEFT JOIN stats s USING (doc_id)
     """
+
+def _dup_span_removal_oracle(width: int) -> str:
+    """DuckDB replay of ``text_dup_span_removal``: the
+    ``_dup_spans_oracle`` island pipeline, then per-token coverage via
+    an interval join and the residual via ordered string_agg. Built
+    from ``width`` — single source of truth with the Spark side."""
+    gram = " || ' ' || ".join(f"toks[i + {k}]" for k in range(width))
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL),
+        base AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 list_transform(
+                     range(1, greatest(len(toks) - {width - 1}, 0) + 1),
+                     i -> {gram}) AS grams
+          FROM docs),
+        pos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos,
+                 unnest(list_transform(grams, g ->
+                     CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)))
+                   AS gh
+          FROM base),
+        dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+        hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gh)),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN max(pos + {width - 1}) OVER w_prev IS NULL
+                        OR pos > max(pos + {width - 1}) OVER w_prev + 1
+                      THEN 1 ELSE 0 END AS new_island
+          FROM hits
+          WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+          FROM flagged),
+        sp AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + {width - 1} AS e
+          FROM isl GROUP BY doc_id, island),
+        tok_pos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(toks))) AS BIGINT) AS i,
+                 unnest(toks) AS t
+          FROM base),
+        cov AS (
+          SELECT DISTINCT tp.doc_id, tp.i
+          FROM tok_pos tp
+          JOIN sp ON tp.doc_id = sp.doc_id
+                 AND tp.i BETWEEN sp.s AND sp.e),
+        kept AS (
+          SELECT tp.doc_id, tp.i, tp.t
+          FROM tok_pos tp
+          LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+          WHERE cov.i IS NULL),
+        res AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 md5(string_agg(t, ' ' ORDER BY i)) AS residual_md5
+          FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+               CAST(b.n_tokens - coalesce(r.n_kept, 0) AS BIGINT)
+                 AS n_removed_tokens,
+               r.residual_md5
+        FROM base b LEFT JOIN res r USING (doc_id)
+    """
+
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
 _SQL_EN_LIST = ", ".join(
@@ -2416,10 +2581,10 @@ ORACLE = {
                  length(text) - length(replace(text, '#', '')) AS n_hash,
                  (length(text) - length(replace(text, '...', ''))) / 3
                    AS n_ellsym,
-                 len(list_filter(ls, l -> substring(l, 1, 1)
+                 len(list_filter(ls, l -> substring(trim(l), 1, 1)
                      IN ('•', '-', '*'))) AS n_bullet,
-                 len(list_filter(ls, l -> l LIKE '%...'
-                     OR l LIKE '%…')) AS n_elline,
+                 len(list_filter(ls, l -> trim(l) LIKE '%...'
+                     OR trim(l) LIKE '%…')) AS n_elline,
                  len(list_intersect(
                      list_distinct(list_transform(ws, w -> lower(w))),
                      [{", ".join("'" + s + "'" for s in _GOPHER_STOPWORDS)}]))
@@ -2971,6 +3136,7 @@ ORACLE = {
     """,
     "text_dup_spans": _dup_spans_oracle(_DUP_SPAN_L),
     "text_dup_spans_w50": _dup_spans_oracle(50),
+    "text_dup_span_removal": _dup_span_removal_oracle(_DUP_SPAN_L),
     "text_winnow_fingerprints": f"""
         WITH docs AS (
           SELECT doc_id, {_SQL_TOKS} AS toks

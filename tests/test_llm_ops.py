@@ -45,6 +45,86 @@ def test_minhash_lsh_recall_pin_at_grading_sf(spark):
     )
 
 
+def test_paragraph_neardup_crafted_fixture(spark, tmp_path):
+    """corpus_paragraph_neardup on a purpose-built corpus: a one-token
+    tail edit of a 20-token paragraph (jaccard 17/19 = 0.8947) pairs;
+    an exact repeat collapses to one unit (stage 1's job — no pair); a
+    sub-shingle paragraph and an unrelated one emit nothing."""
+    import hashlib
+
+    import pandas as pd
+
+    from dbscan_spark.operators.dedup import corpus_paragraph_neardup
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra").split()
+    para_a = " ".join(words + ["tango"])
+    para_b = " ".join(words + ["zulu"])  # last token swapped
+    docs = [
+        (0, para_a + "\nshort one"),          # <3 tokens: no shingles
+        (1, para_a + "\n" + para_b),          # exact repeat + near-dup
+        (2, "completely different text about nothing shared at all "
+            "with the other paragraphs in this corpus fixture row"),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = corpus_paragraph_neardup(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    md = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    ha, hb = md(para_a), md(para_b)
+    rep = {ha: (0, 0), hb: (1, 1)}  # first occurrences
+    h1, h2 = min(ha, hb), max(ha, hb)
+    assert (r["p_hash_1"], r["p_hash_2"]) == (h1, h2)
+    assert (r["doc_1"], r["pos_1"]) == rep[h1]
+    assert (r["doc_2"], r["pos_2"]) == rep[h2]
+    assert r["jaccard"] == pytest.approx(0.8947)
+
+
+def test_paragraph_neardup_recall_pin_at_grading_sf(spark):
+    """corpus_paragraph_neardup carries an EXACT DuckDB oracle (the
+    quadratic all-pairs SQL over distinct normalized paragraphs) —
+    sound only while banded recall is empirically 100% at the SF the
+    driver grades. Same discipline as the dedup_minhash_lsh pin; miss
+    prob per pair at j=0.8 is (1-j²)³² ≈ 2e-6."""
+    import duckdb
+
+    from dbscan_spark.operators.dedup import (
+        ORACLE,
+        corpus_paragraph_neardup,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"FROM '{SF_SMALL}/documents.parquet'"
+    )
+    truth = {
+        (r[0], r[1])
+        for r in con.sql(
+            ORACLE["corpus_paragraph_neardup"]
+        ).fetchall()
+    }
+    got = {
+        (r["p_hash_1"], r["p_hash_2"])
+        for r in corpus_paragraph_neardup(spark, SF_SMALL).collect()
+    }
+    assert got <= truth, "verified pairs must be a ground-truth subset"
+    assert truth, "grading corpus produced no near-dup paragraphs"
+    assert got == truth, (
+        f"banding missed {len(truth - got)} of {len(truth)} paragraph "
+        "pairs at the grading SF — the exact-oracle claim no longer holds"
+    )
+
+
 def test_embedding_lsh_subset_and_recall(spark):
     """The LSH-bucketed near-dup path must emit a verified subset of the
     exact all-pairs baseline; worst-case per-pair catch probability at the
@@ -55,6 +135,37 @@ def test_embedding_lsh_subset_and_recall(spark):
     assert lsh <= exact
     assert exact, "baseline found no pairs — fixture drifted"
     assert len(lsh) / len(exact) >= 0.6, (len(lsh), len(exact))
+
+
+def test_ivfpq_persisted_index_parity(spark, tmp_path):
+    """write_ivfpq_index → read_ivfpq_index → probe must return exactly
+    the fresh in-session ann_topk_ivfpq result (deterministic training)
+    — the claim that lets ann_topk_ivfpq_persisted share the exact
+    train-replay oracle. Also: a dir without the completeness marker
+    must refuse to load (a partial index can never be probed)."""
+    from dbscan_spark.operators import similarity as sim
+
+    key = lambda r: (  # noqa: E731
+        r["query_id"],
+        r["rnk"],
+        r["neighbor_id"],
+        r["cos_sim"],
+    )
+    fresh = {key(r) for r in sim.ann_topk_ivfpq(spark, SF_TINY).collect()}
+    with pytest.raises(FileNotFoundError):
+        sim.read_ivfpq_index(spark, str(tmp_path))
+    sim.write_ivfpq_index(spark, SF_TINY, str(tmp_path))
+    cent, books, assigns = sim.read_ivfpq_index(spark, str(tmp_path))
+    e = sim._embeddings_with_norms(spark, SF_TINY)
+    corpus = assigns.join(e, "vec_id").select(
+        "vec_id", "v", "nv", "cell", "codes"
+    )
+    persisted = {
+        key(r)
+        for r in sim._ivfpq_probe(spark, e, cent, books, corpus).collect()
+    }
+    assert persisted == fresh
+    assert fresh, "ivfpq returned no rows — fixture drifted"
 
 
 def test_pair_cosine_matches_jvm_fold(spark):
@@ -1357,6 +1468,60 @@ def test_dup_spans_merge_intervals(spark, tmp_path):
     assert got == want, f"\ngot:  {got}\nwant: {want}"
 
 
+def test_dup_span_removal_residuals(spark, tmp_path):
+    """text_dup_span_removal on a crafted overlapping/touching-spans
+    corpus: two ADJACENT shared runs inside one doc merge into a single
+    island and their 14 tokens are removed exactly once; a fully
+    duplicated doc pair rewrites to NULL; a clean doc keeps everything
+    — each residual md5 pinned to the hand-computed kept stream."""
+    import hashlib
+
+    import pandas as pd
+
+    from dbscan_spark.operators import text as text_ops
+
+    md = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    run_a = "aone atwo athree afour afive asix aseven"
+    run_b = "bone btwo bthree bfour bfive bsix bseven"
+    texts = [
+        f"pre1 pre2 {run_a} {run_b} post1",     # 0: A[2,8] B[9,15] merge
+        f"foo1 foo2 foo3 {run_a} bar9",          # 1: A only
+        f"baz1 baz2 {run_b} qux7 qux8",          # 2: B only
+        "d w1 w2 w3 w4 w5 w6 w7 w8 w9",          # 3: dup of 4 — all gone
+        "d w1 w2 w3 w4 w5 w6 w7 w8 w9",          # 4
+        "clean doc with nothing shared here",    # 5: untouched
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_kept_tokens"],
+            r["n_removed_tokens"],
+            r["residual_md5"],
+        )
+        for r in text_ops.text_dup_span_removal(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = {
+        0: (17, 3, 14, md("pre1 pre2 post1")),
+        1: (11, 4, 7, md("foo1 foo2 foo3 bar9")),
+        2: (11, 4, 7, md("baz1 baz2 qux7 qux8")),
+        3: (10, 0, 10, None),
+        4: (10, 0, 10, None),
+        5: (6, 6, 0, md("clean doc with nothing shared here")),
+    }
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
 def test_dup_spans_width_invariance(spark, tmp_path):
     """text_dup_spans_w50 is the same plan at the published width: a
     60-token doc duplicated verbatim is one full-cover island at BOTH
@@ -1596,6 +1761,10 @@ def test_gopher_rules_each_rule_fires(spark, tmp_path):
         (6, " ".join(["123"] * 60) + " the of"),        # low alpha
         (7, " ".join(["word"] * 60)),                   # no stopwords
         (8, ""),                                         # degenerate
+        # trimmed-line semantics (ADVICE r10): indented bullets and
+        # trailing-space ellipses count toward the line fractions
+        (9, "\n".join("  - indented bullet the of" for _ in range(10))),
+        (10, "\n".join("line the of trailing...  " for _ in range(10))),
     ]
     pd.DataFrame(
         {
@@ -1622,6 +1791,10 @@ def test_gopher_rules_each_rule_fires(spark, tmp_path):
     # vacuous line rules pass on the no-lines doc; word rules fail hard
     assert got[8]["r_bullet_lines"] is True
     assert got[8]["r_mean_word_len"] is False
+    # trimmed-line semantics: leading spaces / trailing spaces don't
+    # hide a bullet-initial or ellipsis-final line (ADVICE r10)
+    assert got[9]["r_bullet_lines"] is False
+    assert got[10]["r_ellipsis_lines"] is False
 
 
 def test_ann_pq_deep_scales_depth_and_recall(spark):
