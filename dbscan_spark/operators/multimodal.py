@@ -1,14 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(clearly marked), but the Spark-side plumbing is real and tested: binary
-columns, metadata structs, Arrow-batched ``mapInPandas`` feature
-extraction with a stable output schema, and partition-size control.
+The container has no compressed-image/audio codec libraries, but the
+*decode* step is real for the netpbm raster family since r11:
+:func:`decode_image` is a full binary PPM/PGM parser (pure numpy), and
+``multimodal_ppm_decode`` grades it end-to-end on real pixel payloads.
+JPEG/PNG/audio still need an external codec — swap the one decode
+boundary in prod. The Spark-side plumbing is real and tested
+throughout: binary columns, metadata structs, Arrow-batched
+``mapInPandas`` feature extraction with a stable output schema, and
+partition-size control.
 
 In production the blob column comes from `spark.read.format("binaryFile")`
-or a parquet column of encoded bytes; here we derive a deterministic blob
-from documents.text so the pipeline is runnable and oracle-checkable on
-the metadata path.
+or a parquet column of encoded bytes; here we derive deterministic blobs
+from documents.text so the pipeline is runnable and oracle-checkable.
 """
 
 from __future__ import annotations
@@ -25,12 +29,55 @@ from dbscan_spark.io import load_table
 
 
 def decode_image(blob: bytes) -> "np.ndarray":
-    """STUB: real image decode (PIL/libjpeg) is unavailable in this
-    container. The Spark plumbing around it (schema, batching, partition
-    shape) is real; swap this function for an actual decoder in prod."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "use _fake_decode for deterministic testing"
+    """Pure-numpy raster decoder for binary PPM (P6, RGB) and PGM (P5,
+    grayscale) — netpbm, the classic trivial container format. Returns
+    uint8 pixels shaped (h, w, 3) for P6 or (h, w) for P5.
+
+    Real parser, not a stub (r11; the NotImplementedError here was the
+    repo's last one): handles '#' comments and arbitrary whitespace in
+    the header per the netpbm spec, validates maxval ≤ 255 and payload
+    size. Compressed formats (JPEG/PNG) still need a codec library —
+    swap this function in prod; every consumer goes through this one
+    boundary."""
+    if len(blob) < 2 or blob[:1] != b"P" or blob[1:2] not in b"56":
+        raise ValueError(
+            f"not a binary netpbm payload (magic {blob[:2]!r}); "
+            "only P5/P6 are decodable without a codec library"
+        )
+    channels = 3 if blob[1:2] == b"6" else 1
+    # header = magic + 3 ints (w, h, maxval) separated by whitespace,
+    # with '#' comments running to end-of-line; ONE whitespace byte
+    # after maxval, then raw pixel bytes
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(blob):
+            raise ValueError("truncated netpbm header")
+        c = blob[pos : pos + 1]
+        if c == b"#":
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(blob) and blob[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(blob[start:pos]))
+        else:
+            raise ValueError(f"bad netpbm header byte {c!r}")
+    w, h, maxval = fields
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported maxval {maxval} (need 1..255)")
+    pos += 1  # the single whitespace after maxval
+    need = w * h * channels
+    avail = len(blob) - pos
+    if avail < need:
+        raise ValueError(
+            f"payload holds {avail} pixel bytes, header needs {need}"
+        )
+    pixels = np.frombuffer(blob, dtype=np.uint8, count=need, offset=pos)
+    return (
+        pixels.reshape(h, w, 3) if channels == 3 else pixels.reshape(h, w)
     )
 
 
@@ -307,6 +354,90 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPM_W = 16  # fixed thumbnail width of the deterministic P6 payloads
+
+
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through a REAL container format — the decode
+    quarter of the multimodal quartet running on actual pixels instead
+    of the raw byte stream (VERDICT r10 #5; :func:`decode_image` is a
+    full binary-PPM/PGM parser since r11). Each document becomes a
+    deterministic P6 image built ENTIRELY JVM-SIDE (header + UTF-8 text
+    bytes as RGB pixels, zero-padded to a 16-pixel-wide raster —
+    ``unhex(repeat('00', pad))`` is the padding trick), so the corpus
+    needs no regeneration and the payload bytes are engine-exact. The
+    Arrow-batched decoder then parses the header, validates geometry,
+    and reduces the pixel array to parsed width/height, per-CHANNEL
+    integer sums and the overall mean — a mis-parse (wrong header skip,
+    wrong shape) shifts the R/G/B channel assignment and diverges, so
+    the parser itself is hash-gated.
+
+    Scale shape: blob construction is a row-local JVM projection;
+    decode + stats are one Arrow-batched ``mapInPandas`` with no
+    shuffle at all. EXACT DuckDB oracle: rebuilds the same geometry
+    arithmetic and channel sums from ``hex(encode(text))`` (byte i
+    belongs to channel i mod 3; padding zeros change no sum)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n = F.length(F.encode(F.col("text"), "UTF-8"))
+    h = F.greatest(F.lit(1), F.ceil(n / F.lit(3.0 * _PPM_W))).cast("int")
+    pad = (h * (3 * _PPM_W) - n).cast("int")
+    header = F.concat_ws(
+        "",
+        F.lit(f"P6\n{_PPM_W} "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    blob = F.concat(
+        F.encode(header, "UTF-8"),
+        F.encode(F.col("text"), "UTF-8"),
+        F.unhex(F.repeat(F.lit("00"), pad)),
+    )
+    src = d.select(
+        "doc_id", n.cast("long").alias("n_text_bytes"), blob.alias("blob")
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_pad": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+                "mean_all": [],
+            }
+            for doc_id, ntb, b in zip(
+                pdf["doc_id"], pdf["n_text_bytes"], pdf["blob"]
+            ):
+                img = decode_image(bytes(b))
+                hh, ww, _ = img.shape
+                ch = img.reshape(-1, 3).astype(np.int64).sum(0)
+                total = int(ch.sum())
+                out["doc_id"].append(doc_id)
+                out["width"].append(ww)
+                out["height"].append(hh)
+                out["n_pad"].append(hh * ww * 3 - int(ntb))
+                out["sum_r"].append(int(ch[0]))
+                out["sum_g"].append(int(ch[1]))
+                out["sum_b"].append(int(ch[2]))
+                # floor-half-up at 1e-4 (pure IEEE, same as the oracle)
+                out["mean_all"].append(
+                    float(np.floor(total / (hh * ww * 3) * 10000 + 0.5))
+                    / 10000
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        dec,
+        "doc_id long, width long, height long, n_pad long, "
+        "sum_r long, sum_g long, sum_b long, mean_all double",
+    )
+
+
 def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-planning rollup over the binary payloads: 128-byte size
     buckets with per-bucket counts and byte totals — what capacity
@@ -398,6 +529,7 @@ def binaryfile_source_documents(
 
 
 QUERIES = {
+    "multimodal_ppm_decode": multimodal_ppm_decode,
     "binaryfile_source_documents": binaryfile_source_documents,
     "multimodal_chunk_dedup": multimodal_chunk_dedup,
     "multimodal_blob_meta": multimodal_blob_meta,
@@ -441,6 +573,48 @@ _E8 = ", ".join(
 )
 
 ORACLE = {
+    # multimodal_ppm_decode: the P6 payload is header + UTF-8 text
+    # bytes + zero padding, so parsed geometry and channel sums rebuild
+    # from the text byte stream alone — byte i (0-based) is channel
+    # i mod 3, padding contributes nothing, and the mean divides by the
+    # full raster size h*W*3.
+    "multimodal_ppm_decode": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 greatest(1, CAST(ceil(octet_length(encode(text))
+                                       / {3 * _PPM_W}.0) AS BIGINT)) AS h,
+                 hex(encode(text)) AS hx
+          FROM documents WHERE text IS NOT NULL),
+        by AS (
+          SELECT doc_id,
+                 unnest(range(1, n + 1)) AS i,
+                 unnest(list_transform(range(1, n + 1),
+                     i -> CAST(('0x' || substring(hx, (i - 1) * 2 + 1, 2))
+                               AS INTEGER))) AS byte
+          FROM m),
+        s AS (
+          SELECT doc_id,
+                 sum(CASE WHEN (i - 1) % 3 = 0 THEN byte ELSE 0 END)
+                   AS sum_r,
+                 sum(CASE WHEN (i - 1) % 3 = 1 THEN byte ELSE 0 END)
+                   AS sum_g,
+                 sum(CASE WHEN (i - 1) % 3 = 2 THEN byte ELSE 0 END)
+                   AS sum_b,
+                 sum(byte) AS total
+          FROM by GROUP BY doc_id)
+        SELECT m.doc_id,
+               CAST({_PPM_W} AS BIGINT) AS width,
+               CAST(m.h AS BIGINT) AS height,
+               CAST(m.h * {3 * _PPM_W} - m.n AS BIGINT) AS n_pad,
+               CAST(coalesce(s.sum_r, 0) AS BIGINT) AS sum_r,
+               CAST(coalesce(s.sum_g, 0) AS BIGINT) AS sum_g,
+               CAST(coalesce(s.sum_b, 0) AS BIGINT) AS sum_b,
+               floor(coalesce(s.total, 0)
+                     / (m.h * {3 * _PPM_W}.0) * 10000 + 0.5) / 10000
+                 AS mean_all
+        FROM m LEFT JOIN s USING (doc_id)
+    """,
     # binaryFile ingestion boundary: the blob mirror holds exactly the
     # UTF-8 bytes of text, so size and digest recompute from the table
     # (DuckDB md5(varchar) hashes the string's UTF-8 bytes — the same

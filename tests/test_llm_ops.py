@@ -369,9 +369,32 @@ def test_multimodal_frame_sample_matches_numpy(spark):
             assert max(f["frame_idx"] for f in frames) >= n_frames // 2
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff")
+def test_decode_image_ppm_pgm():
+    """decode_image is a real netpbm parser since r11: P6/P5 payloads
+    with comments and ragged header whitespace decode to the exact
+    pixel grid; non-netpbm magic, oversized maxval, and truncated
+    payloads are rejected."""
+    import numpy as np
+
+    px = bytes(range(2 * 3 * 3))  # 3x2 RGB
+    img = multimodal.decode_image(b"P6\n# a comment\n 3  2\n255\n" + px)
+    assert img.shape == (2, 3, 3)
+    assert img.tobytes() == px
+    gray = bytes(range(12))  # 4x3 grayscale
+    g = multimodal.decode_image(b"P5 4 3 255 " + gray)
+    assert g.shape == (3, 4)
+    assert g.tobytes() == gray
+    # trailing bytes beyond the raster are ignored (count= honors need)
+    img2 = multimodal.decode_image(b"P6\n3 2\n255\n" + px + b"extra")
+    assert np.array_equal(img2, img)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff")  # JPEG magic
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P3\n1 1\n255\n1 2 3")  # ASCII ppm
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n1 1\n65535\n\x00\x00")  # 16-bit
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n4 4\n255\n\x00")  # truncated
 
 
 def test_fingerprint_order_insensitive(spark):
