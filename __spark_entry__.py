@@ -209,6 +209,11 @@ _REGRADE = {
     # _ivfpq_probe (shared with the new persisted-index query) —
     # identical dataflow, moved fingerprints:
     "ann_topk_ivfpq": 10,
+    # round 11 (VERDICT r10 #7): corpus_ccnet_buckets' score column
+    # moved from the unigram NLL to text_backoff_lm_quality's
+    # interpolated bigram→unigram backoff score (both engines changed
+    # identically via the shared _BACKOFF_LM_CTES replay):
+    "corpus_ccnet_buckets": 10,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

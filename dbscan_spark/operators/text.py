@@ -800,9 +800,11 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     model score (lower avg negative log-likelihood = more corpus-typical
     = head) — the published shipping format of CommonCrawl corpora,
     downstream pipelines train on head+middle and drop or re-weight
-    tail. The LM score is :func:`text_lm_quality`'s corpus unigram NLL
-    (CCNet proper scores with a per-language KenLM; the corpus-trained
-    proxy keeps the recipe self-contained — documented substitution).
+    tail. The LM score is :func:`text_backoff_lm_quality`'s
+    interpolated bigram→unigram backoff NLL since r11 (one notch
+    closer to the per-language KenLM 5-gram CCNet proper buckets on;
+    the corpus-trained proxy keeps the recipe self-contained —
+    documented substitution).
 
     Determinism: the thirds are exact ``ntile(3)`` over (4dp-rounded
     nll ASC, doc_id ASC) within each language — a total order, so both
@@ -822,7 +824,9 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own stratum on both engines (null-safe broadcast-join key)."""
     from pyspark.sql.window import Window
 
-    scored = text_lm_quality(spark, sf_dir).select("doc_id", "nll")
+    scored = text_backoff_lm_quality(spark, sf_dir).select(
+        "doc_id", "nll"
+    )
     langs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang"
     )
@@ -1061,6 +1065,94 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             _r4(F.avg(-F.log("p"))).alias("nll"),
         )
+    )
+
+
+#: interpolation weight λ = NUM/DEN for the backoff LM — integer form so
+#: the interpolated probability stays ONE division of exact int64s on
+#: both engines (single source for the Spark side and the oracle CTE)
+_BACKOFF_NUM = 3
+_BACKOFF_DEN = 4
+
+
+def text_backoff_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram→unigram BACKOFF language-model score — the
+    round-11 fidelity step toward the KenLM 5-gram recipe CCNet
+    actually buckets on (Wenzek et al. 2020 §3.2; Jelinek–Mercer
+    interpolation with λ = 3/4): every token is an event, scored
+    λ·P_big(w|prev) + (1−λ)·P_uni(w) with Laplace smoothing on both
+    models, and the FIRST token of each doc falls back to the pure
+    unigram (no history) — so every doc with a token stream gets a
+    score, unlike the conditional-only ``text_bigram_lm_quality``
+    (whose <2-token docs drop). ``nll`` = 4dp avg negative log
+    likelihood; feeds :func:`corpus_ccnet_buckets`.
+
+    Exactness discipline: with λ = _BACKOFF_NUM/_BACKOFF_DEN (3/4),
+    the interpolated probability is the single division
+    (3·a·D + b·c) / (4·b·D) of exact int64 products (a = c_big+1,
+    b = c_prev+V, c = c_uni+1, D = N+V) — both engines divide
+    identical integers, so every per-event double is bit-identical and
+    the 4dp floor on the average absorbs summation order (the
+    text_bigram_lm_quality precedent). Int64 bound: products stay
+    < 2⁶³ while the corpus token count N < ~10⁹; beyond that a
+    production deployment scores against a FIXED external LM (as
+    CCNet does) rather than corpus-trained counts.
+
+    Scale shape: the event stream is row-local (slices + zip_with —
+    no window for the lag); counts are three partial-agg shuffles on
+    token keys; the scoring joins shuffle on cur / (prev, cur) / prev
+    — all well-distributed token keys, the LM tables deliberately NOT
+    broadcast (a web-scale bigram table outgrows broadcast); the
+    per-doc rollup is the only doc-keyed exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+    )
+    ev = staged.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                prevs,
+                F.col("t"),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.prev", "e.cur")
+    uni = ev.groupBy("cur").agg(F.count(F.lit(1)).alias("cu"))
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.countDistinct("cur").alias("v"),
+    )
+    bigr = (
+        ev.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    prevc = bigr.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    j = (
+        ev.join(uni, "cur")
+        .join(bigr, ["prev", "cur"], "left")
+        .join(prevc, "prev", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    D = F.col("n_tot") + F.col("v")
+    b_ = F.col("cp") + F.col("v")
+    p = F.when(
+        F.col("prev").isNull(),
+        (F.col("cu") + 1) / D.cast("double"),
+    ).otherwise(
+        (
+            F.lit(_BACKOFF_NUM) * (F.col("cb") + 1) * D
+            + b_ * (F.col("cu") + 1)
+        )
+        / (F.lit(_BACKOFF_DEN) * b_ * D).cast("double")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        _r4(F.avg(-F.log(p))).alias("nll"),
     )
 
 
@@ -2240,6 +2332,7 @@ QUERIES = {
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_encode": text_bpe_encode,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
+    "text_backoff_lm_quality": text_backoff_lm_quality,
     "text_bigram_lm_quality": text_bigram_lm_quality,
     "dsir_importance_weights": dsir_importance_weights,
     "text_dup_spans": text_dup_spans,
@@ -2376,6 +2469,45 @@ def _dup_span_removal_oracle(width: int) -> str:
         FROM base b LEFT JOIN res r USING (doc_id)
     """
 
+
+#: Shared DuckDB replay of the interpolated backoff LM scoring (used by
+#: the text_backoff_lm_quality AND corpus_ccnet_buckets oracles so the
+#: two replays cannot drift). Ends with a ``scored(doc_id, n_tokens,
+#: nll)`` CTE. The probability arithmetic is the same
+#: one-division-of-exact-int64s form the Spark side computes.
+_BACKOFF_LM_CTES = f"""
+        docs AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        ev AS (
+          SELECT doc_id, t[i] AS cur,
+                 CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS prev
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM docs)),
+        uni AS (SELECT cur AS w, count(*) AS cu FROM ev GROUP BY cur),
+        tot AS (SELECT count(*) AS n_tot, count(DISTINCT cur) AS v
+                FROM ev),
+        bigr AS (SELECT prev, cur, count(*) AS cb FROM ev
+                 WHERE prev IS NOT NULL GROUP BY prev, cur),
+        prevc AS (SELECT prev, sum(cb) AS cp FROM bigr GROUP BY prev),
+        scored AS (
+          SELECT e.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 floor(avg(-ln(
+                   CASE WHEN e.prev IS NULL
+                        THEN (u.cu + 1)
+                             / CAST(t.n_tot + t.v AS DOUBLE)
+                        ELSE ({_BACKOFF_NUM} * (b.cb + 1)
+                                * (t.n_tot + t.v)
+                              + (p.cp + t.v) * (u.cu + 1))
+                             / CAST({_BACKOFF_DEN} * (p.cp + t.v)
+                                    * (t.n_tot + t.v) AS DOUBLE)
+                   END)) * 10000 + 0.5) / 10000 AS nll
+          FROM ev e
+          JOIN uni u ON e.cur = u.w
+          CROSS JOIN tot t
+          LEFT JOIN bigr b ON e.prev = b.prev AND e.cur = b.cur
+          LEFT JOIN prevc p ON e.prev = p.prev
+          GROUP BY e.doc_id)
+"""
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
 _SQL_EN_LIST = ", ".join(
@@ -2711,6 +2843,10 @@ ORACLE = {
         SELECT split, n_docs, n_tokens,
                floor(n_tokens / tot * 10000 + 0.5) / 10000 AS token_share
         FROM per_split, tot ORDER BY split
+    """,
+    "text_backoff_lm_quality": f"""
+        WITH {_BACKOFF_LM_CTES}
+        SELECT doc_id, n_tokens, nll FROM scored
     """,
     "text_bigram_lm_quality": f"""
         WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
@@ -3188,15 +3324,7 @@ ORACLE = {
         FROM base b LEFT JOIN stats s USING (doc_id)
     """,
     "corpus_ccnet_buckets": f"""
-        WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS w
-                     FROM documents),
-        vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
-        tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM vocab),
-        lm AS (SELECT w, (cnt + 1) / (total + v) AS p FROM vocab, tot),
-        scored AS (
-          SELECT doc_id, floor(avg(-ln(p)) * 10000 + 0.5) / 10000 AS nll
-          FROM tok JOIN lm USING (w)
-          GROUP BY doc_id),
+        WITH {_BACKOFF_LM_CTES},
         j AS (SELECT s.doc_id, d.lang, s.nll
               FROM scored s JOIN documents d USING (doc_id)),
         t AS (SELECT *, ntile(3) OVER (PARTITION BY lang

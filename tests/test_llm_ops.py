@@ -715,6 +715,62 @@ def test_winnowing_guarantee_and_degenerates(spark, tmp_path):
     assert without_run["winnow_sig"] != rows[0]["winnow_sig"]
 
 
+def test_backoff_lm_interpolation_numpy(spark, tmp_path):
+    """text_backoff_lm_quality vs a direct numpy replay on a tiny
+    corpus: per-event λ=3/4 interpolation of Laplace bigram/unigram
+    models, first token scored by the pure unigram — including the
+    1-token doc the conditional-only bigram query would drop."""
+    import numpy as np
+    import pandas as pd
+
+    from dbscan_spark.operators.text import text_backoff_lm_quality
+
+    texts = ["a b a c", "b a b", "z"]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    docs = [t.split() for t in texts]
+    toks = [w for d in docs for w in d]
+    n_tot, vocab = len(toks), sorted(set(toks))
+    v = len(vocab)
+    cu = {w: toks.count(w) for w in vocab}
+    bigrams = [
+        (d[i - 1], d[i]) for d in docs for i in range(1, len(d))
+    ]
+    cb: dict = {}
+    for pr, c in bigrams:
+        cb[(pr, c)] = cb.get((pr, c), 0) + 1
+    cp = {pr: sum(n for (p2, _), n in cb.items() if p2 == pr)
+          for pr, _ in cb}
+    want = {}
+    for i, d in enumerate(docs):
+        nlls = []
+        for j, w in enumerate(d):
+            if j == 0:
+                p = (cu[w] + 1) / (n_tot + v)
+            else:
+                a, b = cb[(d[j - 1], w)] + 1, cp[d[j - 1]] + v
+                c_, D = cu[w] + 1, n_tot + v
+                p = (3 * a * D + b * c_) / (4 * b * D)
+            nlls.append(-np.log(p))
+        want[i] = (
+            len(d),
+            float(np.floor(np.mean(nlls) * 10000 + 0.5)) / 10000,
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in text_backoff_lm_quality(spark, str(tmp_path)).collect()
+    }
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
 def test_ccnet_buckets_tercile_rule(spark):
     """corpus_ccnet_buckets: within each language the buckets must be
     ntile(3) thirds of the (nll, doc_id) order — head sizes >= middle
