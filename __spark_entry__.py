@@ -214,6 +214,10 @@ _REGRADE = {
     # interpolated bigram→unigram backoff score (both engines changed
     # identically via the shared _BACKOFF_LM_CTES replay):
     "corpus_ccnet_buckets": 10,
+    # round 11: the batch reader's row generation factored into the
+    # shared _row() (now also feeding the simpleStreamReader) —
+    # identical rows, moved fingerprint:
+    "pysource_synthetic_events": 10,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
@@ -234,6 +238,7 @@ _HEAVY = {
     "dbscan_predict_64d",
     "pysource_synthetic_events",
     "dbscan_flags_64d",
+    "streaming_pysource_events",
 }
 
 

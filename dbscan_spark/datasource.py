@@ -19,7 +19,12 @@ hash-gated like any table-backed query.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
@@ -31,6 +36,19 @@ _USER_MOD = 997
 _VAL_MULT = 1103515245
 _VAL_ADD = 12345
 _VAL_MOD = 10000
+
+
+def _row(i: int) -> tuple:
+    """The deterministic event at global row id ``i`` — the ONE
+    generator both the batch reader and the stream reader emit from,
+    so the two read paths cannot drift (and one DuckDB ``range()``
+    replay oracles both)."""
+    return (
+        i,
+        (i * _USER_MULT) % _USER_MOD,
+        EVENT_TYPES[i % len(EVENT_TYPES)],
+        ((i * _VAL_MULT + _VAL_ADD) % _VAL_MOD) / 100.0,
+    )
 
 
 class _RangePartition(InputPartition):
@@ -53,16 +71,52 @@ class _SyntheticEventsReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
-            yield (
-                i,
-                (i * _USER_MULT) % _USER_MOD,
-                EVENT_TYPES[i % len(EVENT_TYPES)],
-                ((i * _VAL_MULT + _VAL_ADD) % _VAL_MOD) / 100.0,
-            )
+            yield _row(i)
+
+
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """``readStream.format("synthetic_events")`` — the streaming half
+    of the connector (PySpark 4 ``simpleStreamReader``): the same
+    deterministic row stream served in ``batch_rows``-sized
+    micro-batches up to ``n_rows`` total. The offset is the next
+    unread global row id, so progress is a pure function of the
+    offset log: ``read`` serves [next_row, next_row+batch) and
+    advances; ``readBetweenOffsets`` regenerates any committed batch
+    bit-identically (exactly-once replay needs nothing more than the
+    generator's determinism); once exhausted it returns an empty
+    batch with an unchanged offset, which is how an availableNow
+    drain knows to stop."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 10000))
+        self.batch_rows = int(options.get("batch_rows", 2048))
+
+    def initialOffset(self) -> dict:
+        return {"next_row": 0}
+
+    def read(self, start: dict):
+        s = int(start["next_row"])
+        e = min(s + self.batch_rows, self.n_rows)
+        # iter() over a prebuilt list: the simple-reader prefetch cache
+        # calls next() on the result (a bare list fails) and pickles
+        # the materialized rows (a lazy generator fails) — an iterator
+        # over concrete tuples satisfies both
+        return iter([_row(i) for i in range(s, e)]), {"next_row": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                _row(i)
+                for i in range(
+                    int(start["next_row"]), int(end["next_row"])
+                )
+            ]
+        )
 
 
 class SyntheticEventsDataSource(DataSource):
-    """``format("synthetic_events")`` — options: n_rows, n_partitions."""
+    """``format("synthetic_events")`` — options: n_rows, n_partitions
+    (batch) / batch_rows (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -73,6 +127,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

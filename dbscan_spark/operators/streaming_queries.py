@@ -22,6 +22,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -29,6 +30,11 @@ from dbscan_spark.streaming import events as se
 
 #: memory-sink query names must be unique per active session
 _SEQ = itertools.count()
+
+#: streaming connector drain size: 50k rows in 16384-row micro-batches
+#: (4 batches, so the offset log genuinely advances)
+_PYSRC_ROWS = 50000
+_PYSRC_BATCH = 16384
 
 
 def streaming_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +244,85 @@ def streaming_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_pysource_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom Python DataSource's STREAMING half under the hash
+    gate (VERDICT r10 #8 — PySpark 4 ``simpleStreamReader`` completes
+    the connector story): ``readStream.format("synthetic_events")``
+    serves the same deterministic integer event stream the batch
+    connector generates, in 16384-row micro-batches (50k rows → 4
+    batches, so the offset log genuinely advances across batches), →
+    complete-mode per-type totals → micro-batch drain into a memory
+    sink, stopped once the sink accounts for every generated row
+    (Python micro-batch sources don't support Trigger.AvailableNow —
+    Spark would fall back to a single batch and drain only the first
+    16384 rows). The offset is the next unread row id; replay
+    regenerates any
+    committed range bit-identically (the generator is pure), and the
+    drain stops on the first empty batch. EXACT oracle: the same
+    DuckDB ``range()`` regeneration that grades the batch connector,
+    aggregated identically (count + exact-cents sum; no distinct — a
+    streaming aggregate cannot hold countDistinct state).
+
+    Scale shape: per micro-batch the source plans one partition per
+    offset range executor-side; the aggregation state is bounded by
+    #event_types. At 100 TB the same reader shape pages a real
+    external system (queue shards, REST pages) with the offset log
+    providing exactly-once."""
+    from dbscan_spark import datasource
+
+    datasource.register(spark)
+    src = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", _PYSRC_ROWS)
+        .option("batch_rows", _PYSRC_BATCH)
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+            / 100
+        ).alias("total_value"),
+    )
+    name = f"streaming_pysource_events_{next(_SEQ)}"
+    # Python micro-batch sources don't support Trigger.AvailableNow
+    # (Spark falls back to ONE batch, which would drain only the first
+    # 16384 rows) — so run a continuous micro-batch trigger and stop
+    # once the complete-mode sink accounts for every generated row.
+    # The source is finite, so this terminates deterministically.
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            got = (
+                spark.table(name)
+                .agg(F.sum("n_events").alias("n"))
+                .collect()[0]["n"]
+            )
+            if got == _PYSRC_ROWS:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"stream drained {got} of {_PYSRC_ROWS} rows in 300s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
+    "streaming_pysource_events": streaming_pysource_events,
     "streaming_tumbling_totals": streaming_tumbling_totals,
     "streaming_session_totals": streaming_session_totals,
     "streaming_merge_latest_state": streaming_merge_latest_state,
@@ -248,6 +332,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    # same range() regeneration as the batch connector's oracle
+    # (relational.pysource_synthetic_events), same aggregate minus the
+    # distinct (unsupported in a streaming agg)
+    "streaming_pysource_events": """
+        WITH g AS (SELECT unnest(range(0, 50000)) AS i),
+        rows_ AS (
+          SELECT i AS event_id,
+                 (i * 2654435761) % 997 AS user_id,
+                 (['view', 'click', 'purchase', 'signup', 'error'])[i % 5 + 1]
+                   AS event_type,
+                 ((i * 1103515245 + 12345) % 10000) / 100.0 AS value
+          FROM g)
+        SELECT event_type, count(*) AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100
+                 AS total_value
+        FROM rows_ GROUP BY event_type
+    """,
     "streaming_dedup_pairs": """
         SELECT DISTINCT user_id, event_type FROM events
     """,

@@ -581,3 +581,29 @@ def test_streaming_stateful_user_totals_tws(spark):
         .collect()
     }
     assert got == want
+
+
+def test_pysource_stream_reader_offset_protocol():
+    """The synthetic_events simpleStreamReader's offset log: batches
+    advance by batch_rows up to n_rows, replay via readBetweenOffsets
+    regenerates committed ranges bit-identically (= the batch _row
+    stream), and exhaustion returns an empty batch with an UNCHANGED
+    offset — the stop condition a drain loop relies on."""
+    from dbscan_spark.datasource import _row, _SyntheticEventsStreamReader
+
+    r = _SyntheticEventsStreamReader({"n_rows": "10", "batch_rows": "4"})
+    off = r.initialOffset()
+    assert off == {"next_row": 0}
+    seen, offsets = [], [off]
+    for _ in range(3):
+        rows, off = r.read(off)
+        seen.append(list(rows))
+        offsets.append(off)
+    assert [len(b) for b in seen] == [4, 4, 2]
+    assert [o["next_row"] for o in offsets] == [0, 4, 8, 10]
+    assert [row for b in seen for row in b] == [_row(i) for i in range(10)]
+    # exhausted: empty batch, offset does not advance
+    rows, off2 = r.read(off)
+    assert list(rows) == [] and off2 == off
+    # committed-range replay parity
+    assert list(r.readBetweenOffsets(offsets[1], offsets[2])) == seen[1]
