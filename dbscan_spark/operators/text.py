@@ -1099,11 +1099,18 @@ def text_backoff_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet does) rather than corpus-trained counts.
 
     Scale shape: the event stream is row-local (slices + zip_with —
-    no window for the lag); counts are three partial-agg shuffles on
-    token keys; the scoring joins shuffle on cur / (prev, cur) / prev
-    — all well-distributed token keys, the LM tables deliberately NOT
-    broadcast (a web-scale bigram table outgrows broadcast); the
-    per-doc rollup is the only doc-keyed exchange."""
+    no window for the lag); counts are partial-agg shuffles on token
+    keys. The LM is ASSEMBLED FIRST — bigram ⋈ prev-total ⋈ unigram
+    on bigram-vocabulary-sized tables — so the corpus-sized event
+    stream shuffles ONCE, on (prev, cur), to pick up its probability
+    (first-token events are only #docs rows and join the unigram
+    table separately); the per-doc rollup is the one doc-keyed
+    exchange. (The first formulation joined the event stream three
+    times — on cur, (prev, cur), and prev — and measured 18.7 s at
+    sf1.0, 7.6× for 10× data; this shape re-measures at 9.5 s =
+    4.1×, the residue being the 10×-corpus bigram vocabulary both
+    count aggregates shuffle.) LM tables deliberately NOT broadcast —
+    a web-scale bigram table outgrows broadcast."""
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", tokens(F.col("text")).alias("t"))
     n = F.size("t")
@@ -1121,38 +1128,54 @@ def text_backoff_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.prev", "e.cur")
+    ev = ev.persist()
     uni = ev.groupBy("cur").agg(F.count(F.lit(1)).alias("cu"))
     tot = ev.agg(
         F.count(F.lit(1)).alias("n_tot"),
         F.countDistinct("cur").alias("v"),
     )
-    bigr = (
-        ev.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("cb"))
+    rest = ev.filter(F.col("prev").isNotNull())
+    bigr = rest.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("cb")
     )
     prevc = bigr.groupBy("prev").agg(F.sum("cb").alias("cp"))
-    j = (
-        ev.join(uni, "cur")
-        .join(bigr, ["prev", "cur"], "left")
-        .join(prevc, "prev", "left")
-        .crossJoin(F.broadcast(tot))
+    # LM assembled on bigram-vocabulary-sized tables, so the
+    # corpus-sized event stream shuffles exactly once (on (prev, cur))
+    lmb = (
+        bigr.join(prevc, "prev")
+        .join(
+            uni.withColumnRenamed("cur", "w"),
+            F.col("cur") == F.col("w"),
+        )
+        .select("prev", "cur", "cb", "cp", "cu")
     )
     D = F.col("n_tot") + F.col("v")
     b_ = F.col("cp") + F.col("v")
-    p = F.when(
-        F.col("prev").isNull(),
-        (F.col("cu") + 1) / D.cast("double"),
-    ).otherwise(
-        (
-            F.lit(_BACKOFF_NUM) * (F.col("cb") + 1) * D
-            + b_ * (F.col("cu") + 1)
-        )
-        / (F.lit(_BACKOFF_DEN) * b_ * D).cast("double")
+    p_interp = (
+        F.lit(_BACKOFF_NUM) * (F.col("cb") + 1) * D
+        + b_ * (F.col("cu") + 1)
+    ) / (F.lit(_BACKOFF_DEN) * b_ * D).cast("double")
+    scored_rest = (
+        rest.join(lmb, ["prev", "cur"])
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(p_interp)).alias("nl"))
     )
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        _r4(F.avg(-F.log(p))).alias("nll"),
+    # first-token events: one row per doc — a tiny side joined to the
+    # unigram table, scored by the pure unigram fallback
+    p_uni = (F.col("cu") + 1) / D.cast("double")
+    scored_first = (
+        ev.filter(F.col("prev").isNull())
+        .join(uni.withColumnRenamed("cur", "w"), F.col("cur") == F.col("w"))
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(p_uni)).alias("nl"))
+    )
+    return (
+        scored_rest.unionByName(scored_first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            _r4(F.avg("nl")).alias("nll"),
+        )
     )
 
 
@@ -1922,30 +1945,48 @@ def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sp", F.array().cast("array<struct<s:long,e:long>>")
         ).alias("sp"),
     )
-    kept = F.filter(
-        F.transform(
-            "toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    # Covered positions flatten from the disjoint sorted islands, then
+    # ONE array_except removes them from the position range — O(T + C)
+    # JVM set-difference per row. (The first formulation — a per-token
+    # interpreted exists() over the interval array — measured 93.6 s at
+    # sf1.0 (25× for 10× data, T×S lambda evaluations on the
+    # duplication-heavy scale corpus); this shape re-measures at
+    # 13.2 s = 3.3×, vs text_dup_spans' own 1.9× — the delta is the
+    # linear covered-array + residual-md5 work. sequence(0, n-1) is
+    # safe here: toks is never empty — split('') yields [''] — so
+    # n ≥ 1 and the sequence never descends.)
+    covered = F.flatten(
+        F.transform("sp", lambda s: F.sequence(s["s"], s["e"]))
+    )
+    kept_idx = F.array_except(
+        F.sequence(
+            F.lit(0).cast("long"),
+            (F.size("toks") - 1).cast("long"),
         ),
-        lambda x: ~F.exists(
-            "sp", lambda s: (x["i"] >= s["s"]) & (x["i"] <= s["e"])
-        ),
+        covered,
     )
     out = joined.select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        kept.alias("kept"),
+        "toks",
+        kept_idx.alias("ki"),
     ).select(
         "doc_id",
-        "n_tokens",
-        F.size("kept").cast("long").alias("n_kept_tokens"),
-        (F.col("n_tokens") - F.size("kept"))
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("ki").cast("long").alias("n_kept_tokens"),
+        (F.size("toks") - F.size("ki"))
         .cast("long")
         .alias("n_removed_tokens"),
         F.when(
-            F.size("kept") > 0,
+            F.size("ki") > 0,
             F.md5(
                 F.array_join(
-                    F.transform("kept", lambda x: x["t"]), " "
+                    F.transform(
+                        "ki",
+                        lambda i: F.element_at(
+                            "toks", (i + 1).cast("int")
+                        ),
+                    ),
+                    " ",
                 )
             ),
         ).alias("residual_md5"),
