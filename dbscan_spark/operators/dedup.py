@@ -841,10 +841,40 @@ def corpus_paragraph_neardup(
 
     Output: one row per verified pair, oriented p_hash_1 < p_hash_2,
     each side carrying its representative first occurrence."""
+    units, pairs = _paragraph_units_and_pairs(spark, sf_dir)
+    r1 = units.select(
+        F.col("ph").alias("ph1"),
+        F.col("first.doc_id").alias("doc_1"),
+        F.col("first.pos").cast("long").alias("pos_1"),
+    )
+    r2 = units.select(
+        F.col("ph").alias("ph2"),
+        F.col("first.doc_id").alias("doc_2"),
+        F.col("first.pos").cast("long").alias("pos_2"),
+    )
+    return (
+        pairs.join(r1, "ph1")
+        .join(r2, "ph2")
+        .select(
+            F.col("ph1").alias("p_hash_1"),
+            F.col("ph2").alias("p_hash_2"),
+            "doc_1",
+            "pos_1",
+            "doc_2",
+            "pos_2",
+            "jaccard",
+        )
+    )
+
+
+def _paragraph_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ph, doc_id, pos, np) — every non-empty normalized paragraph
+    occurrence (the corpus_paragraph_dedup split, factored for the
+    paragraph family)."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    paras = (
+    return (
         d.select(
             "doc_id",
             F.posexplode(F.split(F.col("text"), "\n")).alias(
@@ -855,6 +885,15 @@ def corpus_paragraph_neardup(
         .filter(F.length("np") > 0)
         .select(F.md5("np").alias("ph"), "doc_id", "pos", "np")
     )
+
+
+def _paragraph_units_and_pairs(spark: SparkSession, sf_dir: str):
+    """Shared back half of the paragraph near-dup family: collapse to
+    DISTINCT normalized paragraphs (units, with first-occurrence rep),
+    then banded MinHash-LSH candidates verified by exact Jaccard.
+    Returns ``(units, pairs)`` where units = (ph, first, np) and
+    pairs = (ph1, ph2, jaccard) with ph1 < ph2."""
+    paras = _paragraph_occurrences(spark, sf_dir)
     units = paras.groupBy("ph").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.min("np").alias("np"),
@@ -926,28 +965,135 @@ def corpus_paragraph_neardup(
         .select("ph1", "ph2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    r1 = units.select(
-        F.col("ph").alias("ph1"),
-        F.col("first.doc_id").alias("doc_1"),
-        F.col("first.pos").cast("long").alias("pos_1"),
+    return units, pairs
+
+
+def corpus_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END paragraph cleaning decision — CCNet stage 1 +
+    the near-dup stage composed into the rewrite a pipeline actually
+    ships: (a) every non-first occurrence of a normalized paragraph
+    drops (the exact rule of :func:`corpus_paragraph_dedup`); (b) over
+    DISTINCT paragraphs, the verified MinHash near-dup pair graph
+    (:func:`corpus_paragraph_neardup`'s machinery) forms connected
+    components and only the component's earliest-first-occurrence
+    paragraph survives — templated boilerplate differing by a counter
+    drops everywhere, not just its exact repeats. Per document:
+    paragraph counts by verdict (kept / dropped_exact / dropped_near)
+    and the residual md5 (kept paragraphs, original order), so the
+    rewrite itself is hash-gated.
+
+    Scale shape: stages (a)+(b) reuse the factored paragraph pipeline
+    (one md5-keyed aggregate; banded LSH, candidates-only verify).
+    The component step collects only the VERIFIED PAIR LIST and the
+    involved units' reps to the driver for union-find — bounded by
+    |near-dup paragraph pairs|, the same small-side argument
+    dedup_semantic_keep_best documents (and the reference's own
+    driver-side merge-graph trick, DBSCAN.scala:141-185, one level
+    down); the loser set broadcasts back as a hash-keyed anti-filter.
+    EXACT oracle: the quadratic pair SQL + a recursive min-label
+    closure (labels = first-occurrence ordinal doc_id·10⁶+pos — pos is
+    bounded far below 10⁶ on any real document) + the same verdict
+    classification and ordered string_agg residual."""
+    from dbscan_spark.graph import UnionFind
+
+    units, pairs = _paragraph_units_and_pairs(spark, sf_dir)
+    edge_rows = pairs.select("ph1", "ph2").collect()
+    involved = spark.createDataFrame(
+        [(p,) for e in edge_rows for p in (e["ph1"], e["ph2"])] or
+        [("",)],
+        "ph string",
+    ).distinct()
+    rep_rows = units.join(involved, "ph").select(
+        "ph", "first.doc_id", "first.pos"
+    ).collect()
+    rep = {r["ph"]: (r["doc_id"], r["pos"]) for r in rep_rows}
+    uf = UnionFind()
+    for e in edge_rows:
+        uf.add(e["ph1"])
+        uf.add(e["ph2"])
+        uf.union(e["ph1"], e["ph2"])
+    clusters: dict = {}
+    for ph in uf.vertices():
+        clusters.setdefault(uf.find(ph), []).append(ph)
+    dropped = [
+        ph
+        for members in clusters.values()
+        for ph in sorted(members, key=lambda p: rep[p])[1:]
+    ]
+    drop_df = spark.createDataFrame(
+        [(p,) for p in dropped] or [("",)], "ph string"
     )
-    r2 = units.select(
-        F.col("ph").alias("ph2"),
-        F.col("first.doc_id").alias("doc_2"),
-        F.col("first.pos").cast("long").alias("pos_2"),
+    paras = _paragraph_occurrences(spark, sf_dir)
+    first = paras.groupBy("ph").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
     )
-    return (
-        pairs.join(r1, "ph1")
-        .join(r2, "ph2")
-        .select(
-            F.col("ph1").alias("p_hash_1"),
-            F.col("ph2").alias("p_hash_2"),
-            "doc_1",
-            "pos_1",
-            "doc_2",
-            "pos_2",
-            "jaccard",
+    tagged = (
+        paras.join(first, "ph")
+        .join(
+            F.broadcast(drop_df.withColumn("near_drop", F.lit(True))),
+            "ph",
+            "left",
         )
+        .select(
+            "doc_id",
+            "pos",
+            "np",
+            (
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            ).alias("is_first"),
+            F.coalesce("near_drop", F.lit(False)).alias("near_drop"),
+        )
+    )
+    verdict = (
+        F.when(~F.col("is_first"), F.lit("dropped_exact"))
+        .when(F.col("near_drop"), F.lit("dropped_near"))
+        .otherwise(F.lit("kept"))
+    )
+    agg = (
+        tagged.withColumn("v", verdict)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum((F.col("v") == "kept").cast("long")).alias("n_kept"),
+            F.sum((F.col("v") == "dropped_exact").cast("long")).alias(
+                "n_dropped_exact"
+            ),
+            F.sum((F.col("v") == "dropped_near").cast("long")).alias(
+                "n_dropped_near"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("v") == "kept", F.struct("pos", "np"))
+                )
+            ).alias("ks"),
+        )
+    )
+    agg = agg.select(
+        "doc_id",
+        "n_paragraphs",
+        "n_kept",
+        "n_dropped_exact",
+        "n_dropped_near",
+        F.when(
+            F.col("n_kept") > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("ks"), lambda s: s["np"]), "\n"
+                )
+            ),
+        ).alias("residual_hash"),
+    )
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_dropped_exact", F.lit(0)).alias("n_dropped_exact"),
+        F.coalesce("n_dropped_near", F.lit(0)).alias("n_dropped_near"),
+        "residual_hash",
     )
 
 
@@ -1257,6 +1403,7 @@ QUERIES = {
     "corpus_split_leakage": corpus_split_leakage,
     "corpus_paragraph_dedup": corpus_paragraph_dedup,
     "corpus_paragraph_neardup": corpus_paragraph_neardup,
+    "corpus_paragraph_clean": corpus_paragraph_clean,
     "dedup_incremental": dedup_incremental,
 }
 
@@ -1457,6 +1604,92 @@ ORACLE = {
         FROM pairs
         JOIN units u1 ON ph1 = u1.ph
         JOIN units u2 ON ph2 = u2.ph
+    """,
+    # corpus_paragraph_clean: the neardup pair CTEs + a recursive
+    # min-label closure over the verified pair graph (labels are the
+    # first-occurrence ordinal doc_id*1e6+pos; pos is bounded far
+    # below 1e6 on any real document), then the verdict classification
+    # and ordered residual — the dedup_cluster_cc oracle pattern one
+    # level down.
+    "corpus_paragraph_clean": f"""
+        WITH RECURSIVE
+        base AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts
+          FROM documents WHERE text IS NOT NULL),
+        pos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(parts))) AS BIGINT) AS pos,
+                 unnest(parts) AS p
+          FROM base),
+        nz AS (
+          SELECT doc_id, pos,
+                 trim(regexp_replace(regexp_replace(lower(p),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS np
+          FROM pos),
+        ranked AS (
+          SELECT md5(np) AS ph, doc_id, pos, np,
+                 row_number() OVER (PARTITION BY md5(np)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM nz WHERE length(np) > 0),
+        units AS (SELECT ph, doc_id, pos, np FROM ranked WHERE rn = 1),
+        toks AS (SELECT ph, string_split(np, ' ') AS t FROM units),
+        sh AS (SELECT DISTINCT ph, unnest({_SQL_SHINGLES}) AS s FROM toks),
+        cnt AS (SELECT ph, count(*) AS n FROM sh GROUP BY ph),
+        common AS (
+            SELECT a.ph AS ph1, b.ph AS ph2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.ph < b.ph
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT ph1, ph2
+            FROM common
+            JOIN cnt x ON ph1 = x.ph
+            JOIN cnt y ON ph2 = y.ph
+            WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
+                  >= {JACCARD_THRESHOLD}),
+        lbl AS (SELECT ph, doc_id * 1000000 + pos AS lab FROM units),
+        edges AS (SELECT ph1 AS src, ph2 AS dst FROM pairs
+                  UNION ALL
+                  SELECT ph2 AS src, ph1 AS dst FROM pairs),
+        reach(node, lab) AS (
+            SELECT l.ph, l.lab FROM lbl l
+            WHERE l.ph IN (SELECT src FROM edges)
+            UNION
+            SELECT e.dst, r.lab
+            FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS ph, min(lab) AS clab
+                 FROM reach GROUP BY node),
+        drops AS (
+            SELECT c.ph FROM comp c JOIN lbl l USING (ph)
+            WHERE c.clab <> l.lab),
+        tagged AS (
+          SELECT t.doc_id, t.pos, t.np,
+                 CASE WHEN t.rn > 1 THEN 'dropped_exact'
+                      WHEN d.ph IS NOT NULL THEN 'dropped_near'
+                      ELSE 'kept' END AS v
+          FROM ranked t LEFT JOIN drops d ON t.ph = d.ph),
+        agg AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_paragraphs,
+                 CAST(sum(CASE WHEN v = 'kept' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN v = 'dropped_exact' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_dropped_exact,
+                 CAST(sum(CASE WHEN v = 'dropped_near' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_dropped_near,
+                 md5(string_agg(CASE WHEN v = 'kept' THEN np END,
+                                chr(10) ORDER BY pos)) AS residual_hash
+          FROM tagged GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_paragraphs, 0) AS BIGINT)
+                 AS n_paragraphs,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(coalesce(a.n_dropped_exact, 0) AS BIGINT)
+                 AS n_dropped_exact,
+               CAST(coalesce(a.n_dropped_near, 0) AS BIGINT)
+                 AS n_dropped_near,
+               a.residual_hash
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.text IS NOT NULL
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,

@@ -89,6 +89,58 @@ def test_paragraph_neardup_crafted_fixture(spark, tmp_path):
     assert r["jaccard"] == pytest.approx(0.8947)
 
 
+def test_paragraph_clean_composed_verdicts(spark, tmp_path):
+    """corpus_paragraph_clean on a crafted corpus: exact repeats drop
+    as dropped_exact; a near-dup paragraph (one-token tail edit) loses
+    to the earlier first occurrence and drops EVERYWHERE as
+    dropped_near; unrelated paragraphs keep; each residual md5 pinned
+    to the hand-computed kept stream."""
+    import hashlib
+
+    import pandas as pd
+
+    from dbscan_spark.operators.dedup import corpus_paragraph_clean
+
+    md = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra").split()
+    pa = " ".join(words + ["tango"])
+    pb = " ".join(words + ["zulu"])  # near-dup of pa (j = 17/19)
+    ux = "completely unrelated first filler paragraph here"
+    uy = "another standalone second filler paragraph text"
+    docs = [
+        (0, pa + "\n" + ux),
+        (1, pa + "\n" + pb),
+        (2, pb + "\n" + uy),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: (
+            r["n_paragraphs"],
+            r["n_kept"],
+            r["n_dropped_exact"],
+            r["n_dropped_near"],
+            r["residual_hash"],
+        )
+        for r in corpus_paragraph_clean(spark, str(tmp_path)).collect()
+    }
+    want = {
+        0: (2, 2, 0, 0, md(pa + "\n" + ux)),
+        1: (2, 0, 1, 1, None),  # pa repeat = exact; pb loses = near
+        2: (2, 1, 1, 0, md(uy)),  # pb repeat = exact; uy kept
+    }
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
 def test_paragraph_neardup_recall_pin_at_grading_sf(spark):
     """corpus_paragraph_neardup carries an EXACT DuckDB oracle (the
     quadratic all-pairs SQL over distinct normalized paragraphs) —
