@@ -293,7 +293,11 @@ _REVIEWED_NESTED_LOOPS = {
     "text_vocab_growth",
     "text_bm25_search",
     "text_lm_quality",
-    # inherits text_lm_quality's 1-row vocab-totals broadcast cross
+    # 1-row (N, V) totals broadcast crossJoined onto the scored event
+    # stream (twice: interpolated slice + the #docs-sized first-token
+    # slice); the LM tables themselves join by (prev, cur) HASH
+    "text_backoff_lm_quality",
+    # inherits text_backoff_lm_quality's 1-row totals broadcast cross
     "corpus_ccnet_buckets",
     "text_bigram_lm_quality",
     "basket_part_affinity",
