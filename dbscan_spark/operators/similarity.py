@@ -524,31 +524,17 @@ def ann_topk_pq_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_train_encode(spark: SparkSession, sf_dir: str):
-    """TRAIN + ENCODE half of the IVFPQ stack: coarse quantizer,
-    residual codebooks, and the encoded corpus. Returns
-    ``(e, cent, books, corpus)`` where corpus = (vec_id, v, nv, cell,
-    codes). Shared by :func:`ann_topk_ivfpq` (in-session) and
-    :func:`write_ivfpq_index` (persisted lifecycle) — the training is
-    deterministic (see _ivf_centroids/_pq_codebooks), so both paths
-    produce the identical index."""
-    e = _embeddings_with_norms(spark, sf_dir)
-    cent = _ivf_centroids(e)
-    nearest1 = _nearest_cells_udf(cent, 1)
-    corpus_cells = e.select(
-        "vec_id",
-        "v",
-        "nv",
-        F.element_at(nearest1(F.col("v")), 1).alias("cell"),
-    )
-
-    # residual codebooks trained on the SAME driver sample, residualized
-    # against each sample vector's own nearest centroid. Deterministic
-    # and SQL-replayable since r8 (same recipe as _pq_codebooks: init =
-    # residuals of the _PQ_K smallest-vec_id sample rows, per-round
-    # 1e-4 quantization, lowest-code tie-breaks) — the residuals
-    # themselves are bit-identical cross-engine because the centroids
-    # sit on the 1e-4 grid and the inputs are float32-exact doubles.
+def _ivfpq_residual_books(e: DataFrame, cent: "np.ndarray") -> "np.ndarray":
+    """Residual codebooks trained on the same deterministic driver
+    sample as the coarse quantizer, residualized against each sample
+    vector's own nearest centroid. Deterministic and SQL-replayable
+    since r8 (same recipe as _pq_codebooks: init = residuals of the
+    _PQ_K smallest-vec_id sample rows, per-round 1e-4 quantization,
+    lowest-code tie-breaks) — the residuals themselves are
+    bit-identical cross-engine because the centroids sit on the 1e-4
+    grid and the inputs are float32-exact doubles. Factored (r11) so
+    the incremental add-batch path trains on the EXISTING slice with
+    the same code."""
     C = np.asarray(cent)
     rows = sorted(
         e.orderBy(F.xxhash64("vec_id")).limit(_IVF_SAMPLE).collect(),
@@ -569,7 +555,15 @@ def _ivfpq_train_encode(spark: SparkSession, sf_dir: str):
                 if len(members):
                     cb[c] = _quant4(members.mean(0))
         books[m] = cb
-    bks = books
+    return books
+
+
+def _residual_encode_udf(cent: "np.ndarray", books: "np.ndarray"):
+    """Arrow-batched residual-PQ encoder (vector, assigned cell) → the
+    M nearest-code ids against ``books``; true squared distance so the
+    order key mirrors the oracle's per-dim sum, ties to lowest code."""
+    C = np.asarray(cent)
+    bks = np.asarray(books)
     bsq = (bks * bks).sum(-1)  # (M, K)
 
     @pandas_udf("array<int>")
@@ -579,8 +573,6 @@ def _ivfpq_train_encode(spark: SparkSession, sf_dir: str):
         codes = np.empty((len(V), _PQ_M), dtype=np.int32)
         for m in range(_PQ_M):
             sub = R[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
-            # true squared distance so the order key mirrors the
-            # oracle's per-dim sum; ties to lowest code
             d = (
                 (sub * sub).sum(1)[:, None]
                 + bsq[m][None, :]
@@ -589,6 +581,29 @@ def _ivfpq_train_encode(spark: SparkSession, sf_dir: str):
             codes[:, m] = d.argmin(1)
         return pd.Series(list(codes))
 
+    return encode_residual
+
+
+def _ivfpq_train_encode(spark: SparkSession, sf_dir: str):
+    """TRAIN + ENCODE half of the IVFPQ stack: coarse quantizer,
+    residual codebooks, and the encoded corpus. Returns
+    ``(e, cent, books, corpus)`` where corpus = (vec_id, v, nv, cell,
+    codes). Shared by :func:`ann_topk_ivfpq` (in-session) and
+    :func:`write_ivfpq_index` (persisted lifecycle) — the training is
+    deterministic (see _ivf_centroids/_pq_codebooks), so both paths
+    produce the identical index."""
+    e = _embeddings_with_norms(spark, sf_dir)
+    cent = _ivf_centroids(e)
+    nearest1 = _nearest_cells_udf(cent, 1)
+    corpus_cells = e.select(
+        "vec_id",
+        "v",
+        "nv",
+        F.element_at(nearest1(F.col("v")), 1).alias("cell"),
+    )
+
+    books = _ivfpq_residual_books(e, cent)
+    encode_residual = _residual_encode_udf(cent, books)
     corpus = corpus_cells.select(
         "vec_id",
         "v",
@@ -814,6 +829,58 @@ def ann_topk_ivfpq_persisted(
         "vec_id", "v", "nv", "cell", "codes"
     )
     return _ivfpq_probe(spark, e, cent, books, corpus)
+
+
+def ann_index_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental INDEX MAINTENANCE — the add-vectors-without-retrain
+    path every production vector store runs between rebuilds (FAISS
+    ``add`` after ``train``): the corpus splits deterministically into
+    EXISTING (~87.5%) and an INCOMING batch (md5 first hex ≥ 'e' — the
+    dedup_incremental discipline, reproducible across engines and
+    retries); the IVFPQ index trains on the EXISTING slice only, and
+    the incoming batch is ENCODED against the frozen
+    centroids/codebooks — cell assignment + 8 residual codes per
+    vector, no retraining. Output is the batch's new index rows
+    (vec_id, cell, c0..c7 — codes flattened to scalar columns for the
+    hash gate), i.e. exactly what gets appended to the persisted
+    ``assignments`` table.
+
+    Scale shape: training sees only the ≤2048-row driver sample of the
+    existing slice; the incoming batch is one zero-shuffle Arrow
+    encode map (two GEMMs per Arrow batch). EXACT oracle within the
+    training domain: the recursive-CTE replay trains on the same
+    existing slice and re-derives every assignment and code with the
+    same lowest-id tie-breaks. Drift note (docstring contract): codes
+    of new vectors are only as good as the frozen codebooks — after
+    enough distribution shift production re-trains and re-encodes,
+    which is ``write_ivfpq_index``'s job."""
+    e = _embeddings_with_norms(spark, sf_dir)
+    inc = F.substring(
+        F.md5(F.col("vec_id").cast("string")), 1, 1
+    ).isin("e", "f")
+    existing = e.filter(~inc)
+    cent = _ivf_centroids(existing)
+    books = _ivfpq_residual_books(existing, cent)
+    nearest1 = _nearest_cells_udf(cent, 1)
+    encode_residual = _residual_encode_udf(cent, books)
+    incoming = e.filter(inc)
+    enc = incoming.select(
+        "vec_id",
+        F.element_at(nearest1(F.col("v")), 1).alias("cell"),
+        "v",
+    ).select(
+        "vec_id",
+        "cell",
+        encode_residual(F.col("v"), F.col("cell")).alias("codes"),
+    )
+    return enc.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        *[
+            F.element_at("codes", m + 1).cast("long").alias(f"c{m}")
+            for m in range(_PQ_M)
+        ],
+    )
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,6 +1148,7 @@ QUERIES = {
     "ann_topk_pq_deep": ann_topk_pq_deep,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_topk_ivfpq_persisted": ann_topk_ivfpq_persisted,
+    "ann_index_add_batch": ann_index_add_batch,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
 
@@ -1673,6 +1741,146 @@ _PQ_DEPTH_SQL = (
 assert ORACLE["ann_topk_pq"].count(f"WHERE arnk <= {_PQ_RERANK})") == 1
 ORACLE["ann_topk_pq_deep"] = ORACLE["ann_topk_pq"].replace(
     f"WHERE arnk <= {_PQ_RERANK})", f"WHERE arnk <= {_PQ_DEPTH_SQL})"
+)
+
+# ann_index_add_batch: the ivfpq training replay restricted to the
+# EXISTING slice (md5 first hex < 'e' — the same deterministic split
+# rule the Spark side applies), then assignment + residual encoding of
+# the INCOMING slice against the frozen centroids/codebooks. Shares the
+# proven ivfpq oracle's training recursion verbatim modulo the slice
+# filters; codes pivot to scalar columns for the hash gate.
+_ADD_BATCH_EXIST = (
+    "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('e', 'f')"
+)
+_ADD_BATCH_CODES = ",\n               ".join(
+    f"CAST(max(CASE WHEN e.m = {m} THEN e.code END) AS BIGINT) AS c{m}"
+    for m in range(_PQ_M)
+)
+ORACLE["ann_index_add_batch"] = f"""
+        WITH RECURSIVE
+        exq AS MATERIALIZED (SELECT vec_id, u.dim, u.val FROM (
+                 SELECT vec_id,
+                        unnest(list_transform(embedding,
+                            (x, i) -> {{'dim': i - 1,
+                                        'val': CAST(x AS DOUBLE)}})) AS u
+                 FROM embeddings)),
+        ext AS MATERIALIZED (SELECT * FROM exq
+                 WHERE {_ADD_BATCH_EXIST}),
+        init AS (SELECT vec_id,
+                        row_number() OVER (ORDER BY vec_id) - 1 AS cell
+                 FROM embeddings WHERE {_ADD_BATCH_EXIST}
+                 ORDER BY vec_id LIMIT {_IVF_CELLS}),
+        it(i, cell, dim, val) AS (
+          SELECT 0, n.cell, e.dim, floor(e.val * 10000 + 0.5) / 10000
+          FROM init n JOIN ext e USING (vec_id)
+          UNION ALL
+          SELECT c.i + 1, c.cell, c.dim, coalesce(n.val, c.val)
+          FROM it c LEFT JOIN (
+            WITH d AS (
+              SELECT e.vec_id, t.cell,
+                     sum((e.val - t.val) * (e.val - t.val)) AS d2
+              FROM ext e JOIN it t USING (dim)
+              GROUP BY e.vec_id, t.cell),
+            best AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rn
+                FROM d) WHERE rn = 1)
+            SELECT b.cell, e.dim,
+                   floor(avg(e.val) * 10000 + 0.5) / 10000 AS val
+            FROM best b JOIN ext e ON e.vec_id = b.vec_id
+            GROUP BY b.cell, e.dim
+          ) n ON n.cell = c.cell AND n.dim = c.dim
+          WHERE c.i < {_IVF_ITERS}),
+        cent AS MATERIALIZED (SELECT cell, dim, val FROM it
+                              WHERE i = {_IVF_ITERS}),
+        d2t AS MATERIALIZED (
+          SELECT e.vec_id, t.cell,
+                 sum((e.val - t.val) * (e.val - t.val)) AS d2
+          FROM ext e JOIN cent t USING (dim)
+          GROUP BY e.vec_id, t.cell),
+        assignt AS MATERIALIZED (SELECT vec_id, cell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cell) AS rn
+                     FROM d2t) WHERE rn = 1),
+        resx AS MATERIALIZED (SELECT e.vec_id, e.dim, e.val - c.val AS val
+                 FROM ext e
+                 JOIN assignt a USING (vec_id)
+                 JOIN cent c ON c.cell = a.cell AND c.dim = e.dim),
+        rsx AS MATERIALIZED (SELECT vec_id, dim // {_PQ_SUB} AS m,
+                       dim % {_PQ_SUB} AS sd, val
+                FROM resx),
+        rinit AS (SELECT vec_id,
+                         row_number() OVER (ORDER BY vec_id) - 1 AS code
+                  FROM embeddings WHERE {_ADD_BATCH_EXIST}
+                  ORDER BY vec_id LIMIT {_PQ_K}),
+        rbk(i, m, code, sd, val) AS (
+          SELECT 0, s.m, n.code, s.sd, floor(s.val * 10000 + 0.5) / 10000
+          FROM rinit n JOIN rsx s USING (vec_id)
+          UNION ALL
+          SELECT c.i + 1, c.m, c.code, c.sd, coalesce(n.val, c.val)
+          FROM rbk c LEFT JOIN (
+            WITH d AS (
+              SELECT s.vec_id, t.m, t.code,
+                     sum((s.val - t.val) * (s.val - t.val)) AS d2
+              FROM rsx s JOIN rbk t ON t.m = s.m AND t.sd = s.sd
+              GROUP BY s.vec_id, t.m, t.code),
+            best AS (
+              SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, code) AS rn
+                FROM d) WHERE rn = 1)
+            SELECT b.m, b.code, s.sd,
+                   floor(avg(s.val) * 10000 + 0.5) / 10000 AS val
+            FROM best b JOIN rsx s ON s.vec_id = b.vec_id AND s.m = b.m
+            GROUP BY b.m, b.code, s.sd
+          ) n ON n.m = c.m AND n.code = c.code AND n.sd = c.sd
+          WHERE c.i < {_IVF_ITERS}),
+        books AS MATERIALIZED (SELECT m, code, sd, val FROM rbk
+                               WHERE i = {_IVF_ITERS}),
+        exi AS MATERIALIZED (SELECT * FROM exq
+                 WHERE NOT ({_ADD_BATCH_EXIST})),
+        d2i AS (
+          SELECT e.vec_id, t.cell,
+                 sum((e.val - t.val) * (e.val - t.val)) AS d2
+          FROM exi e JOIN cent t USING (dim)
+          GROUP BY e.vec_id, t.cell),
+        iassign AS MATERIALIZED (SELECT vec_id, cell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cell) AS rn
+                     FROM d2i) WHERE rn = 1),
+        iresx AS (SELECT e.vec_id, e.dim, e.val - c.val AS val
+                  FROM exi e
+                  JOIN iassign a USING (vec_id)
+                  JOIN cent c ON c.cell = a.cell AND c.dim = e.dim),
+        irsx AS (SELECT vec_id, dim // {_PQ_SUB} AS m,
+                        dim % {_PQ_SUB} AS sd, val
+                 FROM iresx),
+        ienc_d AS (
+          SELECT s.vec_id, t.m, t.code,
+                 sum((s.val - t.val) * (s.val - t.val)) AS d2
+          FROM irsx s JOIN books t ON t.m = s.m AND t.sd = s.sd
+          GROUP BY s.vec_id, t.m, t.code),
+        ienc AS (SELECT vec_id, m, code FROM (
+                  SELECT vec_id, m, code,
+                         row_number() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2, code) AS rn
+                  FROM ienc_d) WHERE rn = 1)
+        SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+               {_ADD_BATCH_CODES}
+        FROM iassign a JOIN ienc e USING (vec_id)
+        GROUP BY a.vec_id, a.cell
+"""
+# same cleaned-corpus substitution as the cosine oracles (the operator
+# reads _embeddings_with_norms, so zero-norm/ragged rows are excluded)
+ORACLE["ann_index_add_batch"] = _re.sub(
+    r"\b(FROM|JOIN) embeddings\b",
+    rf"\1 {_EMB_NONZERO}",
+    ORACLE["ann_index_add_batch"],
 )
 
 # ann_topk_ivfpq_persisted probes the PERSISTED index; deterministic

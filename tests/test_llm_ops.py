@@ -220,6 +220,36 @@ def test_ivfpq_persisted_index_parity(spark, tmp_path):
     assert fresh, "ivfpq returned no rows — fixture drifted"
 
 
+def test_ann_index_add_batch_contract(spark):
+    """ann_index_add_batch: output rows are exactly the deterministic
+    md5-incoming slice (disjoint from the training slice), every cell
+    and code lies in the trained ranges, and two runs are identical —
+    the add path must be a pure function of the corpus."""
+    import hashlib
+
+    from dbscan_spark.operators import similarity as sim
+
+    e = sim._embeddings_with_norms(spark, SF_TINY)
+    all_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    want_incoming = {
+        v
+        for v in all_ids
+        if hashlib.md5(str(v).encode()).hexdigest()[0] in "ef"
+    }
+    rows = sim.ann_index_add_batch(spark, SF_TINY).collect()
+    got = {r["vec_id"] for r in rows}
+    assert got == want_incoming
+    assert want_incoming, "fixture drifted — no incoming slice"
+    for r in rows:
+        assert 0 <= r["cell"] < sim._IVF_CELLS
+        for m in range(sim._PQ_M):
+            assert 0 <= r[f"c{m}"] < sim._PQ_K
+    again = {
+        tuple(r) for r in sim.ann_index_add_batch(spark, SF_TINY).collect()
+    }
+    assert again == {tuple(r) for r in rows}
+
+
 def test_pair_cosine_matches_jvm_fold(spark):
     """The Arrow pair-cosine kernel must agree with the JVM aggregate()
     fold to float64 tolerance on arbitrary vector pairs (summation order
