@@ -184,40 +184,15 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # (Empty at round-11 open: the 25 r8/r9 bumps that rode into the
-    # r10 cohort — the events-ingestion class, the embeddings-ingestion
-    # wave, the ccnet CDF-cutoff rewrite, dsir/dup-spans oracle-constant
-    # derivations — were ALL re-graded hash-green in CORRECTNESS_r10
+    # (Empty at round-12 open: the 7 r11 bumps — gopher trimmed-line
+    # rules, the blob-dir landing-zone guard, the _dup_span_islands
+    # factor-out pair, the ivfpq train/probe split, the ccnet
+    # backoff-LM score column, and the shared _row() stream/batch
+    # factor-out — were ALL re-graded hash-green in CORRECTNESS_r11
     # and pruned here; manifest re-baselined via
     # tools/query_hashes.py --write. An expired bump is inert for the
     # rotation but the rotation-invariant test rejects it by design,
     # so prune-at-round-open is mandatory.)
-    #
-    # round 11 (ADVICE r10): gopher bullet/ellipsis line rules now run
-    # on space-trimmed lines (both engines changed identically), and
-    # documents_blob_dir gained the local-mode guard + count-verified
-    # _SUCCESS marker (helper-closure change for the binaryFile query):
-    "corpus_gopher_rules": 10,
-    "binaryfile_source_documents": 10,
-    # round 11: _dup_spans' front half factored into the shared
-    # _dup_span_islands pipeline (now also feeding the new
-    # text_dup_span_removal) — identical dataflow, but the closure
-    # fingerprints moved:
-    "text_dup_spans": 10,
-    "text_dup_spans_w50": 10,
-    # round 11: ann_topk_ivfpq split into _ivfpq_train_encode +
-    # _ivfpq_probe (shared with the new persisted-index query) —
-    # identical dataflow, moved fingerprints:
-    "ann_topk_ivfpq": 10,
-    # round 11 (VERDICT r10 #7): corpus_ccnet_buckets' score column
-    # moved from the unigram NLL to text_backoff_lm_quality's
-    # interpolated bigram→unigram backoff score (both engines changed
-    # identically via the shared _BACKOFF_LM_CTES replay):
-    "corpus_ccnet_buckets": 10,
-    # round 11: the batch reader's row generation factored into the
-    # shared _row() (now also feeding the simpleStreamReader) —
-    # identical rows, moved fingerprint:
-    "pysource_synthetic_events": 10,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
