@@ -35,6 +35,41 @@ def _cpu_ticks() -> tuple[int, int]:
     except (OSError, ValueError, IndexError):
         return 0, 0
 
+def _calib_sec() -> float:
+    """Fixed-work CPU probe (VERDICT r11 #2): seconds to SHA-256 a fixed
+    64 MiB buffer, min of 3 runs. Single-threaded, allocation-free in the
+    timed loop, and independent of steal accounting — so a frequency-
+    throttled or co-tenant-slowed host (BENCH_r11: 1.56× total at only
+    139 steal ticks, untouched q1 at 2.04×) is self-evident from the
+    capture alone: calib_sec scales with the same host slowdown the
+    query timings absorb. BASELINE.md records the quiet-host value;
+    capture_calib / quiet_calib ≈ the multiplier to deflate totals by."""
+    import hashlib
+
+    buf = bytes(range(256)) * (64 * 1024 * 1024 // 256)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hashlib.sha256(buf).digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _cpu_mhz() -> float:
+    """Mean 'cpu MHz' across /proc/cpuinfo — the direct frequency signal
+    (0.0 when the kernel doesn't expose it, e.g. some VMs)."""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            vals = [
+                float(line.split(":")[1])
+                for line in fh
+                if line.startswith("cpu MHz")
+            ]
+        return round(sum(vals) / len(vals), 1) if vals else 0.0
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 #: headline set: scan-agg, join-heavy, window, event-time, dedup (exact +
 #: LSH), similarity, text, and the flagship clustering pipeline
 BENCH_QUERIES = [
@@ -133,6 +168,7 @@ def main() -> None:
 
     events_json_dir(spark, SF_DIR)
 
+    calib_start, mhz_start = _calib_sec(), _cpu_mhz()
     steal0, total0 = _cpu_ticks()
     timings: dict[str, float] = {}
     query_steal: dict[str, int] = {}
@@ -168,6 +204,7 @@ def main() -> None:
         # bench session's executor memory flat (ADVICE r8)
         spark.catalog.clearCache()
     steal1, total1 = _cpu_ticks()
+    calib_end, mhz_end = _calib_sec(), _cpu_mhz()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
@@ -180,6 +217,13 @@ def main() -> None:
         "cpu_ticks": total1 - total0,
         "query_steal_ticks": query_steal,
         "rewarm_sec": rewarm_sec,
+        # host-speed calibration (VERDICT r11 #2): fixed-work SHA-256
+        # probe bracketing the timed loop + /proc/cpuinfo MHz samples.
+        # Quiet-host reference value is pinned in BASELINE.md — a
+        # capture whose calib_sec is ≫ that reference ran on a slowed
+        # host even when steal_ticks look clean.
+        "calib_sec": {"start": calib_start, "end": calib_end},
+        "cpu_mhz": {"start": mhz_start, "end": mhz_end},
     }
     line = json.dumps(summary)
     # The stdout line is the driver contract, but a truncated pipe
