@@ -134,7 +134,9 @@ _PRIORITY = [
     "text_bpe_pair_merges",
     "text_bigram_lm_quality",
     "multimodal_chunk_dedup",
-    "multimodal_resize_stub",
+    # renamed multimodal_resize_stub -> multimodal_resize in r12 (real
+    # decoder; the `if n in raw` guard makes the old name inert)
+    "multimodal_resize",
     # never-graded relational / time-series / stats / governance
     "events_ewma_user_value",
     "layout_zorder_buckets",
@@ -193,6 +195,31 @@ _REGRADE = {
     # tools/query_hashes.py --write. An expired bump is inert for the
     # rotation but the rotation-invariant test rejects it by design,
     # so prune-at-round-open is mandatory.)
+    #
+    # round 12 (VERDICT r11 #3): the multimodal quartet now decodes the
+    # REAL P6 payload through decode_image — feature_extract and
+    # frame_sample compute raster statistics (new semantics + new
+    # oracles), and ppm_decode's blob construction factored into the
+    # shared _ppm_blob_src (identical dataflow, moved fingerprint).
+    # multimodal_resize_stub was RENAMED to multimodal_resize (never-
+    # graded under the new name, so it enters the dark-priority block,
+    # no bump needed).
+    "multimodal_feature_extract": 9,
+    "multimodal_frame_sample": 9,
+    "multimodal_ppm_decode": 11,
+    # round 12 (VERDICT r11 #4): the composed corpus_published_clean
+    # pipeline factored corpus-agnostic cores out of its three stages —
+    # _c4_clean_pages (C4 line/page rules), _paragraph_occurrences_from
+    # / _units_and_pairs_from / _paragraph_clean_tagged (paragraph
+    # exact+near dedup), _dup_span_islands_from / _span_removal_from
+    # (span removal). Identical dataflow for the existing queries, but
+    # their closure fingerprints moved:
+    "corpus_c4_filters": 10,
+    "text_dup_spans": 11,
+    "text_dup_spans_w50": 11,
+    "text_dup_span_removal": 11,
+    "corpus_paragraph_neardup": 11,
+    "corpus_paragraph_clean": 11,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

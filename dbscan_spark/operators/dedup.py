@@ -874,6 +874,14 @@ def _paragraph_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    return _paragraph_occurrences_from(d)
+
+
+def _paragraph_occurrences_from(d: DataFrame) -> DataFrame:
+    """Corpus-agnostic core of :func:`_paragraph_occurrences` over any
+    ``(doc_id, text)`` table — since r12 the composed published
+    cleaning pipeline feeds it the C4-cleaned pages instead of the raw
+    corpus."""
     return (
         d.select(
             "doc_id",
@@ -894,6 +902,12 @@ def _paragraph_units_and_pairs(spark: SparkSession, sf_dir: str):
     Returns ``(units, pairs)`` where units = (ph, first, np) and
     pairs = (ph1, ph2, jaccard) with ph1 < ph2."""
     paras = _paragraph_occurrences(spark, sf_dir)
+    return _units_and_pairs_from(paras)
+
+
+def _units_and_pairs_from(paras: DataFrame):
+    """Corpus-agnostic core of :func:`_paragraph_units_and_pairs` over
+    any ``(ph, doc_id, pos, np)`` occurrence table."""
     units = paras.groupBy("ph").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.min("np").alias("np"),
@@ -968,35 +982,19 @@ def _paragraph_units_and_pairs(spark: SparkSession, sf_dir: str):
     return units, pairs
 
 
-def corpus_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END paragraph cleaning decision — CCNet stage 1 +
-    the near-dup stage composed into the rewrite a pipeline actually
-    ships: (a) every non-first occurrence of a normalized paragraph
-    drops (the exact rule of :func:`corpus_paragraph_dedup`); (b) over
-    DISTINCT paragraphs, the verified MinHash near-dup pair graph
-    (:func:`corpus_paragraph_neardup`'s machinery) forms connected
-    components and only the component's earliest-first-occurrence
-    paragraph survives — templated boilerplate differing by a counter
-    drops everywhere, not just its exact repeats. Per document:
-    paragraph counts by verdict (kept / dropped_exact / dropped_near)
-    and the residual md5 (kept paragraphs, original order), so the
-    rewrite itself is hash-gated.
-
-    Scale shape: stages (a)+(b) reuse the factored paragraph pipeline
-    (one md5-keyed aggregate; banded LSH, candidates-only verify).
-    The component step collects only the VERIFIED PAIR LIST and the
-    involved units' reps to the driver for union-find — bounded by
-    |near-dup paragraph pairs|, the same small-side argument
-    dedup_semantic_keep_best documents (and the reference's own
-    driver-side merge-graph trick, DBSCAN.scala:141-185, one level
-    down); the loser set broadcasts back as a hash-keyed anti-filter.
-    EXACT oracle: the quadratic pair SQL + a recursive min-label
-    closure (labels = first-occurrence ordinal doc_id·10⁶+pos — pos is
-    bounded far below 10⁶ on any real document) + the same verdict
-    classification and ordered string_agg residual."""
+def _paragraph_clean_tagged(
+    spark: SparkSession, paras: DataFrame
+) -> DataFrame:
+    """Corpus-agnostic verdict core of the composed paragraph cleaning
+    decision (factored in r12 for the published cleaning pipeline):
+    over any ``(ph, doc_id, pos, np)`` occurrence table, tag every
+    occurrence ``kept`` / ``dropped_exact`` (non-first occurrence) /
+    ``dropped_near`` (near-dup component loser — verified MinHash pair
+    graph, driver union-find over the PAIR LIST only, earliest-rep
+    survivor). Returns (doc_id, pos, np, v)."""
     from dbscan_spark.graph import UnionFind
 
-    units, pairs = _paragraph_units_and_pairs(spark, sf_dir)
+    units, pairs = _units_and_pairs_from(paras)
     edge_rows = pairs.select("ph1", "ph2").collect()
     involved = spark.createDataFrame(
         [(p,) for e in edge_rows for p in (e["ph1"], e["ph2"])] or
@@ -1023,7 +1021,6 @@ def corpus_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_df = spark.createDataFrame(
         [(p,) for p in dropped] or [("",)], "ph string"
     )
-    paras = _paragraph_occurrences(spark, sf_dir)
     first = paras.groupBy("ph").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
@@ -1050,9 +1047,41 @@ def corpus_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("near_drop"), F.lit("dropped_near"))
         .otherwise(F.lit("kept"))
     )
+    return tagged.withColumn("v", verdict).select(
+        "doc_id", "pos", "np", "v"
+    )
+
+
+def corpus_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END paragraph cleaning decision — CCNet stage 1 +
+    the near-dup stage composed into the rewrite a pipeline actually
+    ships: (a) every non-first occurrence of a normalized paragraph
+    drops (the exact rule of :func:`corpus_paragraph_dedup`); (b) over
+    DISTINCT paragraphs, the verified MinHash near-dup pair graph
+    (:func:`corpus_paragraph_neardup`'s machinery) forms connected
+    components and only the component's earliest-first-occurrence
+    paragraph survives — templated boilerplate differing by a counter
+    drops everywhere, not just its exact repeats. Per document:
+    paragraph counts by verdict (kept / dropped_exact / dropped_near)
+    and the residual md5 (kept paragraphs, original order), so the
+    rewrite itself is hash-gated.
+
+    Scale shape: stages (a)+(b) reuse the factored paragraph pipeline
+    (one md5-keyed aggregate; banded LSH, candidates-only verify).
+    The component step collects only the VERIFIED PAIR LIST and the
+    involved units' reps to the driver for union-find — bounded by
+    |near-dup paragraph pairs|, the same small-side argument
+    dedup_semantic_keep_best documents (and the reference's own
+    driver-side merge-graph trick, DBSCAN.scala:141-185, one level
+    down); the loser set broadcasts back as a hash-keyed anti-filter.
+    EXACT oracle: the quadratic pair SQL + a recursive min-label
+    closure (labels = first-occurrence ordinal doc_id·10⁶+pos — pos is
+    bounded far below 10⁶ on any real document) + the same verdict
+    classification and ordered string_agg residual."""
+    paras = _paragraph_occurrences(spark, sf_dir)
+    tagged = _paragraph_clean_tagged(spark, paras)
     agg = (
-        tagged.withColumn("v", verdict)
-        .groupBy("doc_id")
+        tagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_paragraphs"),
             F.sum((F.col("v") == "kept").cast("long")).alias("n_kept"),
@@ -1094,6 +1123,119 @@ def corpus_paragraph_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dropped_exact", F.lit(0)).alias("n_dropped_exact"),
         F.coalesce("n_dropped_near", F.lit(0)).alias("n_dropped_near"),
         "residual_hash",
+    )
+
+
+def corpus_published_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED published cleaning pipeline (VERDICT r11 #4) — the
+    RefinedWeb/Dolma shape run as ONE pipeline-ordered pass instead of
+    four independent audits: (1) C4 line+page rules (Raffel et al. 2020
+    §2.2) drop bad lines and gate whole pages; (2) over the SURVIVING
+    pages' cleaned text, paragraph exact dedup + verified MinHash
+    near-dedup with earliest-rep survivors (Wenzek et al. 2020 §3.1 +
+    the Lee et al. templated near-misses); (3) over the paragraph-
+    cleaned token stream, duplicated-span REMOVAL (Lee et al. 2022).
+    Stage ORDER is semantic: paragraph dedup sees only C4-surviving
+    text (a boilerplate line C4 drops can no longer vote a paragraph
+    duplicate), and span duplication is counted over the paragraph-
+    cleaned corpus (a gram whose only second occurrence lived in a
+    dropped paragraph is no longer duplicated) — the crafted-fixture CI
+    test pins both order effects. Per document: the c4 verdict + line
+    counts, paragraph verdict counts, token kept/removed counts and
+    the FINAL residual md5 — the cleaned corpus itself is hash-gated.
+
+    Scale shape: stage 1 is a zero-shuffle row-local projection; stage
+    2 is the factored paragraph machinery (md5-keyed aggregates, banded
+    LSH, candidates-only verify, driver union-find over the verified
+    PAIR LIST only); stage 3 is the factored islands pipeline (one
+    gram-keyed count aggregate, per-doc bounded windows, row-local
+    array_except rewrite). Assembly is three doc_id-co-keyed left
+    joins onto the page spine. EXACT DuckDB oracle composing the three
+    stage replays over the same derived intermediates."""
+    from dbscan_spark.operators.text import (
+        _DUP_SPAN_L,
+        _c4_clean_pages,
+        _dup_span_islands_from,
+        _span_removal_from,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    c4 = (
+        _c4_clean_pages(d)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_lines_kept",
+            F.col("keep").alias("c4_keep"),
+            "cleaned",
+        )
+        .persist()
+    )
+    pages = c4.filter("c4_keep").select(
+        "doc_id", F.col("cleaned").alias("text")
+    )
+    paras = _paragraph_occurrences_from(pages)
+    tagged = _paragraph_clean_tagged(spark, paras)
+    pagg = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum((F.col("v") == "kept").cast("long")).alias("n_para_kept"),
+        F.sum((F.col("v") == "dropped_exact").cast("long")).alias(
+            "n_para_dropped_exact"
+        ),
+        F.sum((F.col("v") == "dropped_near").cast("long")).alias(
+            "n_para_dropped_near"
+        ),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("v") == "kept", F.struct("pos", "np"))
+            )
+        ).alias("ks"),
+    )
+    stage3_src = pagg.filter(F.col("n_para_kept") > 0).select(
+        "doc_id",
+        F.flatten(
+            F.transform("ks", lambda s: F.split(s["np"], " "))
+        ).alias("toks"),
+    )
+    docs3, _base3, islands3 = _dup_span_islands_from(
+        stage3_src, _DUP_SPAN_L
+    )
+    removal = _span_removal_from(docs3, islands3, _DUP_SPAN_L)
+    return (
+        c4.select("doc_id", "n_lines", "n_lines_kept", "c4_keep")
+        .join(pagg.drop("ks"), "doc_id", "left")
+        .join(
+            removal.select(
+                "doc_id",
+                "n_tokens",
+                F.col("n_kept_tokens").alias("n_tokens_kept"),
+                F.col("n_removed_tokens").alias("n_tokens_removed"),
+                F.col("residual_md5").alias("final_md5"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "c4_keep",
+            "n_lines",
+            "n_lines_kept",
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in (
+                    "n_paragraphs",
+                    "n_para_kept",
+                    "n_para_dropped_exact",
+                    "n_para_dropped_near",
+                    "n_tokens",
+                    "n_tokens_kept",
+                    "n_tokens_removed",
+                )
+            ],
+            "final_md5",
+        )
     )
 
 
@@ -1404,6 +1546,7 @@ QUERIES = {
     "corpus_paragraph_dedup": corpus_paragraph_dedup,
     "corpus_paragraph_neardup": corpus_paragraph_neardup,
     "corpus_paragraph_clean": corpus_paragraph_clean,
+    "corpus_published_clean": corpus_published_clean,
     "dedup_incremental": dedup_incremental,
 }
 
@@ -1946,4 +2089,188 @@ ORACLE["dedup_semdedup"] = f"""
         SELECT r.vec_id, CAST(r.cluster AS BIGINT) AS cluster, r.cent_sim,
                (d.vec_id IS NOT NULL) AS "drop"
         FROM rk r LEFT JOIN drp d USING (vec_id)
+"""
+
+# corpus_published_clean's oracle is assembled HERE: it inlines the
+# duplicated-span width from the text module (single source of truth
+# with the Spark side's _DUP_SPAN_L) and composes the three stage
+# replays — C4 line/page rules, paragraph exact+near dedup with the
+# recursive min-label closure, and span-removal — over the same derived
+# intermediates the Spark pipeline computes.
+from dbscan_spark.operators.text import _DUP_SPAN_L as _SPAN_W  # noqa: E402
+
+_PUB_GRAM = " || ' ' || ".join(f"toks[i + {k}]" for k in range(_SPAN_W))
+
+ORACLE["corpus_published_clean"] = f"""
+        WITH RECURSIVE
+        c4base AS (
+          SELECT doc_id, text,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            l -> trim(l)),
+                             l -> length(l) > 0) AS lines
+          FROM documents WHERE text IS NOT NULL),
+        c4k AS (
+          SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+                 list_filter(lines, l ->
+                     right(l, 1) IN ('.', '!', '?', '"')
+                     AND len(list_filter(
+                             regexp_split_to_array(l, '[ \t]+'),
+                             w -> length(w) > 0)) >= 3
+                     AND NOT contains(lower(l), 'javascript')) AS kept,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                 contains(text, '{{') AS has_brace
+          FROM c4base),
+        c4 AS (
+          SELECT doc_id, n_lines,
+                 CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                 coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+                 (CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+                       - length(replace(replace(replace(
+                             coalesce(array_to_string(kept, chr(10)), ''),
+                             '.', ''), '!', ''), '?', ''))
+                       AS BIGINT) >= 5
+                  AND NOT has_lorem_ipsum AND NOT has_brace) AS c4_keep
+          FROM c4k),
+        pages AS (SELECT doc_id, cleaned FROM c4 WHERE c4_keep),
+        pbase AS (SELECT doc_id, string_split(cleaned, chr(10)) AS parts
+                  FROM pages),
+        ppos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(parts))) AS BIGINT) AS pos,
+                 unnest(parts) AS p
+          FROM pbase),
+        pnz AS (
+          SELECT doc_id, pos,
+                 trim(regexp_replace(regexp_replace(lower(p),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS np
+          FROM ppos),
+        ranked AS (
+          SELECT md5(np) AS ph, doc_id, pos, np,
+                 row_number() OVER (PARTITION BY md5(np)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM pnz WHERE length(np) > 0),
+        units AS (SELECT ph, doc_id, pos, np FROM ranked WHERE rn = 1),
+        ptoks AS (SELECT ph, string_split(np, ' ') AS t FROM units),
+        psh AS (SELECT DISTINCT ph, unnest({_SQL_SHINGLES}) AS s
+                FROM ptoks),
+        pcnt AS (SELECT ph, count(*) AS n FROM psh GROUP BY ph),
+        pcommon AS (
+            SELECT a.ph AS ph1, b.ph AS ph2, count(*) AS c
+            FROM psh a JOIN psh b ON a.s = b.s AND a.ph < b.ph
+            GROUP BY 1, 2),
+        ppairs AS (
+            SELECT ph1, ph2
+            FROM pcommon
+            JOIN pcnt x ON ph1 = x.ph
+            JOIN pcnt y ON ph2 = y.ph
+            WHERE floor(c * 1.0 / (x.n + y.n - c) * 10000 + 0.5) / 10000
+                  >= {JACCARD_THRESHOLD}),
+        lbl AS (SELECT ph, doc_id * 1000000 + pos AS lab FROM units),
+        edges AS (SELECT ph1 AS src, ph2 AS dst FROM ppairs
+                  UNION ALL
+                  SELECT ph2 AS src, ph1 AS dst FROM ppairs),
+        reach(node, lab) AS (
+            SELECT l.ph, l.lab FROM lbl l
+            WHERE l.ph IN (SELECT src FROM edges)
+            UNION
+            SELECT e.dst, r.lab
+            FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS ph, min(lab) AS clab
+                 FROM reach GROUP BY node),
+        drops AS (
+            SELECT c.ph FROM comp c JOIN lbl l USING (ph)
+            WHERE c.clab <> l.lab),
+        ptag AS (
+          SELECT t.doc_id, t.pos, t.np,
+                 CASE WHEN t.rn > 1 THEN 'dropped_exact'
+                      WHEN d.ph IS NOT NULL THEN 'dropped_near'
+                      ELSE 'kept' END AS v
+          FROM ranked t LEFT JOIN drops d ON t.ph = d.ph),
+        pagg AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_paragraphs,
+                 CAST(sum(CASE WHEN v = 'kept' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_para_kept,
+                 CAST(sum(CASE WHEN v = 'dropped_exact' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_para_dropped_exact,
+                 CAST(sum(CASE WHEN v = 'dropped_near' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_para_dropped_near,
+                 list(np ORDER BY pos) FILTER (WHERE v = 'kept')
+                   AS kept_nps
+          FROM ptag GROUP BY doc_id),
+        sdocs AS (
+          SELECT doc_id,
+                 flatten(list_transform(kept_nps,
+                                        p -> string_split(p, ' ')))
+                   AS toks
+          FROM pagg WHERE n_para_kept > 0),
+        sbase AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 list_transform(
+                     range(1, greatest(len(toks) - {_SPAN_W - 1}, 0) + 1),
+                     i -> {_PUB_GRAM}) AS grams
+          FROM sdocs),
+        spos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(grams))) AS BIGINT) AS pos,
+                 unnest(list_transform(grams, g ->
+                     CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)))
+                   AS gh
+          FROM sbase),
+        sdup AS (SELECT gh FROM spos GROUP BY gh HAVING count(*) >= 2),
+        shits AS (SELECT p.doc_id, p.pos FROM spos p JOIN sdup USING (gh)),
+        sflag AS (
+          SELECT doc_id, pos,
+                 CASE WHEN max(pos + {_SPAN_W - 1}) OVER w_prev IS NULL
+                        OR pos > max(pos + {_SPAN_W - 1}) OVER w_prev + 1
+                      THEN 1 ELSE 0 END AS new_island
+          FROM shits
+          WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)),
+        sisl AS (
+          SELECT doc_id, pos,
+                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+          FROM sflag),
+        ssp AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_W - 1} AS e
+          FROM sisl GROUP BY doc_id, island),
+        stok AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, len(toks))) AS BIGINT) AS i,
+                 unnest(toks) AS t
+          FROM sbase),
+        scov AS (
+          SELECT DISTINCT tp.doc_id, tp.i
+          FROM stok tp
+          JOIN ssp ON tp.doc_id = ssp.doc_id
+                  AND tp.i BETWEEN ssp.s AND ssp.e),
+        skept AS (
+          SELECT tp.doc_id, tp.i, tp.t
+          FROM stok tp
+          LEFT JOIN scov ON tp.doc_id = scov.doc_id AND tp.i = scov.i
+          WHERE scov.i IS NULL),
+        sres AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 md5(string_agg(t, ' ' ORDER BY i)) AS residual_md5
+          FROM skept GROUP BY doc_id)
+        SELECT c4.doc_id, c4.c4_keep, c4.n_lines, c4.n_lines_kept,
+               CAST(coalesce(pa.n_paragraphs, 0) AS BIGINT)
+                 AS n_paragraphs,
+               CAST(coalesce(pa.n_para_kept, 0) AS BIGINT)
+                 AS n_para_kept,
+               CAST(coalesce(pa.n_para_dropped_exact, 0) AS BIGINT)
+                 AS n_para_dropped_exact,
+               CAST(coalesce(pa.n_para_dropped_near, 0) AS BIGINT)
+                 AS n_para_dropped_near,
+               CAST(coalesce(sb.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sr.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+               CAST(coalesce(sb.n_tokens, 0) - coalesce(sr.n_kept, 0)
+                    AS BIGINT) AS n_tokens_removed,
+               sr.residual_md5 AS final_md5
+        FROM c4
+        LEFT JOIN pagg pa USING (doc_id)
+        LEFT JOIN sbase sb USING (doc_id)
+        LEFT JOIN sres sr USING (doc_id)
 """

@@ -81,10 +81,38 @@ def decode_image(blob: bytes) -> "np.ndarray":
     )
 
 
-def _fake_decode(blob: bytes) -> np.ndarray:
-    """Deterministic stand-in decoder: the blob's bytes as a uint8 array
-    (stands in for decoded pixels)."""
-    return np.frombuffer(blob, dtype=np.uint8)
+_PPM_W = 16  # fixed raster width of the deterministic P6 payloads
+
+
+def _ppm_blob_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_text_bytes, blob): the deterministic P6 payload every
+    multimodal query decodes — header + the document's UTF-8 bytes as
+    RGB pixels, zero-padded to a 16-pixel-wide raster. Built ENTIRELY
+    JVM-side (``unhex(repeat('00', pad))`` is the padding trick) so the
+    corpus needs no regeneration and the payload bytes are engine-exact;
+    shared by the whole quartet (decode / feature-extract / resize /
+    frame-sample) since r12 so they all parse the SAME real container
+    bytes through :func:`decode_image`."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n = F.length(F.encode(F.col("text"), "UTF-8"))
+    h = F.greatest(F.lit(1), F.ceil(n / F.lit(3.0 * _PPM_W))).cast("int")
+    pad = (h * (3 * _PPM_W) - n).cast("int")
+    header = F.concat_ws(
+        "",
+        F.lit(f"P6\n{_PPM_W} "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    blob = F.concat(
+        F.encode(header, "UTF-8"),
+        F.encode(F.col("text"), "UTF-8"),
+        F.unhex(F.repeat(F.lit("00"), pad)),
+    )
+    return d.select(
+        "doc_id", n.cast("long").alias("n_text_bytes"), blob.alias("blob")
+    )
 
 
 def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,6 +131,7 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("byte_mean", T.DoubleType(), True),
         T.StructField("byte_std", T.DoubleType(), True),
@@ -112,18 +141,24 @@ _FEATURE_SCHEMA = T.StructType(
 
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Arrow-batched feature extraction over DECODED rasters — since r12
+    (VERDICT r11 #3) the stats run on the pixels :func:`decode_image`
+    parses out of the real P6 container (shared payload builder
+    :func:`_ppm_blob_src`), not on the raw byte stream: a header
+    mis-parse changes the parsed height, the raster size, and the
+    padding mass in bucket 0, so the decoder itself is hash-gated
+    through every output column.
 
-    ``mapInPandas`` — the pattern for decode/resize/frame-sample at scale:
-    each Arrow batch is decoded in numpy without per-row Python overhead,
-    and the output schema is fixed so downstream operators stay columnar.
-    Uses the deterministic fake decoder (real codec stubbed, see
-    :func:`decode_image`). EXACT DuckDB oracle over the true UTF-8 BYTE
-    stream (hex(encode(text)) parsed two chars per byte — since the
-    round-9 unicode fuzz; the previous codepoint walk was only valid on
-    ASCII corpora): mean and std derive from the exact integer sums Σx
-    and Σx² (both < 2^53, so float64-exact in any summation order on
-    any engine), and the rounding is the half-up floor form both
+    ``mapInPandas`` — the pattern for decode/resize/frame-sample at
+    scale: each Arrow batch is decoded in numpy without per-row Python
+    overhead, the output schema is fixed so downstream operators stay
+    columnar, and the plan has ZERO shuffle (row-local JVM payload
+    build + one Arrow map). EXACT DuckDB oracle over the true UTF-8
+    byte stream (``hex(encode(text))``, two hex chars per byte): the
+    raster is text bytes + zero padding, so Σx and Σx² over the raster
+    equal the text-byte sums (both < 2^53, float64-exact in any order),
+    the denominator is the raster size h·48, and padding lands in
+    histogram bucket 0 — the rounding is the half-up floor form both
     engines compute identically.
 
     The ``histo16`` histogram is emitted as a canonical JSON string (not
@@ -132,41 +167,42 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines' JSON/string form. Internal consumers
     parse it back.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
-    )
+    src = _ppm_blob_src(spark, sf_dir).select("doc_id", "blob")
 
     def _r4f(x: float) -> float:
         return float(np.floor(x * 10000 + 0.5)) / 10000
 
-    def stats(p: "np.ndarray") -> tuple:
-        if not len(p):
-            return None, None
-        n = len(p)
-        s1 = int(p.sum())
-        s2 = int((p.astype(np.int64) ** 2).sum())
-        mean = s1 / n
-        var = s2 / n - mean * mean
-        return _r4f(mean), _r4f(float(np.sqrt(var)))
-
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = [_fake_decode(b) for b in pdf["blob"]]
-            st = [stats(p) for p in pixels]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "n_bytes": [len(p) for p in pixels],
-                    "byte_mean": [m for m, _ in st],
-                    "byte_std": [s for _, s in st],
-                    "histo16": [
-                        np.bincount(p >> 4, minlength=16).astype("int64")
-                        for p in pixels
-                    ],
-                }
-            )
+            out: dict[str, list] = {
+                "doc_id": [],
+                "height": [],
+                "n_bytes": [],
+                "byte_mean": [],
+                "byte_std": [],
+                "histo16": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_image(bytes(b))
+                flat = img.reshape(-1)
+                n = len(flat)
+                s1 = int(flat.sum())
+                s2 = int((flat.astype(np.int64) ** 2).sum())
+                mean = s1 / n
+                # clamp: a constant raster can compute a ~-1e-18 var
+                # from rounding; both engines clamp identically
+                var = max(s2 / n - mean * mean, 0.0)
+                out["doc_id"].append(doc_id)
+                out["height"].append(img.shape[0])
+                out["n_bytes"].append(n)
+                out["byte_mean"].append(_r4f(mean))
+                out["byte_std"].append(_r4f(float(np.sqrt(var))))
+                out["histo16"].append(
+                    np.bincount(flat >> 4, minlength=16).astype("int64")
+                )
+            yield pd.DataFrame(out)
 
-    feats = d.mapInPandas(extract, _FEATURE_SCHEMA)
+    feats = src.mapInPandas(extract, _FEATURE_SCHEMA)
     return feats.withColumn("histo16", F.to_json("histo16"))
 
 
@@ -218,35 +254,40 @@ _FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.LongType(), False),
         T.StructField("byte_offset", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
         T.StructField("byte_mean", T.DoubleType(), True),
     ]
 )
 
-_FRAME_SIZE = 256  # bytes per "frame" of the fake video payload
 _MAX_FRAMES = 4  # uniform sample cap per document
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over a video-like binary payload — ``mapInPandas``
-    with a VARIABLE number of output rows per input row (each sampled
-    frame becomes its own row), the plumbing shape a real
-    decode-and-sample-frames stage has at scale: rows explode inside the
-    Arrow batch, never through a Python-row path, and the fixed output
-    schema keeps downstream operators columnar.
+    """Frame sampling over the DECODED raster — since r12 (VERDICT r11
+    #3) a "frame" is a parsed RASTER ROW of the real P6 payload (16 RGB
+    pixels = 48 bytes), not a raw byte segment: :func:`decode_image`
+    parses the container, up to 4 rows are sampled uniformly from the
+    parsed height, and each sampled row emits its per-CHANNEL integer
+    sums + byte mean — a header mis-parse shifts the row geometry AND
+    the R/G/B channel assignment, so the decoder is hash-gated through
+    the frame values (the per-channel discipline of
+    ``multimodal_ppm_decode``).
 
-    The "video" is the blob segmented into 256-byte frames; up to 4 frames
-    are sampled uniformly (deterministic — no codec in this container, see
-    :func:`decode_image`). EXACT DuckDB oracle over the true UTF-8 BYTE
-    stream (``hex(encode(text))`` parsed two chars per byte — round-9
-    unicode fuzz rewrite; valid on any corpus, not just ASCII): the
-    frame-selection integer math and per-frame byte means are reproduced
-    in SQL from that byte stream — the Arrow plumbing's VALUES are
-    hash-gated, not just its row counts; unit tests additionally pin
-    offsets/stats vs numpy.
+    ``mapInPandas`` with a VARIABLE number of output rows per input row
+    (each sampled frame becomes its own row), the plumbing shape a real
+    decode-and-sample-frames stage has at scale: rows explode inside
+    the Arrow batch, never through a Python-row path, and the fixed
+    output schema keeps downstream operators columnar; zero shuffle.
+    EXACT DuckDB oracle over the true UTF-8 byte stream
+    (``hex(encode(text))``, two hex chars per byte): text byte i sits
+    at raster position i (channel i mod 3, row i div 48), padding
+    contributes nothing to sums but the mean divides by the fixed
+    48-byte row; frame selection is the same evenly-spaced integer
+    math on the parsed height.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
-    )
+    src = _ppm_blob_src(spark, sf_dir).select("doc_id", "blob")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -255,91 +296,117 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "frame_idx": [],
                 "byte_offset": [],
                 "n_bytes": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
                 "byte_mean": [],
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                pixels = _fake_decode(blob)
-                n_frames = max(1, -(-len(pixels) // _FRAME_SIZE))
+                img = decode_image(bytes(blob))
+                n_frames = img.shape[0]
                 take = min(n_frames, _MAX_FRAMES)
                 # uniform deterministic sample: evenly spaced frame ids
                 idxs = sorted({(i * n_frames) // take for i in range(take)})
                 for fi in idxs:
-                    fr = pixels[fi * _FRAME_SIZE : (fi + 1) * _FRAME_SIZE]
+                    fr = img[fi].astype(np.int64)  # (16, 3)
+                    ch = fr.sum(0)
+                    total = int(ch.sum())
+                    row_bytes = fr.size
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(fi)
-                    out["byte_offset"].append(fi * _FRAME_SIZE)
-                    out["n_bytes"].append(len(fr))
+                    out["byte_offset"].append(fi * row_bytes)
+                    out["n_bytes"].append(row_bytes)
+                    out["sum_r"].append(int(ch[0]))
+                    out["sum_g"].append(int(ch[1]))
+                    out["sum_b"].append(int(ch[2]))
                     # round-half-up via floor (pure IEEE) so the DuckDB
                     # oracle's floor(x*1e4 + 0.5)/1e4 agrees bit-for-bit
                     # (Python round() is banker's and diverges on exact
-                    # .00005 boundaries, reachable when sum ≡ 8 mod 16)
+                    # .00005 boundaries)
                     out["byte_mean"].append(
-                        float(np.floor(float(fr.mean()) * 10000 + 0.5))
+                        float(np.floor(total / row_bytes * 10000 + 0.5))
                         / 10000
-                        if len(fr)
-                        else None
                     )
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(sample, _FRAME_SCHEMA)
+    return src.mapInPandas(sample, _FRAME_SCHEMA)
 
 
-_RESIZE_DIM = 32
+_THUMB = 4  # thumbnail is 4×4 pixels × 3 channels
 
 
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize/downsample over the decoded payload — the missing quarter
-    of the decode → feature-extract → RESIZE → frame-sample multimodal
-    quartet: every payload is reduced to a fixed 32-element "thumbnail"
-    by averaging equal-width byte strides (what an image resize does per
-    channel row; the codec itself stays stubbed, see
-    :func:`decode_image`). ``mapInPandas`` keeps the Arrow batch shape
-    of a real resize (fixed-width output per input row, no Python-row
-    path). Output is the thumbnail's md5 (over the comma-joined
-    quantized values) + first/last cells, so the driver hash-gates the
-    RESIZED VALUES themselves; the DuckDB oracle recomputes the strided
-    means from the true UTF-8 byte stream (``hex(encode(text))``, two hex
-    chars per byte) with identical floor-half-up quantization."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
-    )
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize over the DECODED raster — since r12 (VERDICT
+    r11 #3, renamed from ``multimodal_resize_stub``): each P6 payload is
+    parsed by :func:`decode_image` and its (h, 16, 3) pixel array is
+    block-averaged down to a fixed 4×4 thumbnail PER CHANNEL — exactly
+    what an area-average image resize does: thumbnail cell (tr, tc, ch)
+    is the mean of pixel block rows [tr·h/4, (tr+1)·h/4) × cols
+    [4·tc, 4·tc+4), so a header mis-parse changes the block geometry
+    and every cell. Row blocks can be empty when h < 4 (short docs) —
+    those cells are NULL on both engines.
+
+    ``mapInPandas`` keeps the Arrow batch shape of a real resize
+    (fixed-width output per input row, no Python-row path, zero
+    shuffle). Output is the 48-cell thumbnail's md5 (over the
+    comma-joined quantized values in (tr, tc, ch) row-major order) +
+    the first/last cells, so the driver hash-gates the RESIZED VALUES
+    themselves. EXACT DuckDB oracle from the true UTF-8 byte stream:
+    text byte i is raster (row i/48, col (i%48)/3, channel i%3), the
+    row-block index has the closed form (4·row + 3) // h, padding
+    zeros add nothing to block sums while block counts are geometric
+    ((hi−lo)·4), and quantization is the same exact-integer
+    floor-half-up at 1e-4."""
+    src = _ppm_blob_src(spark, sf_dir).select("doc_id", "blob")
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [],
+                "height": [],
                 "n_bytes": [],
                 "thumb_md5": [],
                 "thumb_first": [],
                 "thumb_last": [],
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                pixels = _fake_decode(blob)
-                n = len(pixels)
-                cells = []
-                for k in range(_RESIZE_DIM):
-                    lo = (k * n) // _RESIZE_DIM
-                    hi = ((k + 1) * n) // _RESIZE_DIM
-                    if hi <= lo:
-                        cells.append(None)
-                        continue
-                    seg = pixels[lo:hi].astype(np.int64)
-                    # exact rational -> floor-half-up at 1e-4 (same rule
-                    # as the oracle; int sums keep it engine-exact)
-                    cells.append(
-                        float(
-                            (200000 * int(seg.sum()) + (hi - lo))
-                            // (2 * (hi - lo))
-                        )
-                        / 10000.0
-                    )
+                img = decode_image(bytes(blob)).astype(np.int64)
+                h = img.shape[0]
+                # vectorized block sums (measure-then-fix, r12: the
+                # per-cell python loop — 48 slice-sums per doc —
+                # measured 7.6 s at sf1.0 = 6.5x for 10x data; this
+                # reshape + cumsum form is 3 numpy ops per doc):
+                # column blocks are uniform 4-wide, row blocks come
+                # from the cumulative sum at the integer partition
+                # bounds — identical exact-integer arithmetic
+                colsum = img.reshape(h, _THUMB, 4, 3).sum(axis=2)
+                cs = np.concatenate(
+                    [np.zeros((1, _THUMB, 3), np.int64),
+                     np.cumsum(colsum, axis=0)]
+                )
+                bounds = [(tr * h) // _THUMB for tr in range(_THUMB + 1)]
+                lo = np.asarray(bounds[:-1])
+                hi = np.asarray(bounds[1:])
+                s_blk = cs[hi] - cs[lo]  # (tr, tc, ch) row-major
+                cnt = (hi - lo) * 4
+                c3 = cnt[:, None, None]
+                # exact rational -> floor-half-up at 1e-4 (int sums
+                # keep it engine-exact); empty row blocks -> None
+                q = (20000 * s_blk + c3) // np.maximum(2 * c3, 1)
+                cells = [
+                    None if cnt[tr] == 0 else float(q[tr, tc, ch]) / 10000.0
+                    for tr in range(_THUMB)
+                    for tc in range(_THUMB)
+                    for ch in range(3)
+                ]
                 joined = ",".join(
                     "null" if c is None else f"{c:.4f}" for c in cells
                 )
-                import hashlib
-
                 out["doc_id"].append(doc_id)
-                out["n_bytes"].append(n)
+                out["height"].append(h)
+                out["n_bytes"].append(img.size)
                 out["thumb_md5"].append(
                     hashlib.md5(joined.encode()).hexdigest()
                 )
@@ -347,14 +414,11 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["thumb_last"].append(cells[-1])
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(
+    return src.mapInPandas(
         resize,
-        "doc_id long, n_bytes long, thumb_md5 string, "
+        "doc_id long, height long, n_bytes long, thumb_md5 string, "
         "thumb_first double, thumb_last double",
     )
-
-
-_PPM_W = 16  # fixed thumbnail width of the deterministic P6 payloads
 
 
 def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,31 +436,14 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong shape) shifts the R/G/B channel assignment and diverges, so
     the parser itself is hash-gated.
 
-    Scale shape: blob construction is a row-local JVM projection;
-    decode + stats are one Arrow-batched ``mapInPandas`` with no
-    shuffle at all. EXACT DuckDB oracle: rebuilds the same geometry
-    arithmetic and channel sums from ``hex(encode(text))`` (byte i
-    belongs to channel i mod 3; padding zeros change no sum)."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    n = F.length(F.encode(F.col("text"), "UTF-8"))
-    h = F.greatest(F.lit(1), F.ceil(n / F.lit(3.0 * _PPM_W))).cast("int")
-    pad = (h * (3 * _PPM_W) - n).cast("int")
-    header = F.concat_ws(
-        "",
-        F.lit(f"P6\n{_PPM_W} "),
-        h.cast("string"),
-        F.lit("\n255\n"),
-    )
-    blob = F.concat(
-        F.encode(header, "UTF-8"),
-        F.encode(F.col("text"), "UTF-8"),
-        F.unhex(F.repeat(F.lit("00"), pad)),
-    )
-    src = d.select(
-        "doc_id", n.cast("long").alias("n_text_bytes"), blob.alias("blob")
-    )
+    Scale shape: blob construction is a row-local JVM projection
+    (shared :func:`_ppm_blob_src` since r12 — the whole quartet decodes
+    the same container bytes); decode + stats are one Arrow-batched
+    ``mapInPandas`` with no shuffle at all. EXACT DuckDB oracle:
+    rebuilds the same geometry arithmetic and channel sums from
+    ``hex(encode(text))`` (byte i belongs to channel i mod 3; padding
+    zeros change no sum)."""
+    src = _ppm_blob_src(spark, sf_dir)
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -533,7 +580,7 @@ QUERIES = {
     "binaryfile_source_documents": binaryfile_source_documents,
     "multimodal_chunk_dedup": multimodal_chunk_dedup,
     "multimodal_blob_meta": multimodal_blob_meta,
-    "multimodal_resize_stub": multimodal_resize_stub,
+    "multimodal_resize": multimodal_resize,
     "multimodal_size_histogram": multimodal_size_histogram,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_embed_stub": multimodal_embed_stub,
@@ -561,6 +608,28 @@ _H16 = ", ".join(
     for b in range(16)
 )
 _H16_JSON = " || ',' || ".join(f"coalesce(h{b}, 0)" for b in range(16))
+
+#: shared raster CTEs for the decoded-quartet oracles (r12): the P6
+#: payload is header + UTF-8 text bytes + zero padding to a h×16×3
+#: raster, so every pixel statistic rebuilds from the text byte stream —
+#: text byte i (0-based) is raster (row i//48, col (i%48)//3,
+#: channel i%3) and padding bytes are zeros.
+_SQL_RASTER = f"""
+        m AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 greatest(1, CAST(ceil(octet_length(encode(text))
+                                       / {3 * _PPM_W}.0) AS BIGINT)) AS h,
+                 hex(encode(text)) AS hx
+          FROM documents WHERE text IS NOT NULL),
+        by AS (
+          SELECT doc_id, h,
+                 unnest(range(1, n + 1)) - 1 AS i,
+                 unnest(list_transform(range(1, n + 1),
+                     j -> CAST(('0x' || substring(hx, (j - 1) * 2 + 1, 2))
+                               AS INTEGER))) AS byte
+          FROM m)
+"""
 _C8 = ", ".join(
     f"sum(CASE WHEN byte // 32 = {b} THEN 1 ELSE 0 END) AS c{b}"
     for b in range(8)
@@ -626,38 +695,48 @@ ORACLE = {
         FROM documents
         WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
     """,
-    "multimodal_resize_stub": """
-        WITH ks AS (SELECT unnest(range(0, 32)) AS k),
-        base AS (SELECT doc_id, hex(encode(text)) AS hx,
-                        octet_length(encode(text)) AS n FROM documents),
+    # real-raster resize (r12): block sums come from text bytes only
+    # (padding adds zero), block COUNTS are geometric ((hi-lo)*4 pixels
+    # per channel), the row-block index has the closed form
+    # (4*row + 3) // h (exact inverse of the lo/hi integer partition),
+    # and empty row blocks (h < 4) are NULL cells on both engines.
+    "multimodal_resize": f"""
+        WITH {_SQL_RASTER},
+        bsum AS (
+          SELECT doc_id,
+                 (4 * (i // {3 * _PPM_W}) + 3) // h AS tr,
+                 ((i % {3 * _PPM_W}) // 3) // 4 AS tc,
+                 i % 3 AS ch,
+                 sum(byte) AS s
+          FROM by GROUP BY doc_id, 2, 3, 4),
+        spine AS (
+          SELECT m.doc_id, m.h, t.tr, c.tc, k.ch,
+                 (t.tr * m.h) // 4 AS lo, ((t.tr + 1) * m.h) // 4 AS hi
+          FROM m,
+               (SELECT unnest(range(0, 4)) AS tr) t,
+               (SELECT unnest(range(0, 4)) AS tc) c,
+               (SELECT unnest(range(0, 3)) AS ch) k),
         cells AS (
-          SELECT doc_id, n, k,
-                 (k * n) // 32 AS lo,
-                 ((k + 1) * n) // 32 AS hi,
-                 hx
-          FROM base, ks),
-        vals AS (
-          SELECT doc_id, n, k,
-                 CASE WHEN hi <= lo THEN NULL
-                      ELSE CAST((200000 * list_sum(list_transform(
-                                   range(1, hi - lo + 1),
-                                   i -> CAST(('0x' || substring(hx,
-                                          CAST((lo + i - 1) * 2 + 1
-                                               AS BIGINT), 2))
-                                        AS INTEGER)))
-                                 + (hi - lo)) // (2 * (hi - lo)) AS BIGINT)
+          SELECT sp.doc_id, sp.h, sp.tr, sp.tc, sp.ch,
+                 CASE WHEN sp.hi <= sp.lo THEN NULL
+                      ELSE CAST((20000 * coalesce(b.s, 0)
+                                 + (sp.hi - sp.lo) * 4)
+                                // (2 * ((sp.hi - sp.lo) * 4)) AS BIGINT)
                            / 10000.0
                  END AS cell
-          FROM cells),
+          FROM spine sp LEFT JOIN bsum b USING (doc_id, tr, tc, ch)),
         strs AS (
-          SELECT doc_id, any_value(n) AS n_bytes,
+          SELECT doc_id, any_value(h) AS h,
                  string_agg(CASE WHEN cell IS NULL THEN 'null'
                                  ELSE printf('%.4f', cell) END,
-                            ',' ORDER BY k) AS joined,
-                 max(CASE WHEN k = 0 THEN cell END) AS thumb_first,
-                 max(CASE WHEN k = 31 THEN cell END) AS thumb_last
-          FROM vals GROUP BY doc_id)
-        SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+                            ',' ORDER BY tr, tc, ch) AS joined,
+                 max(CASE WHEN tr = 0 AND tc = 0 AND ch = 0
+                          THEN cell END) AS thumb_first,
+                 max(CASE WHEN tr = 3 AND tc = 3 AND ch = 2
+                          THEN cell END) AS thumb_last
+          FROM cells GROUP BY doc_id)
+        SELECT doc_id, CAST(h AS BIGINT) AS height,
+               CAST(h * {3 * _PPM_W} AS BIGINT) AS n_bytes,
                md5(joined) AS thumb_md5, thumb_first, thumb_last
         FROM strs
     """,
@@ -676,28 +755,33 @@ ORACLE = {
         FROM ch GROUP BY chunk_hash
         HAVING count(DISTINCT doc_id) > 1
     """,
-    # Arrow feature extraction is reproducible in SQL: integer byte sums
-    # Σx and Σx² are float64-exact in any order, the mean/std derive
-    # from them with single IEEE ops, and histo16's integers render
-    # identically in both engines' JSON form
+    # real-raster feature extraction (r12): raster sums equal the text
+    # byte sums (padding is zeros), the denominator is the raster size
+    # h*48, padding mass lands in histogram bucket 0, and mean/std
+    # derive from exact integer Σx / Σx² with the identical op order
+    # (s2/n - (s1/n)*(s1/n), clamped at 0) on both engines
     "multimodal_feature_extract": f"""
-        WITH ch AS ({_SQL_BYTES}),
+        WITH {_SQL_RASTER},
         agg AS (
-          SELECT doc_id, count(*) AS n, sum(byte) AS s1,
+          SELECT doc_id, sum(byte) AS s1,
                  sum(CAST(byte AS BIGINT) * byte) AS s2, {_H16}
-          FROM ch GROUP BY doc_id)
-        SELECT d.doc_id,
-               CAST(coalesce(n, 0) AS BIGINT) AS n_bytes,
-               CASE WHEN n IS NULL THEN NULL
-                    ELSE floor(s1 * 1.0 / n * 10000 + 0.5) / 10000
-               END AS byte_mean,
-               CASE WHEN n IS NULL THEN NULL
-                    ELSE floor(sqrt(s2 * 1.0 / n
-                               - (s1 * 1.0 / n) * (s1 * 1.0 / n))
-                               * 10000 + 0.5) / 10000
-               END AS byte_std,
-               '[' || {_H16_JSON} || ']' AS histo16
-        FROM documents d LEFT JOIN agg USING (doc_id)
+          FROM by GROUP BY doc_id)
+        SELECT m.doc_id,
+               CAST(m.h AS BIGINT) AS height,
+               CAST(m.h * {3 * _PPM_W} AS BIGINT) AS n_bytes,
+               floor(coalesce(s1, 0) * 1.0 / (m.h * {3 * _PPM_W})
+                     * 10000 + 0.5) / 10000 AS byte_mean,
+               floor(sqrt(greatest(
+                       coalesce(s2, 0) * 1.0 / (m.h * {3 * _PPM_W})
+                       - (coalesce(s1, 0) * 1.0 / (m.h * {3 * _PPM_W}))
+                         * (coalesce(s1, 0) * 1.0 / (m.h * {3 * _PPM_W})),
+                       0.0))
+                     * 10000 + 0.5) / 10000 AS byte_std,
+               '[' || (coalesce(h0, 0) + (m.h * {3 * _PPM_W} - m.n))
+                   || ',' ||
+                   {" || ',' || ".join(f"coalesce(h{b}, 0)" for b in range(1, 16))}
+                   || ']' AS histo16
+        FROM m LEFT JOIN agg USING (doc_id)
     """,
     "multimodal_embed_stub": f"""
         WITH ch AS ({_SQL_BYTES}),
@@ -709,39 +793,35 @@ ORACLE = {
         SELECT doc_id, {_E8}
         FROM normed
     """,
-    # frame sampling is reproducible in SQL from the true UTF-8 byte
-    # stream (hex(encode(text)), two hex chars per byte — valid on any
-    # corpus): same ceil-div frame count, same evenly-spaced distinct
-    # frame ids, same per-frame byte sums
-    "multimodal_frame_sample": """
-        WITH base AS (
-          SELECT doc_id, hex(encode(text)) AS hx,
-                 greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0)
-                                  AS BIGINT)) AS n_frames,
-                 least(greatest(1,
-                       CAST(ceil(octet_length(encode(text)) / 256.0)
-                            AS BIGINT)), 4) AS take
-          FROM documents),
-        idxs AS (
-          SELECT doc_id, hx,
+    # real-raster frame sampling (r12): a frame is a parsed raster row
+    # (48 bytes), frame count = parsed height, per-channel sums come
+    # from text bytes (channel = i mod 3; padding adds zero) and the
+    # mean divides by the fixed 48-byte row on both engines
+    "multimodal_frame_sample": f"""
+        WITH {_SQL_RASTER},
+        rowsums AS (
+          SELECT doc_id, i // {3 * _PPM_W} AS fi,
+                 sum(CASE WHEN i % 3 = 0 THEN byte ELSE 0 END) AS sr,
+                 sum(CASE WHEN i % 3 = 1 THEN byte ELSE 0 END) AS sg,
+                 sum(CASE WHEN i % 3 = 2 THEN byte ELSE 0 END) AS sb,
+                 sum(byte) AS st
+          FROM by GROUP BY doc_id, 2),
+        spine AS (
+          SELECT doc_id,
                  unnest(list_sort(list_distinct(list_transform(
-                   range(0, take), i -> (i * n_frames) // take)))) AS fi
-          FROM base),
-        frames AS (
-          SELECT doc_id, fi AS frame_idx, fi * 256 AS byte_offset,
-                 substring(hx, CAST(fi * 256 * 2 + 1 AS BIGINT), 512) AS fh
-          FROM idxs)
-        SELECT doc_id, frame_idx, byte_offset,
-               CAST(length(fh) // 2 AS BIGINT) AS n_bytes,
-               CASE WHEN length(fh) = 0 THEN NULL
-                    ELSE floor(list_sum(list_transform(
-                           range(1, length(fh) // 2 + 1),
-                           i -> CAST(('0x' || substring(fh,
-                                      (i - 1) * 2 + 1, 2)) AS INTEGER)))
-                           * 1.0 / (length(fh) // 2)
-                           * 10000 + 0.5) / 10000
-               END AS byte_mean
-        FROM frames
+                   range(0, least(h, 4)),
+                   i -> (i * h) // least(h, 4))))) AS fi
+          FROM m)
+        SELECT s.doc_id, s.fi AS frame_idx,
+               s.fi * {3 * _PPM_W} AS byte_offset,
+               CAST({3 * _PPM_W} AS BIGINT) AS n_bytes,
+               CAST(coalesce(r.sr, 0) AS BIGINT) AS sum_r,
+               CAST(coalesce(r.sg, 0) AS BIGINT) AS sum_g,
+               CAST(coalesce(r.sb, 0) AS BIGINT) AS sum_b,
+               floor(coalesce(r.st, 0) / {3 * _PPM_W}.0 * 10000 + 0.5)
+                 / 10000 AS byte_mean
+        FROM spine s
+        LEFT JOIN rowsums r ON s.doc_id = r.doc_id AND s.fi = r.fi
     """,
     "multimodal_size_histogram": """
         SELECT CAST(floor(octet_length(encode(text)) / 128) AS BIGINT)

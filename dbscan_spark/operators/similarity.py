@@ -883,6 +883,155 @@ def ann_index_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic tombstone slice — md5 first hex of vec_id in this set
+#: (~12.5% of the corpus "deleted"); the dedup_incremental /
+#: ann_index_add_batch md5-split discipline, reproducible across
+#: engines and retries
+_TOMBSTONE_HEX = ("0", "1")
+
+#: rebuild trigger: a cell whose live fraction drops below this is due
+#: for retrain-and-compact (production pairs this with an error-drift
+#: threshold calibrated at training time)
+_REBUILD_LIVE_FRAC = 0.85
+
+
+def _tombstoned(col):
+    return F.substring(F.md5(col.cast("string")), 1, 1).isin(
+        *_TOMBSTONE_HEX
+    )
+
+
+def ann_topk_ivfpq_tombstoned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFPQ probe over the persisted index with DELETIONS — the
+    tombstone half of index maintenance (VERDICT r11 #5; FAISS
+    ``remove_ids`` semantics without a rebuild): a deterministic
+    md5-slice of vec_ids (~12.5%) is tombstoned, and the probe excludes
+    tombstoned CANDIDATES while the frozen centroids/codebooks — and
+    external query vectors — are untouched. Deletion is a filter on the
+    assignments scan (at 100 TB: an anti-join against a tombstone set
+    co-partitioned on vec_id), never a retrain; compaction is a
+    separate decision (:func:`ann_index_compaction_stats`).
+
+    EXACT oracle: the full-corpus train replay with the tombstone
+    predicate injected at candidate enumeration only — derived
+    mechanically from ann_topk_ivfpq's SQL so the replays cannot
+    drift. CI pins probe(persisted index, filtered) ==
+    probe(fresh encode, filtered): filtering the index equals
+    filtering the corpus under frozen training."""
+    path = ivfpq_index_dir(spark, sf_dir)
+    cent, books, assigns = read_ivfpq_index(spark, path)
+    e = _embeddings_with_norms(spark, sf_dir)
+    live = assigns.filter(~_tombstoned(F.col("vec_id")))
+    corpus = live.join(e, "vec_id").select(
+        "vec_id", "v", "nv", "cell", "codes"
+    )
+    return _ivfpq_probe(spark, e, cent, books, corpus)
+
+
+def _recon_err_udf(cent: "np.ndarray", books: "np.ndarray"):
+    """Arrow-batched quantized reconstruction error: per dim,
+    e_d = floor((v_d − v̂_d)·1e5 + 0.5) as int64 (v̂ = centroid +
+    concatenated codebook rows — ONE IEEE add per dim), err = Σ e_d² —
+    an EXACT integer both engines reproduce (the multimodal quartet's
+    exact-integer discipline applied to float reconstruction)."""
+    C = np.asarray(cent)
+    bks = np.asarray(books)
+
+    @pandas_udf("long")
+    def err_q(
+        v: pd.Series, cell: pd.Series, codes: pd.Series
+    ) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        cl = cell.to_numpy().astype(int)
+        Cd = np.stack(codes.to_numpy()).astype(int)  # (B, M)
+        vhat = C[cl] + bks[
+            np.arange(_PQ_M)[None, :], Cd
+        ].reshape(len(V), _DIM)
+        ei = np.floor((V - vhat) * 100000 + 0.5).astype(np.int64)
+        return pd.Series((ei * ei).sum(1))
+
+    return err_q
+
+
+def ann_index_compaction_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index COMPACTION decision stats — the monitoring half of
+    tombstone-based deletion (VERDICT r11 #5): per IVF cell, live/dead
+    counts, the live fraction, the exact integer sum and mean of the
+    quantized residual reconstruction error ‖v − v̂‖² of LIVE vectors
+    against the FROZEN codebooks, and the rebuild flag
+    (live_frac < 0.85). A store compacts a cell when tombstones
+    accumulate (wasted scan work) or reconstruction error drifts
+    (frozen codebooks no longer fit the live distribution) — this
+    query computes both signals in one pass.
+
+    Scale shape: one assignments⋈embeddings vec_id-co-keyed join, one
+    zero-shuffle Arrow error map, one 16-group aggregate. The error is
+    an EXACT int64 (per-dim 1e-5 floor-half-up grid, then integer
+    squares/sums — order-free aggregation), so the DuckDB train-replay
+    oracle reproduces every row bit-for-bit; the two derived doubles
+    (live_frac, mean_err_live) are single identical-op chains over
+    those exact integers."""
+    path = ivfpq_index_dir(spark, sf_dir)
+    cent, books, assigns = read_ivfpq_index(spark, path)
+    e = _embeddings_with_norms(spark, sf_dir)
+    err_q = _recon_err_udf(cent, books)
+    t = (
+        assigns.join(e, "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            _tombstoned(F.col("vec_id")).alias("dead"),
+            err_q(F.col("v"), F.col("cell"), F.col("codes")).alias(
+                "errq"
+            ),
+        )
+    )
+    agg = t.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum((~F.col("dead")).cast("long")).alias("n_live"),
+        F.sum(F.col("dead").cast("long")).alias("n_dead"),
+        F.sum(
+            F.when(~F.col("dead"), F.col("errq")).otherwise(F.lit(0))
+        ).alias("sum_err_q"),
+    )
+    live_frac = (
+        F.floor(
+            F.col("n_live") / F.col("n_total") * 10000 + F.lit(0.5)
+        )
+        / 10000
+    )
+    mean_err = F.when(
+        F.col("n_live") > 0,
+        F.floor(
+            F.col("sum_err_q")
+            / F.col("n_live")
+            / F.lit(1e10)
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000,
+    )
+    return (
+        agg.select(
+            "cell",
+            "n_total",
+            "n_live",
+            "n_dead",
+            live_frac.alias("live_frac"),
+            "sum_err_q",
+            mean_err.alias("mean_err_live"),
+        )
+        .withColumn(
+            "rebuild", F.col("live_frac") < F.lit(_REBUILD_LIVE_FRAC)
+        )
+        .orderBy("cell")
+    )
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension int8 scalar quantization of the embedding column —
     the storage operator behind every 100 TB vector store (4× smaller

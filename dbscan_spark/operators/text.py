@@ -1821,12 +1821,21 @@ def _dup_span_islands(spark: SparkSession, sf_dir: str, width: int):
     merge overlapping/touching hits into islands. Returns
     ``(docs, base, islands)`` where docs = (doc_id, toks),
     base = (doc_id, n_tokens), islands = (doc_id, pos, island)."""
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     docs = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return _dup_span_islands_from(docs, width)
+
+
+def _dup_span_islands_from(docs: DataFrame, width: int):
+    """Corpus-agnostic core of :func:`_dup_span_islands` over any
+    ``(doc_id, toks)`` token table — since r12 the composed published
+    cleaning pipeline feeds it the PARAGRAPH-CLEANED token stream
+    instead of the raw corpus (same islands machinery, different
+    source)."""
+    from pyspark.sql.window import Window
+
     base = docs.select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
@@ -1926,7 +1935,16 @@ def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle: same islands replay, per-token coverage via an
     interval join, residual via ordered string_agg."""
     width = _DUP_SPAN_L
-    docs, base, islands = _dup_span_islands(spark, sf_dir, width)
+    docs, _base, islands = _dup_span_islands(spark, sf_dir, width)
+    return _span_removal_from(docs, islands, width)
+
+
+def _span_removal_from(
+    docs: DataFrame, islands: DataFrame, width: int
+) -> DataFrame:
+    """Corpus-agnostic rewrite half of :func:`text_dup_span_removal`
+    (factored in r12 so the composed published cleaning pipeline can
+    run span removal over its paragraph-cleaned token stream)."""
     intervals = (
         islands.groupBy("doc_id", "island")
         .agg(
@@ -2267,6 +2285,14 @@ def corpus_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    return _c4_clean_pages(d).drop("cleaned")
+
+
+def _c4_clean_pages(d: DataFrame) -> DataFrame:
+    """Corpus-agnostic core of :func:`corpus_c4_filters` over any
+    ``(doc_id, text)`` table (factored in r12 for the composed
+    published cleaning pipeline, which consumes the ``cleaned`` text
+    column corpus_c4_filters itself drops)."""
     kept = F.filter(
         F.transform(
                 F.split(F.col("text"), "\n"), lambda ln: F.trim(ln)
@@ -2327,6 +2353,7 @@ def corpus_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_lorem_ipsum",
         "has_brace",
         F.when(F.size("kept") > 0, F.md5(cleaned)).alias("cleaned_md5"),
+        cleaned.alias("cleaned"),
     )
     return t2.withColumn(
         "keep",

@@ -141,6 +141,93 @@ def test_paragraph_clean_composed_verdicts(spark, tmp_path):
     assert got == want, f"\ngot:  {got}\nwant: {want}"
 
 
+def test_published_clean_stage_order(spark, tmp_path):
+    """corpus_published_clean on a crafted corpus where STAGE ORDER is
+    observable: (1) a paragraph whose earlier occurrence lives in a
+    C4-dropped line is NOT an exact dup after C4 runs first; (2) a
+    5-gram whose second occurrence lives in a paragraph the dedup stage
+    drops (exact or near) is NOT a duplicated span after dedup runs
+    first; (3) a genuinely cross-document 5-gram run in two kept,
+    non-near-dup paragraphs IS removed on both sides; (4) a C4-dropped
+    page contributes nothing downstream."""
+    import pandas as pd
+
+    from dbscan_spark.operators.dedup import corpus_published_clean
+
+    def fillers(d):
+        # unique-token keep-lines: terminal '.', 3 words, 5 sentences
+        return [f"d{d}l{k}a d{d}l{k}b d{d}l{k}c." for k in range(5)]
+
+    w20 = [f"w{i}x" for i in range(20)]
+    docs = {
+        1: fillers(1) + ["Shared paragraph alpha beta gamma."],
+        2: fillers(2) + ["Shared paragraph alpha beta gamma."],
+        3: fillers(3) + ["orphan boilerplate zeta eta theta"],
+        4: fillers(4) + ["Orphan boilerplate zeta eta theta!"],
+        5: fillers(5) + ["Common run one two three four five six end."],
+        6: fillers(6)
+        + ["Different intro common run one two three four five six "
+           "finale."],
+        7: ["This page has a brace { inside."] + fillers(7),
+        8: fillers(8) + [" ".join(w20) + "."],
+        9: fillers(9) + [" ".join(w20[:19] + ["zzz9"]) + "."],
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": ["\n".join(v) for v in docs.values()],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len("\n".join(v)) for v in docs.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_published_clean(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(docs)
+    # (4) the brace page fails C4 page-keep; zeros downstream
+    assert got[7]["c4_keep"] is False
+    assert got[7]["n_paragraphs"] == 0 and got[7]["n_tokens"] == 0
+    assert got[7]["final_md5"] is None
+    # every other page survives C4 with 6 lines
+    for d in (1, 2, 4, 5, 6, 8, 9):
+        assert got[d]["c4_keep"] is True and got[d]["n_lines"] == 6
+        assert got[d]["n_lines_kept"] == 6
+    # doc 3: the orphan line lacks terminal punctuation -> line-dropped
+    assert got[3]["n_lines"] == 6 and got[3]["n_lines_kept"] == 5
+    # exact paragraph dedup: doc 2's shared paragraph loses to doc 1
+    assert got[1]["n_para_kept"] == 6
+    assert got[2]["n_para_dropped_exact"] == 1
+    assert got[2]["n_para_kept"] == 5
+    # (1) ORDER: doc 3's copy died in stage 1, so doc 4's paragraph is
+    # the FIRST occurrence and keeps (raw-order would drop it)
+    assert got[4]["n_para_dropped_exact"] == 0
+    assert got[4]["n_para_kept"] == 6
+    # near-dup: doc 9's one-token tail edit (j = 17/19) loses to doc 8
+    assert got[9]["n_para_dropped_near"] == 1
+    assert got[8]["n_para_kept"] == 6
+    # (2) ORDER: the shared 5-grams' second copies died in stage 2, so
+    # no span is duplicated for docs 1 and 8 (raw-order would remove)
+    assert got[1]["n_tokens_removed"] == 0
+    assert got[8]["n_tokens_removed"] == 0
+    assert got[2]["n_tokens_removed"] == 0
+    assert got[9]["n_tokens_removed"] == 0
+    # (3) the genuinely duplicated 8-token run is removed on BOTH sides
+    assert got[5]["n_tokens_removed"] == 8
+    assert got[6]["n_tokens_removed"] == 8
+    for d in (1, 2, 3, 4, 5, 6, 8, 9):
+        assert got[d]["final_md5"] is not None
+    # attrition arithmetic holds per row
+    for d, r in got.items():
+        assert r["n_paragraphs"] == (
+            r["n_para_kept"]
+            + r["n_para_dropped_exact"]
+            + r["n_para_dropped_near"]
+        )
+        assert r["n_tokens"] == r["n_tokens_kept"] + r["n_tokens_removed"]
+
+
 def test_paragraph_neardup_recall_pin_at_grading_sf(spark):
     """corpus_paragraph_neardup carries an EXACT DuckDB oracle (the
     quadratic all-pairs SQL over distinct normalized paragraphs) —
@@ -400,55 +487,115 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def _doc_rasters(spark):
+    """doc_id -> the zero-padded (h, 16, 3) raster each multimodal query
+    decodes (the reference computation, built directly in numpy)."""
+    import numpy as np
+
+    out = {}
+    for r in spark.read.parquet(f"{SF_TINY}/documents.parquet").collect():
+        if r["text"] is None:
+            continue
+        raw = np.frombuffer(r["text"].encode("utf-8"), dtype=np.uint8)
+        h = max(1, -(-len(raw) // 48))
+        img = np.zeros(h * 48, dtype=np.uint8)
+        img[: len(raw)] = raw
+        out[r["doc_id"]] = img.reshape(h, 16, 3)
+    return out
+
+
 def test_multimodal_features_match_numpy(spark):
-    """mapInPandas features equal a direct numpy computation on the bytes."""
+    """Decoded-raster features equal a direct numpy computation on the
+    padded raster (r12: stats run on decode_image's pixels, not the raw
+    byte stream — padding mass lands in histogram bucket 0)."""
     import numpy as np
 
     rows = multimodal.multimodal_feature_extract(spark, SF_TINY).collect()
-    docs = {
-        r["doc_id"]: r["text"]
-        for r in spark.read.parquet(f"{SF_TINY}/documents.parquet").collect()
-    }
-    assert len(rows) == len(docs)
+    rasters = _doc_rasters(spark)
+    assert len(rows) == len(rasters)
     for r in rows[:20]:
-        raw = docs[r["doc_id"]].encode("utf-8")
-        arr = np.frombuffer(raw, dtype=np.uint8)
-        assert r["n_bytes"] == len(raw)
-        assert r["byte_mean"] == pytest.approx(round(float(arr.mean()), 4))
+        img = rasters[r["doc_id"]]
+        flat = img.reshape(-1)
+        assert r["height"] == img.shape[0]
+        assert r["n_bytes"] == flat.size
+        assert r["byte_mean"] == pytest.approx(
+            float(np.floor(float(flat.mean()) * 10000 + 0.5)) / 10000
+        )
         histo = json.loads(r["histo16"])  # emitted as canonical JSON string
-        assert histo == list(np.bincount(arr >> 4, minlength=16))
+        assert histo == list(np.bincount(flat >> 4, minlength=16))
         assert sum(histo) == r["n_bytes"]
 
 
 def test_multimodal_frame_sample_matches_numpy(spark):
-    """Sampled frames equal a direct numpy segmentation of the bytes: ≤4
-    evenly spaced frames per doc, correct offsets/sizes/means, frames
-    cover the first and reach into the tail of long payloads."""
+    """Sampled frames equal the parsed raster's rows: ≤4 evenly spaced
+    rows per doc, correct offsets/sizes/channel sums/means, first row
+    always sampled, tail reached on tall rasters."""
     import numpy as np
 
     rows = multimodal.multimodal_frame_sample(spark, SF_TINY).collect()
-    docs = {
-        r["doc_id"]: r["text"]
-        for r in spark.read.parquet(f"{SF_TINY}/documents.parquet").collect()
-    }
+    rasters = _doc_rasters(spark)
     by_doc: dict[int, list] = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    assert set(by_doc) == set(docs)
+    assert set(by_doc) == set(rasters)
     for doc_id, frames in list(by_doc.items())[:20]:
-        raw = np.frombuffer(docs[doc_id].encode("utf-8"), dtype=np.uint8)
-        n_frames = max(1, -(-len(raw) // 256))
+        img = rasters[doc_id].astype(np.int64)
+        n_frames = img.shape[0]
         assert 1 <= len(frames) <= 4
+        frames.sort(key=lambda f: f["frame_idx"])
         assert frames[0]["frame_idx"] == 0  # first frame always sampled
         for fr in frames:
-            assert fr["byte_offset"] == fr["frame_idx"] * 256
-            seg = raw[fr["byte_offset"] : fr["byte_offset"] + 256]
-            assert fr["n_bytes"] == len(seg)
-            want = float(np.floor(float(seg.mean()) * 10000 + 0.5)) / 10000
+            assert fr["byte_offset"] == fr["frame_idx"] * 48
+            assert fr["n_bytes"] == 48
+            row = img[fr["frame_idx"]]
+            ch = row.sum(0)
+            assert (fr["sum_r"], fr["sum_g"], fr["sum_b"]) == tuple(
+                int(c) for c in ch
+            )
+            want = (
+                float(np.floor(int(ch.sum()) / 48 * 10000 + 0.5)) / 10000
+            )
             assert fr["byte_mean"] == pytest.approx(want)
         if n_frames > 4:
-            # uniform sampling must reach past the midpoint of the payload
+            # uniform sampling must reach past the midpoint of the raster
             assert max(f["frame_idx"] for f in frames) >= n_frames // 2
+
+
+def test_multimodal_resize_matches_numpy(spark):
+    """Block-average thumbnails equal a direct numpy resize of the
+    parsed raster; short docs (h < 4) produce NULL cells for empty row
+    blocks on the Spark side too."""
+    import hashlib
+
+    import numpy as np
+
+    rows = multimodal.multimodal_resize(spark, SF_TINY).collect()
+    rasters = _doc_rasters(spark)
+    assert {r["doc_id"] for r in rows} == set(rasters)
+    for r in rows[:20]:
+        img = rasters[r["doc_id"]].astype(np.int64)
+        h = img.shape[0]
+        assert r["height"] == h
+        assert r["n_bytes"] == img.size
+        cells = []
+        for tr in range(4):
+            lo, hi = (tr * h) // 4, ((tr + 1) * h) // 4
+            for tc in range(4):
+                cnt = (hi - lo) * 4
+                for ch in range(3):
+                    if cnt == 0:
+                        cells.append(None)
+                        continue
+                    s = int(img[lo:hi, 4 * tc : 4 * tc + 4, ch].sum())
+                    cells.append(
+                        float((20000 * s + cnt) // (2 * cnt)) / 10000.0
+                    )
+        joined = ",".join(
+            "null" if c is None else f"{c:.4f}" for c in cells
+        )
+        assert r["thumb_md5"] == hashlib.md5(joined.encode()).hexdigest()
+        assert r["thumb_first"] == cells[0]
+        assert r["thumb_last"] == cells[-1]
 
 
 def test_decode_image_ppm_pgm():
