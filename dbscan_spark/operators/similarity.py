@@ -1298,6 +1298,8 @@ QUERIES = {
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_topk_ivfpq_persisted": ann_topk_ivfpq_persisted,
     "ann_index_add_batch": ann_index_add_batch,
+    "ann_topk_ivfpq_tombstoned": ann_topk_ivfpq_tombstoned,
+    "ann_index_compaction_stats": ann_index_compaction_stats,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
 
@@ -2037,6 +2039,75 @@ ORACLE["ann_index_add_batch"] = _re.sub(
 # probe(persisted) == probe(fresh)), so the same exact train-replay SQL
 # grades both queries — shared by reference so they cannot drift.
 ORACLE["ann_topk_ivfpq_persisted"] = ORACLE["ann_topk_ivfpq"]
+
+# ann_topk_ivfpq_tombstoned: DERIVED from the (already corpus-
+# substituted) ann_topk_ivfpq replay by injecting the tombstone
+# predicate at the single candidate-enumeration join — deletion touches
+# only which index rows may be candidates, never the frozen training,
+# so the two replays share every other byte and cannot drift.
+_TOMB_ANCHOR = "JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id"
+_TOMB_LIVE_SQL = (
+    "substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) NOT IN "
+    + "(" + ", ".join(f"'{h}'" for h in _TOMBSTONE_HEX) + ")"
+)
+assert ORACLE["ann_topk_ivfpq"].count(_TOMB_ANCHOR) == 1
+ORACLE["ann_topk_ivfpq_tombstoned"] = ORACLE["ann_topk_ivfpq"].replace(
+    _TOMB_ANCHOR,
+    _TOMB_ANCHOR + "\n                             AND " + _TOMB_LIVE_SQL,
+)
+
+# ann_index_compaction_stats: DERIVED from the same replay — the train/
+# assign/encode CTE prefix (everything before the probe-side `qn` CTE)
+# is reused verbatim, and a reconstruction tail replaces the probe:
+# v̂_d = centroid_d + codebook_d is ONE IEEE add per dim, the error is
+# quantized to an exact int64 (1e-5 floor-half-up grid, then integer
+# squares/sums), and the per-cell doubles are single identical-op
+# chains over those integers.
+_CSTAT_SPLIT = "qn AS (SELECT vec_id, sqrt(sum(val * val)) AS nq FROM ex"
+assert ORACLE["ann_topk_ivfpq"].count(_CSTAT_SPLIT) == 1
+_CSTAT_PREFIX = ORACLE["ann_topk_ivfpq"].split(_CSTAT_SPLIT)[0]
+_CSTAT_DEAD_SQL = (
+    "substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) IN "
+    + "(" + ", ".join(f"'{h}'" for h in _TOMBSTONE_HEX) + ")"
+)
+_CSTAT_EI = "CAST(floor((x.val - (c.val + b.val)) * 100000 + 0.5) AS BIGINT)"
+ORACLE["ann_index_compaction_stats"] = _CSTAT_PREFIX + f"""
+        errs AS (
+          SELECT x.vec_id,
+                 sum({_CSTAT_EI} * {_CSTAT_EI}) AS errq
+          FROM ex x
+          JOIN assign a ON a.vec_id = x.vec_id
+          JOIN cent c ON c.cell = a.cell AND c.dim = x.dim
+          JOIN enc v ON v.vec_id = x.vec_id
+                    AND v.m = x.dim // {_PQ_SUB}
+          JOIN books b ON b.m = v.m AND b.code = v.code
+                      AND b.sd = x.dim % {_PQ_SUB}
+          GROUP BY x.vec_id),
+        tomb AS (
+          SELECT a.vec_id, a.cell,
+                 {_CSTAT_DEAD_SQL} AS dead,
+                 e.errq
+          FROM assign a JOIN errs e USING (vec_id))
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_live,
+               CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dead,
+               floor(sum(CASE WHEN dead THEN 0 ELSE 1 END)
+                     / count(*) * 10000 + 0.5) / 10000 AS live_frac,
+               CAST(sum(CASE WHEN dead THEN 0 ELSE errq END) AS BIGINT)
+                 AS sum_err_q,
+               CASE WHEN sum(CASE WHEN dead THEN 0 ELSE 1 END) > 0
+                    THEN floor(sum(CASE WHEN dead THEN 0 ELSE errq END)
+                               / sum(CASE WHEN dead THEN 0 ELSE 1 END)
+                               / 1e10 * 10000 + 0.5) / 10000
+               END AS mean_err_live,
+               floor(sum(CASE WHEN dead THEN 0 ELSE 1 END)
+                     / count(*) * 10000 + 0.5) / 10000
+                 < {_REBUILD_LIVE_FRAC} AS rebuild
+        FROM tomb GROUP BY cell ORDER BY cell
+"""
 
 # embedding_quantize_int8 reads load_embeddings but computes no cosine,
 # so it gets ONLY the dimension rule (io.EMB_CLEAN_SQL), not zero-norm.

@@ -307,6 +307,89 @@ def test_ivfpq_persisted_index_parity(spark, tmp_path):
     assert fresh, "ivfpq returned no rows — fixture drifted"
 
 
+def test_ivfpq_tombstoned_parity_and_exclusion(spark):
+    """Tombstoned probe: (a) filtering the PERSISTED index equals
+    filtering a fresh frozen-training encode of the corpus — deletion
+    is an index-row filter, never a retrain; (b) no tombstoned vec_id
+    ever appears as a neighbor; (c) query vectors stay un-tombstoned
+    (external queries may still probe a store that deleted them)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.operators import similarity as sim
+
+    key = lambda r: (  # noqa: E731
+        r["query_id"],
+        r["rnk"],
+        r["neighbor_id"],
+        r["cos_sim"],
+    )
+    got = sim.ann_topk_ivfpq_tombstoned(spark, SF_TINY).collect()
+    dead = {
+        r["vec_id"]
+        for r in sim._embeddings_with_norms(spark, SF_TINY)
+        .select("vec_id")
+        .collect()
+        if hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[0] in "01"
+    }
+    assert dead, "fixture drifted — empty tombstone slice"
+    assert not {r["neighbor_id"] for r in got} & dead
+    assert {r["query_id"] for r in got} == set(range(sim.N_QUERIES))
+    e, cent, books, corpus = sim._ivfpq_train_encode(spark, SF_TINY)
+    fresh_live = corpus.filter(
+        ~sim._tombstoned(F.col("vec_id"))
+    )
+    fresh = {
+        key(r)
+        for r in sim._ivfpq_probe(
+            spark, e, cent, books, fresh_live
+        ).collect()
+    }
+    assert {key(r) for r in got} == fresh
+    assert fresh, "tombstoned probe returned no rows"
+
+
+def test_ann_index_compaction_stats_invariants(spark):
+    """Compaction stats: per-cell counts reconcile with the corpus and
+    the deterministic tombstone slice; live_frac/rebuild agree; the
+    error stat is a nonnegative exact integer with a consistent mean;
+    two runs are identical (pure function of corpus + frozen index)."""
+    import hashlib
+
+    from dbscan_spark.operators import similarity as sim
+
+    rows = sim.ann_index_compaction_stats(spark, SF_TINY).collect()
+    e_ids = {
+        r["vec_id"]
+        for r in sim._embeddings_with_norms(spark, SF_TINY)
+        .select("vec_id")
+        .collect()
+    }
+    dead = {
+        v
+        for v in e_ids
+        if hashlib.md5(str(v).encode()).hexdigest()[0] in "01"
+    }
+    assert sum(r["n_total"] for r in rows) == len(e_ids)
+    assert sum(r["n_dead"] for r in rows) == len(dead)
+    for r in rows:
+        assert r["n_total"] == r["n_live"] + r["n_dead"]
+        assert r["sum_err_q"] >= 0
+        want_frac = (
+            int(r["n_live"] / r["n_total"] * 10000 + 0.5) / 10000
+        )
+        assert r["live_frac"] == pytest.approx(want_frac)
+        assert r["rebuild"] == (r["live_frac"] < sim._REBUILD_LIVE_FRAC)
+        if r["n_live"] > 0:
+            assert r["mean_err_live"] is not None
+    again = {
+        tuple(r)
+        for r in sim.ann_index_compaction_stats(spark, SF_TINY).collect()
+    }
+    assert again == {tuple(r) for r in rows}
+
+
 def test_ann_index_add_batch_contract(spark):
     """ann_index_add_batch: output rows are exactly the deterministic
     md5-incoming slice (disjoint from the training slice), every cell
