@@ -220,6 +220,11 @@ _REGRADE = {
     "text_dup_span_removal": 11,
     "corpus_paragraph_neardup": 11,
     "corpus_paragraph_clean": 11,
+    # round 12 (VERDICT r11 #6): corpus_ccnet_buckets' bucketing
+    # machinery factored into the score-agnostic _ccnet_bucketize (now
+    # also feeding corpus_ccnet_buckets_sbo) — identical dataflow,
+    # moved fingerprint:
+    "corpus_ccnet_buckets": 11,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

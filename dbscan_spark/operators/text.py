@@ -822,11 +822,37 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window over (lang, score) partitions of the boundary rows alone,
     reproducing ntile's positional tie-splitting exactly. NULL lang is
     its own stratum on both engines (null-safe broadcast-join key)."""
-    from pyspark.sql.window import Window
-
     scored = text_backoff_lm_quality(spark, sf_dir).select(
         "doc_id", "nll"
     )
+    return _ccnet_bucketize(spark, sf_dir, scored)
+
+
+def corpus_ccnet_buckets_sbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning over the TRIGRAM
+    stupid-backoff score (VERDICT r11 #6 — the alternate bucketing
+    column): identical two-pass CDF-cutoff machinery
+    (:func:`_ccnet_bucketize`, factored in r12), with
+    :func:`text_trigram_sbo_quality`'s nll as the ranking score — one
+    notch closer to the per-language KenLM 5-gram CCNet proper buckets
+    on. Same exact ntile(3) determinism, same scale shape; the oracle
+    shares the ``_SBO_LM_CTES`` replay with the scoring query so the
+    two cannot drift."""
+    scored = text_trigram_sbo_quality(spark, sf_dir).select(
+        "doc_id", "nll"
+    )
+    return _ccnet_bucketize(spark, sf_dir, scored)
+
+
+def _ccnet_bucketize(
+    spark: SparkSession, sf_dir: str, scored: DataFrame
+) -> DataFrame:
+    """Score-agnostic core of the CCNet bucketing (factored in r12):
+    exact per-language ntile(3) thirds over any (doc_id, nll) score
+    table via the paper's two-pass histogram/CDF-cutoff form — no
+    per-language corpus sort (see :func:`corpus_ccnet_buckets`)."""
+    from pyspark.sql.window import Window
+
     langs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang"
     )
@@ -1176,6 +1202,165 @@ def text_backoff_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             _r4(F.avg("nl")).alias("nll"),
         )
+    )
+
+
+#: stupid-backoff discount α = 2/5 (Brants et al. 2007 use 0.4) —
+#: integer form so every score is one division of exact int64 products
+_SBO_ALPHA_NUM = 2
+_SBO_ALPHA_DEN = 5
+
+
+def text_trigram_sbo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIGRAM stupid-backoff language-model score (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the web-scale
+    backoff recipe designed for distributed counting, VERDICT r11 #6;
+    the next fidelity rung past :func:`text_backoff_lm_quality`'s
+    interpolated bigram). The LM trains on a deterministic ~87.5%
+    md5-slice of documents (the dedup_incremental discipline) and
+    scores ALL documents — CCNet's shape, where the scoring LM is
+    external to the text being scored, so held-out documents genuinely
+    exercise the backoff chain (a corpus-trained trigram scoring its
+    own training text never backs off: every event counts itself).
+
+    Score per token, by available history: S = c(uvw)/c(uv) on a
+    trigram hit, else α·c(vw)/c(v) on a bigram hit, else
+    α²·(c(w)+1)/(N+V) — with i=2 starting one level down (no α on its
+    bigram hit) and i=1 at the Laplace unigram directly (stupid
+    backoff leaves scores unnormalized by design; the unigram floor is
+    Laplace-smoothed so OOV tokens of held-out docs stay finite).
+    With α = 2/5 every probability is ONE division of exact int64
+    products, so per-event doubles are bit-identical cross-engine and
+    the 4dp floor on the average absorbs summation order. Output per
+    doc: token count, per-LEVEL hit counts (trigram/bigram/unigram —
+    the backoff telemetry), and the 4dp avg NLL; feeds
+    :func:`corpus_ccnet_buckets_sbo`.
+
+    Scale shape: the (u, v, w) event stream is row-local (posexplode +
+    element_at — no window for the lags); count tables are partial-agg
+    shuffles on n-gram keys. Scoring is a MISS CASCADE: the full
+    stream shuffles once on (u,v,w) against the assembled trigram LM
+    (numerator + both denominators pre-joined on vocabulary-sized
+    tables), only the misses — held-out-novel trigrams — reshuffle on
+    (v,w), and only THEIR misses hit the unigram table; every level's
+    join is hash-keyed and the LM tables are deliberately NOT
+    broadcast (a web-scale trigram table outgrows broadcast)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    ev = (
+        staged.select(
+            "doc_id", "t", F.posexplode("t").alias("pos", "w")
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("i"),
+            F.when(
+                F.col("pos") >= 2, F.element_at("t", F.col("pos") - 1)
+            ).alias("u"),
+            F.when(
+                F.col("pos") >= 1, F.element_at("t", F.col("pos"))
+            ).alias("v"),
+            "w",
+        )
+        .persist()
+    )
+    held_out = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("e", "f")
+    tr = ev.filter(~held_out)
+    uni = tr.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    tot = tr.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.countDistinct("w").alias("vsz"),
+    )
+    big = (
+        tr.filter(F.col("v").isNotNull())
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tri = (
+        tr.filter(F.col("u").isNotNull())
+        .groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    # LM assembly on vocabulary-sized tables: numerator + denominator
+    # ride together so each cascade level joins the stream exactly once
+    duv = big.select(
+        F.col("v").alias("u"), F.col("w").alias("v"),
+        F.col("c2").alias("duv"),
+    )
+    lm3 = tri.join(duv, ["u", "v"])
+    cv = uni.select(F.col("w").alias("v"), F.col("c1").alias("cv"))
+    lm2 = big.join(cv, ["v"])
+
+    an, ad = _SBO_ALPHA_NUM, _SBO_ALPHA_DEN
+    e3 = ev.filter(F.col("i") >= 3)
+    j3 = e3.join(lm3, ["u", "v", "w"], "left")
+    hit3 = j3.filter(F.col("c3").isNotNull()).select(
+        "doc_id",
+        F.lit("tri").alias("lvl"),
+        (-F.log(F.col("c3") / F.col("duv"))).alias("nl"),
+    )
+    m3 = j3.filter(F.col("c3").isNull()).select("doc_id", "i", "v", "w")
+    j3b = m3.join(lm2, ["v", "w"], "left")
+    hit3b = j3b.filter(F.col("c2").isNotNull()).select(
+        "doc_id",
+        F.lit("big").alias("lvl"),
+        (
+            -F.log(
+                (F.lit(an) * F.col("c2"))
+                / (F.lit(ad) * F.col("cv"))
+            )
+        ).alias("nl"),
+    )
+    m3b = j3b.filter(F.col("c2").isNull()).select(
+        "doc_id", "w", F.lit(an * an).alias("un"),
+        F.lit(ad * ad).alias("ud"),
+    )
+    e2 = ev.filter(F.col("i") == 2)
+    j2 = e2.join(lm2, ["v", "w"], "left")
+    hit2 = j2.filter(F.col("c2").isNotNull()).select(
+        "doc_id",
+        F.lit("big").alias("lvl"),
+        (-F.log(F.col("c2") / F.col("cv"))).alias("nl"),
+    )
+    m2 = j2.filter(F.col("c2").isNull()).select(
+        "doc_id", "w", F.lit(an).alias("un"), F.lit(ad).alias("ud"),
+    )
+    e1 = ev.filter(F.col("i") == 1).select(
+        "doc_id", "w", F.lit(1).alias("un"), F.lit(1).alias("ud"),
+    )
+    unis = (
+        m3b.unionByName(m2)
+        .unionByName(e1)
+        .join(uni, ["w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.lit("uni").alias("lvl"),
+            (
+                -F.log(
+                    (
+                        F.col("un")
+                        * (F.coalesce(F.col("c1"), F.lit(0)) + 1)
+                    )
+                    / (
+                        F.col("ud")
+                        * (F.col("n_tot") + F.col("vsz"))
+                    )
+                )
+            ).alias("nl"),
+        )
+    )
+    scored = hit3.unionByName(hit3b).unionByName(hit2).unionByName(unis)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("lvl") == "tri").cast("long")).alias("n_tri_hits"),
+        F.sum((F.col("lvl") == "big").cast("long")).alias("n_big_hits"),
+        F.sum((F.col("lvl") == "uni").cast("long")).alias(
+            "n_uni_events"
+        ),
+        _r4(F.avg("nl")).alias("nll"),
     )
 
 
@@ -2401,6 +2586,8 @@ QUERIES = {
     "text_bpe_encode": text_bpe_encode,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "text_backoff_lm_quality": text_backoff_lm_quality,
+    "text_trigram_sbo_quality": text_trigram_sbo_quality,
+    "corpus_ccnet_buckets_sbo": corpus_ccnet_buckets_sbo,
     "text_bigram_lm_quality": text_bigram_lm_quality,
     "dsir_importance_weights": dsir_importance_weights,
     "text_dup_spans": text_dup_spans,
@@ -2575,6 +2762,77 @@ _BACKOFF_LM_CTES = f"""
           LEFT JOIN bigr b ON e.prev = b.prev AND e.cur = b.cur
           LEFT JOIN prevc p ON e.prev = p.prev
           GROUP BY e.doc_id)
+"""
+
+#: Shared DuckDB replay of the trigram stupid-backoff scoring (used by
+#: the text_trigram_sbo_quality AND corpus_ccnet_buckets_sbo oracles so
+#: the two replays cannot drift). Ends with a ``sscored(doc_id,
+#: n_tokens, n_tri_hits, n_big_hits, n_uni_events, nll)`` CTE. Every
+#: probability is the same one-division-of-exact-int64s form the Spark
+#: side computes; the LM trains on the md5 < 'e' document slice and
+#: scores ALL documents.
+_SBO_LM_CTES = f"""
+        sdocs AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        sev AS (
+          SELECT doc_id, i,
+                 CASE WHEN i >= 3 THEN t[i - 2] END AS u,
+                 CASE WHEN i >= 2 THEN t[i - 1] END AS v,
+                 t[i] AS w
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM sdocs)),
+        strain AS (SELECT * FROM sev
+                   WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         NOT IN ('e', 'f')),
+        suni AS (SELECT w, count(*) AS c1 FROM strain GROUP BY w),
+        stot AS (SELECT count(*) AS n_tot, count(DISTINCT w) AS vsz
+                 FROM strain),
+        sbig AS (SELECT v, w, count(*) AS c2 FROM strain
+                 WHERE v IS NOT NULL GROUP BY v, w),
+        stri AS (SELECT u, v, w, count(*) AS c3 FROM strain
+                 WHERE u IS NOT NULL GROUP BY u, v, w),
+        sduv AS (SELECT v AS u, w AS v, c2 AS duv FROM sbig),
+        sscore AS (
+          SELECT e.doc_id,
+                 CASE WHEN e.i >= 3 AND t3.c3 IS NOT NULL THEN 'tri'
+                      WHEN e.i >= 2 AND b2.c2 IS NOT NULL THEN 'big'
+                      ELSE 'uni' END AS lvl,
+                 -ln(CASE
+                   WHEN e.i >= 3 AND t3.c3 IS NOT NULL
+                        THEN t3.c3 / dv.duv
+                   WHEN e.i >= 3 AND b2.c2 IS NOT NULL
+                        THEN ({_SBO_ALPHA_NUM} * b2.c2)
+                             / ({_SBO_ALPHA_DEN} * cu.c1)
+                   WHEN e.i = 2 AND b2.c2 IS NOT NULL
+                        THEN b2.c2 / cu.c1
+                   WHEN e.i >= 3
+                        THEN ({_SBO_ALPHA_NUM * _SBO_ALPHA_NUM}
+                              * (coalesce(u1.c1, 0) + 1))
+                             / ({_SBO_ALPHA_DEN * _SBO_ALPHA_DEN}
+                                * (t.n_tot + t.vsz))
+                   WHEN e.i = 2
+                        THEN ({_SBO_ALPHA_NUM}
+                              * (coalesce(u1.c1, 0) + 1))
+                             / ({_SBO_ALPHA_DEN} * (t.n_tot + t.vsz))
+                   ELSE (coalesce(u1.c1, 0) + 1) / (t.n_tot + t.vsz)
+                 END) AS nl
+          FROM sev e
+          LEFT JOIN stri t3 ON t3.u = e.u AND t3.v = e.v AND t3.w = e.w
+          LEFT JOIN sbig b2 ON b2.v = e.v AND b2.w = e.w
+          LEFT JOIN sduv dv ON dv.u = e.u AND dv.v = e.v
+          LEFT JOIN suni cu ON cu.w = e.v
+          LEFT JOIN suni u1 ON u1.w = e.w
+          CROSS JOIN stot t),
+        sscored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN lvl = 'tri' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tri_hits,
+                 CAST(sum(CASE WHEN lvl = 'big' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_big_hits,
+                 CAST(sum(CASE WHEN lvl = 'uni' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_uni_events,
+                 floor(avg(nl) * 10000 + 0.5) / 10000 AS nll
+          FROM sscore GROUP BY doc_id)
 """
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -3395,6 +3653,26 @@ ORACLE = {
         WITH {_BACKOFF_LM_CTES},
         j AS (SELECT s.doc_id, d.lang, s.nll
               FROM scored s JOIN documents d USING (doc_id)),
+        t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY nll, doc_id) AS t
+              FROM j)
+        SELECT doc_id, lang, nll,
+               CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+        FROM t
+    """,
+    "text_trigram_sbo_quality": f"""
+        WITH {_SBO_LM_CTES}
+        SELECT doc_id, n_tokens, n_tri_hits, n_big_hits,
+               n_uni_events, nll
+        FROM sscored
+    """,
+    # same ntile replay as corpus_ccnet_buckets, over the shared
+    # stupid-backoff scored CTE (single source with the scoring oracle)
+    "corpus_ccnet_buckets_sbo": f"""
+        WITH {_SBO_LM_CTES},
+        j AS (SELECT s.doc_id, d.lang, s.nll
+              FROM sscored s JOIN documents d USING (doc_id)),
         t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
                                        ORDER BY nll, doc_id) AS t
               FROM j)

@@ -1083,6 +1083,87 @@ def test_backoff_lm_interpolation_numpy(spark, tmp_path):
     assert got == want, f"\ngot:  {got}\nwant: {want}"
 
 
+def test_trigram_sbo_backoff_telemetry(spark):
+    """text_trigram_sbo_quality: the LM trains on the md5 < 'e' doc
+    slice and scores ALL docs, so (a) every doc appears with finite
+    nll and reconciling level counts; (b) train-slice docs with ≥3
+    tokens score every i≥3 event at the trigram level (they count
+    themselves); (c) the HELD-OUT slice genuinely exercises backoff
+    (some bigram/unigram events corpus-wide); two runs identical."""
+    import hashlib
+    import math
+
+    from dbscan_spark.operators import text as text_ops
+
+    rows = text_ops.text_trigram_sbo_quality(spark, SF_TINY).collect()
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{SF_TINY}/documents.parquet"
+        ).collect()
+        if r["text"] is not None
+    }
+    assert {r["doc_id"] for r in rows} == docs
+    held = {
+        d
+        for d in docs
+        if hashlib.md5(str(d).encode()).hexdigest()[0] in "ef"
+    }
+    assert held and held < docs, "fixture drifted — degenerate split"
+    backoff_events = 0
+    for r in rows:
+        assert r["nll"] is not None and math.isfinite(r["nll"])
+        assert r["nll"] > 0
+        assert (
+            r["n_tokens"]
+            == r["n_tri_hits"] + r["n_big_hits"] + r["n_uni_events"]
+        )
+        if r["doc_id"] not in held and r["n_tokens"] >= 3:
+            # train docs: every trigram event counts itself
+            assert r["n_tri_hits"] == r["n_tokens"] - 2
+        if r["doc_id"] in held:
+            backoff_events += r["n_big_hits"] + r["n_uni_events"]
+    assert backoff_events > 0, "held-out slice never backed off"
+    again = {
+        tuple(r)
+        for r in text_ops.text_trigram_sbo_quality(
+            spark, SF_TINY
+        ).collect()
+    }
+    assert again == {tuple(r) for r in rows}
+
+
+def test_ccnet_buckets_sbo_tercile_rule(spark):
+    """corpus_ccnet_buckets_sbo: the factored bucketizer must cut exact
+    per-language ntile(3) thirds over the stupid-backoff score, same
+    rule as the backoff-LM buckets."""
+    from collections import Counter
+
+    from dbscan_spark.operators import text as text_ops
+
+    rows = text_ops.corpus_ccnet_buckets_sbo(spark, SF_TINY).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(
+            (r["nll"], r["doc_id"], r["bucket"])
+        )
+    assert by_lang, "no buckets emitted"
+    for lang, entries in by_lang.items():
+        entries.sort()
+        n = len(entries)
+        base, extra = divmod(n, 3)
+        sizes = Counter(b for _, _, b in entries)
+        want = {
+            "head": base + (1 if extra >= 1 else 0),
+            "middle": base + (1 if extra >= 2 else 0),
+            "tail": base,
+        }
+        assert {k: sizes.get(k, 0) for k in want} == want, lang
+        order = {"head": 0, "middle": 1, "tail": 2}
+        labels = [order[b] for _, _, b in entries]
+        assert labels == sorted(labels), lang
+
+
 def test_ccnet_buckets_tercile_rule(spark):
     """corpus_ccnet_buckets: within each language the buckets must be
     ntile(3) thirds of the (nll, doc_id) order — head sizes >= middle
