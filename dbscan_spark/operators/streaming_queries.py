@@ -321,8 +321,70 @@ def streaming_pysource_events(
     return spark.table(name)
 
 
+def streaming_outer_join_clicks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join, graded
+    exactly (VERDICT r11 #7 — the NULL-emitting-on-watermark-expiry
+    semantics the inner join can't show): file stream (+ the far-future
+    watermark SENTINEL, see events.events_stream_dir_with_sentinel —
+    without it a finite stream's last 30 minutes of unmatched purchases
+    would never flush) → purchases LEFT OUTER clicks of the preceding
+    30 minutes → append-mode memory sink. Outer joins only support
+    append output and their NULL rows emit on no-data micro-batches
+    AFTER the data batch applies the watermark, so the drain runs the
+    default continuous micro-batch trigger and stops once the sink
+    holds exactly the batch twin's row count — computed up front by
+    running the SAME helper on the batch table (withWatermark is a
+    no-op there), so the stop condition and the DuckDB oracle agree by
+    construction. Sentinel rows cannot surface (documented in the
+    helper) and are additionally filtered.
+
+    Scale shape: per-side state is bounded by the watermark horizon
+    (evicted rows can never match or finalize again); the join
+    exchanges hash on user_id. At 100 TB the sentinel generalizes to
+    per-partition heartbeat punctuation."""
+    sdir = se.events_stream_dir_with_sentinel(spark, sf_dir)
+    src = se.read_events_stream(spark, sdir)
+    joined = se.streaming_left_outer_clicks(src)
+    from dbscan_spark.io import load_events
+
+    batch = load_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = se.streaming_left_outer_clicks(batch).count()
+    name = f"streaming_outer_join_clicks_{next(_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        got = -1
+        while time.time() < deadline:
+            got = spark.table(name).count()
+            if got == expected:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"outer join emitted {got} of {expected} rows in 300s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).filter(
+        ~F.col("purchase_id").eqNullSafe(
+            F.lit(se.SENTINEL_PURCHASE_ID)
+        )
+    )
+
+
 QUERIES = {
     "streaming_pysource_events": streaming_pysource_events,
+    "streaming_outer_join_clicks": streaming_outer_join_clicks,
     "streaming_tumbling_totals": streaming_tumbling_totals,
     "streaming_session_totals": streaming_session_totals,
     "streaming_merge_latest_state": streaming_merge_latest_state,
@@ -351,6 +413,21 @@ ORACLE = {
     """,
     "streaming_dedup_pairs": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # the batch LEFT OUTER twin of the watermarked stream-stream join:
+    # the sentinel makes the streaming result the FULL outer-expiry set,
+    # so no watermark-cutoff clause is needed here
+    "streaming_outer_join_clicks": """
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, event_id AS click_id,
+                     ts AS c_ts
+              FROM events WHERE event_type = 'click')
+        SELECT p.purchase_id, p.user_id, c.click_id, c.c_ts
+        FROM p LEFT JOIN c
+          ON c.c_user = p.user_id
+         AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+         AND c.c_ts < p.p_ts
     """,
     "streaming_tumbling_totals": """
         SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)

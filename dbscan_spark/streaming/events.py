@@ -240,6 +240,111 @@ def streaming_range_join_clicks_purchases(
     ).select("purchase_id", "user_id", "click_id", "c_ts")
 
 
+#: sentinel event_id — outside any synthetic corpus's id space, so a
+#: null-safe exclusion on this single id removes the sentinel without
+#: touching real rows (adversarial corpora may carry NULL/negative ids)
+SENTINEL_PURCHASE_ID = -999999001
+
+
+def events_stream_dir_with_sentinel(spark, sf_dir: str) -> str:
+    """:func:`events_stream_dir` plus a far-future WATERMARK SENTINEL
+    file (one purchase + one click at 2100-01-01, ``user_id = -1``):
+    outer stream-stream joins emit their NULL rows only when the
+    watermark passes a buffered row's no-future-match point, and a
+    finite stream's watermark stalls at ``max(ts) − delay`` — the last
+    window of real data would never flush. The sentinel pushes both
+    sides' watermarks past every real event so ALL real state
+    finalizes; the sentinel rows themselves never surface (the
+    sentinel purchase can't out-wait its own watermark, and the
+    sentinel click shares its exact timestamp so the strict
+    ``c_ts < p_ts`` bound rejects the pair). This is the standard
+    production trick of a heartbeat/punctuation event keeping a
+    low-traffic partition's watermark moving. The real data stays a
+    symlink to the live events.parquet (regeneration flows through);
+    the sentinel is static and memoized."""
+    import datetime
+    import shutil
+    import tempfile
+
+    target = os.path.join(sf_dir, "events.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dbscan_spark_events_sent2_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(target):
+            os.remove(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
+    sent = os.path.join(link_dir, "zz_sentinel.parquet")
+    if not os.path.exists(sent):
+        schema = spark.read.parquet(target).schema
+        ts = datetime.datetime(2100, 1, 1)
+        rows = [
+            (SENTINEL_PURCHASE_ID, ts, -1, "purchase", 0.0, None),
+            (SENTINEL_PURCHASE_ID - 1, ts, -1, "click", 0.0, None),
+        ]
+        scratch = tempfile.mkdtemp(prefix="dbscan_spark_sentinel_")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(
+            p for p in os.listdir(scratch)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        shutil.copy(os.path.join(scratch, part), sent + ".tmp")
+        os.replace(sent + ".tmp", sent)
+        shutil.rmtree(scratch, ignore_errors=True)
+    return link_dir
+
+
+def streaming_left_outer_clicks(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the state-EVICTION
+    semantics that actually bites in production (VERDICT r11 #7): each
+    purchase joins the same user's clicks from the preceding 30
+    minutes, and a purchase with NO qualifying click emits a
+    NULL-click row ONLY once the click-side watermark passes its
+    timestamp (no future click can ever match) — the unmatched row is
+    a watermark-expiry product, not a join product. Same bounded-state
+    construction as the inner variant
+    (:func:`streaming_range_join_clicks_purchases`): both sides
+    watermarked, the join condition carries the time range, state
+    evicts at the horizon. Works identically on a batch DataFrame
+    (``withWatermark`` is a documented no-op there), which is how the
+    graded query computes its expected row count and how CI pins the
+    batch twin."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "user_id", "click_id", "c_ts")
+
+
 def streaming_dedup_events(
     events: DataFrame, delay: str = "10 minutes"
 ) -> DataFrame:

@@ -607,3 +607,40 @@ def test_pysource_stream_reader_offset_protocol():
     assert list(rows) == [] and off2 == off
     # committed-range replay parity
     assert list(r.readBetweenOffsets(offsets[1], offsets[2])) == seen[1]
+
+
+def test_streaming_outer_join_watermark_expiry(spark):
+    """LEFT OUTER stream-stream join: the streaming result (with the
+    far-future watermark sentinel flushing all real state) must equal
+    the batch LEFT OUTER twin as a multiset, and the fixture must
+    genuinely exercise BOTH row classes — matched pairs (join products)
+    and NULL-click rows (watermark-expiry products)."""
+    from collections import Counter
+
+    from dbscan_spark.io import load_events
+    from dbscan_spark.operators.streaming_queries import (
+        streaming_outer_join_clicks,
+    )
+    from dbscan_spark.streaming import events as se
+    from pyspark.sql import functions as F
+
+    got = streaming_outer_join_clicks(spark, SF_TINY).collect()
+    batch = load_events(spark, SF_TINY).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = se.streaming_left_outer_clicks(batch).collect()
+    key = lambda r: (  # noqa: E731
+        r["purchase_id"],
+        r["user_id"],
+        r["click_id"],
+        r["c_ts"],
+    )
+    assert Counter(map(key, got)) == Counter(map(key, want))
+    unmatched = [r for r in got if r["click_id"] is None]
+    matched = [r for r in got if r["click_id"] is not None]
+    assert unmatched, "no watermark-expiry rows — fixture degenerate"
+    assert matched, "no matched pairs — fixture degenerate"
+    # the sentinel never surfaces
+    assert all(
+        r["purchase_id"] != se.SENTINEL_PURCHASE_ID for r in got
+    )
