@@ -746,7 +746,11 @@ def write_ivfpq_index(
       table and are fetched only for the exact re-rank, exactly how a
       production store splits index vs primary storage)
     * ``_INDEX_COMPLETE`` marker, written last — a partially written
-      index is never readable as complete.
+      index is never readable as complete. The marker is a driver-local
+      ``open()`` (correct in local mode and driver-side by design); an
+      object-store deployment swaps this one call for the store's
+      client put — the same single swap point as the documented
+      blob-mirror landing-zone constraint (io.documents_blob_dir).
 
     Deterministic training (see _ivf_centroids) makes the persisted
     index bit-identical to a fresh in-session one — pinned in CI

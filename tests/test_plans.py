@@ -299,6 +299,11 @@ _REVIEWED_NESTED_LOOPS = {
     "text_backoff_lm_quality",
     # inherits text_backoff_lm_quality's 1-row totals broadcast cross
     "corpus_ccnet_buckets",
+    # 1-row (N, V) totals broadcast crossJoined onto the unigram-level
+    # tail of the stupid-backoff miss cascade (r12); the LM tables
+    # themselves join by n-gram HASH keys
+    "text_trigram_sbo_quality",
+    "corpus_ccnet_buckets_sbo",
     "text_bigram_lm_quality",
     "basket_part_affinity",
     "events_ab_welch_t",
@@ -1021,3 +1026,56 @@ def test_semantic_keep_best_broadcasts_cluster_side(spark):
     assert scan and scan[0] < bx[0], tree
     # and the broadcast subtree holds the checkpointed cluster labels
     assert any("Scan ExistingRDD" in l for l in lines[bx[0]:]), tree
+
+
+def test_multimodal_quartet_zero_shuffle(spark):
+    """The decoded-raster quartet (r12) must stay a row-local JVM
+    payload build + ONE Arrow map — no Exchange anywhere: blob
+    construction is a projection and every statistic is per-row."""
+    for name in (
+        "multimodal_ppm_decode",
+        "multimodal_feature_extract",
+        "multimodal_resize",
+        "multimodal_frame_sample",
+    ):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+
+
+def test_compaction_stats_one_join_one_arrow_map(spark):
+    """ann_index_compaction_stats: the error map must be Arrow-batched
+    (no row-at-a-time Python), the assignments⋈embeddings join hash-
+    keyed on vec_id, and the final aggregate partial (map-side
+    combine) — #cells rows move in the last exchange."""
+    plan = plan_of(spark, "ann_index_compaction_stats")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_trigram_sbo_cascade_shape(spark):
+    """text_trigram_sbo_quality: every LM join is equi-keyed (no
+    cartesian products), all count aggregates are partial
+    (HashAggregate), and nothing crosses a row-at-a-time Python
+    boundary. (At test SF the optimizer may broadcast the tiny LM
+    tables — at scale their stats exceed the threshold and the same
+    equi-joins shuffle; the plan property that must hold at every SF
+    is keyed-join + partial-agg, which is what this pins.)"""
+    plan = plan_of(spark, "text_trigram_sbo_quality")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_published_clean_c4_stage_is_projection(spark):
+    """corpus_published_clean: the C4 stage must reach the documents
+    scan as row-local projections/filters — the first Exchange in the
+    pipeline belongs to the paragraph hash aggregate, not to any
+    line-rule evaluation (no Exchange between scan and the paragraph
+    posexplode)."""
+    plan = plan_of(spark, "corpus_published_clean")
+    assert "Exchange" in plan  # downstream stages do shuffle
+    # the plan has no cartesian products and no row-at-a-time Python
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
