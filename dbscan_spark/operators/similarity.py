@@ -1036,6 +1036,52 @@ def ann_index_compaction_stats(
     )
 
 
+def ann_index_rebuild_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index REBUILD-AND-COMPACT — the action
+    :func:`ann_index_compaction_stats`'s rebuild flag triggers, closing
+    the delete → monitor → rebuild lifecycle (FAISS: retrain + re-add
+    on the surviving set): the IVFPQ index retrains on the LIVE
+    (non-tombstoned) slice only and every live vector re-encodes
+    against the NEW centroids/codebooks — tombstoned rows simply never
+    enter the new index, so compaction is physical, not a filter.
+    Output is the compacted index's full assignments table (vec_id,
+    cell, c0..c7 — codes flattened for the hash gate), exactly what
+    ``write_ivfpq_index`` would persist for the survivor set.
+
+    Scale shape: training sees only the ≤2048-row driver sample of the
+    live slice; the re-encode is one zero-shuffle Arrow map over the
+    live scan (two GEMMs per Arrow batch) — the
+    :func:`ann_index_add_batch` machinery pointed at the survivor set.
+    EXACT oracle within the training domain: the add-batch replay SQL
+    with both slice predicates swapped to the live set (derived
+    mechanically — the recursions share every other byte)."""
+    e = _embeddings_with_norms(spark, sf_dir)
+    live = e.filter(~_tombstoned(F.col("vec_id")))
+    cent = _ivf_centroids(live)
+    books = _ivfpq_residual_books(live, cent)
+    nearest1 = _nearest_cells_udf(cent, 1)
+    encode_residual = _residual_encode_udf(cent, books)
+    enc = live.select(
+        "vec_id",
+        F.element_at(nearest1(F.col("v")), 1).alias("cell"),
+        "v",
+    ).select(
+        "vec_id",
+        "cell",
+        encode_residual(F.col("v"), F.col("cell")).alias("codes"),
+    )
+    return enc.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        *[
+            F.element_at("codes", m + 1).cast("long").alias(f"c{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension int8 scalar quantization of the embedding column —
     the storage operator behind every 100 TB vector store (4× smaller
@@ -1304,6 +1350,7 @@ QUERIES = {
     "ann_index_add_batch": ann_index_add_batch,
     "ann_topk_ivfpq_tombstoned": ann_topk_ivfpq_tombstoned,
     "ann_index_compaction_stats": ann_index_compaction_stats,
+    "ann_index_rebuild_compacted": ann_index_rebuild_compacted,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
 
@@ -2037,6 +2084,27 @@ ORACLE["ann_index_add_batch"] = _re.sub(
     rf"\1 {_EMB_NONZERO}",
     ORACLE["ann_index_add_batch"],
 )
+
+# ann_index_rebuild_compacted: DERIVED from the (already corpus-
+# substituted) add-batch replay by swapping BOTH slice predicates to
+# the live (non-tombstoned) set — the compacted index trains on the
+# survivors and encodes the same survivors, so the recursions share
+# every other byte with the proven add-batch oracle and cannot drift.
+_REBUILD_LIVE = (
+    "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN "
+    + "(" + ", ".join(f"'{h}'" for h in _TOMBSTONE_HEX) + ")"
+)
+_AB_ENCODE_PRED = f"WHERE NOT ({_ADD_BATCH_EXIST})"
+assert ORACLE["ann_index_add_batch"].count(_AB_ENCODE_PRED) == 1
+ORACLE["ann_index_rebuild_compacted"] = ORACLE[
+    "ann_index_add_batch"
+].replace(_AB_ENCODE_PRED, f"WHERE {_REBUILD_LIVE}")
+assert (
+    ORACLE["ann_index_rebuild_compacted"].count(_ADD_BATCH_EXIST) == 3
+)
+ORACLE["ann_index_rebuild_compacted"] = ORACLE[
+    "ann_index_rebuild_compacted"
+].replace(_ADD_BATCH_EXIST, _REBUILD_LIVE)
 
 # ann_topk_ivfpq_persisted probes the PERSISTED index; deterministic
 # training makes that index identical to a fresh one (CI pins

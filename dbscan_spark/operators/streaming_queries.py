@@ -382,9 +382,62 @@ def streaming_outer_join_clicks(
     )
 
 
+def streaming_full_outer_clicks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join, graded exactly — the
+    two-sided expiry semantics (unmatched purchases AND unmatched
+    clicks each emit NULL rows when the OPPOSITE side's watermark
+    passes their finalization horizon; the horizons are asymmetric:
+    ``p_ts`` for a purchase, ``c_ts + 30 min`` for a click). Same
+    construction as :func:`streaming_outer_join_clicks`: the sentinel
+    file pushes both watermarks past all real data so a finite
+    stream's full expiry set emits, the drain stops at the batch
+    twin's pre-computed row count, and the sentinel rows (which can
+    never finalize) are additionally excluded null-safely."""
+    sdir = se.events_stream_dir_with_sentinel(spark, sf_dir)
+    src = se.read_events_stream(spark, sdir)
+    joined = se.streaming_full_outer_clicks(src)
+    from dbscan_spark.io import load_events
+
+    batch = load_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = se.streaming_full_outer_clicks(batch).count()
+    name = f"streaming_full_outer_clicks_{next(_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        got = -1
+        while time.time() < deadline:
+            got = spark.table(name).count()
+            if got == expected:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"full outer join emitted {got} of {expected} rows in 300s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).filter(
+        ~F.col("purchase_id").eqNullSafe(F.lit(se.SENTINEL_PURCHASE_ID))
+        & ~F.col("click_id").eqNullSafe(
+            F.lit(se.SENTINEL_PURCHASE_ID - 1)
+        )
+    )
+
+
 QUERIES = {
     "streaming_pysource_events": streaming_pysource_events,
     "streaming_outer_join_clicks": streaming_outer_join_clicks,
+    "streaming_full_outer_clicks": streaming_full_outer_clicks,
     "streaming_tumbling_totals": streaming_tumbling_totals,
     "streaming_session_totals": streaming_session_totals,
     "streaming_merge_latest_state": streaming_merge_latest_state,
@@ -413,6 +466,22 @@ ORACLE = {
     """,
     "streaming_dedup_pairs": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # the batch FULL OUTER twin — both expiry directions; the sentinel
+    # makes the streaming result the full set, no cutoff clause needed
+    "streaming_full_outer_clicks": """
+        WITH p AS (SELECT event_id AS purchase_id,
+                          user_id AS p_user, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, event_id AS click_id,
+                     ts AS c_ts
+              FROM events WHERE event_type = 'click')
+        SELECT p.purchase_id, p.p_user, p.p_ts,
+               c.click_id, c.c_user, c.c_ts
+        FROM p FULL JOIN c
+          ON c.c_user = p.p_user
+         AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+         AND c.c_ts < p.p_ts
     """,
     # the batch LEFT OUTER twin of the watermarked stream-stream join:
     # the sentinel makes the streaming result the FULL outer-expiry set,

@@ -345,6 +345,49 @@ def streaming_left_outer_clicks(
     ).select("purchase_id", "user_id", "click_id", "c_ts")
 
 
+def streaming_full_outer_clicks(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both expiry directions
+    at once: an unmatched purchase emits its NULL-click row when the
+    click-side watermark passes it (no earlier-window click can still
+    arrive), and an unmatched click emits its NULL-purchase row when
+    the purchase-side watermark passes ``c_ts + 30 min`` (no purchase
+    whose window covers it can still arrive). State on both sides stays
+    watermark-bounded exactly as in the one-sided variants; the
+    asymmetric finalization horizons are why full-outer is the
+    stress-test of the eviction logic. Works identically on a batch
+    DataFrame (withWatermark no-op) for the expected-count / CI
+    twin."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id", "p_user", "p_ts", "click_id", "c_user", "c_ts"
+    )
+
+
 def streaming_dedup_events(
     events: DataFrame, delay: str = "10 minutes"
 ) -> DataFrame:

@@ -390,6 +390,41 @@ def test_ann_index_compaction_stats_invariants(spark):
     assert again == {tuple(r) for r in rows}
 
 
+def test_ann_index_rebuild_compacted_contract(spark):
+    """ann_index_rebuild_compacted: the compacted index holds exactly
+    the live (non-tombstoned) vec_ids — compaction is physical, not a
+    filter; cells/codes lie in the trained ranges; two runs are
+    identical (pure function of the corpus + the deterministic
+    tombstone slice)."""
+    import hashlib
+
+    from dbscan_spark.operators import similarity as sim
+
+    e_ids = {
+        r["vec_id"]
+        for r in sim._embeddings_with_norms(spark, SF_TINY)
+        .select("vec_id")
+        .collect()
+    }
+    live = {
+        v
+        for v in e_ids
+        if hashlib.md5(str(v).encode()).hexdigest()[0] not in "01"
+    }
+    rows = sim.ann_index_rebuild_compacted(spark, SF_TINY).collect()
+    assert {r["vec_id"] for r in rows} == live
+    assert live < e_ids, "fixture drifted — empty tombstone slice"
+    for r in rows:
+        assert 0 <= r["cell"] < sim._IVF_CELLS
+        for m in range(sim._PQ_M):
+            assert 0 <= r[f"c{m}"] < sim._PQ_K
+    again = {
+        tuple(r)
+        for r in sim.ann_index_rebuild_compacted(spark, SF_TINY).collect()
+    }
+    assert again == {tuple(r) for r in rows}
+
+
 def test_ann_index_add_batch_contract(spark):
     """ann_index_add_batch: output rows are exactly the deterministic
     md5-incoming slice (disjoint from the training slice), every cell

@@ -644,3 +644,48 @@ def test_streaming_outer_join_watermark_expiry(spark):
     assert all(
         r["purchase_id"] != se.SENTINEL_PURCHASE_ID for r in got
     )
+
+
+def test_streaming_full_outer_join_both_expiry_directions(spark):
+    """FULL OUTER stream-stream join: multiset-equal to the batch full
+    outer twin, with all three row classes present — matched pairs,
+    NULL-click purchases (click-watermark expiry) and NULL-purchase
+    clicks (purchase-watermark expiry) — and no sentinel leakage."""
+    from collections import Counter
+
+    from dbscan_spark.io import load_events
+    from dbscan_spark.operators.streaming_queries import (
+        streaming_full_outer_clicks,
+    )
+    from dbscan_spark.streaming import events as se
+    from pyspark.sql import functions as F
+
+    got = streaming_full_outer_clicks(spark, SF_TINY).collect()
+    batch = load_events(spark, SF_TINY).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = se.streaming_full_outer_clicks(batch).collect()
+    key = lambda r: (  # noqa: E731
+        r["purchase_id"],
+        r["p_user"],
+        r["p_ts"],
+        r["click_id"],
+        r["c_user"],
+        r["c_ts"],
+    )
+    assert Counter(map(key, got)) == Counter(map(key, want))
+    null_click = [r for r in got if r["click_id"] is None]
+    null_purchase = [r for r in got if r["purchase_id"] is None]
+    matched = [
+        r
+        for r in got
+        if r["click_id"] is not None and r["purchase_id"] is not None
+    ]
+    assert null_click, "no click-watermark expiry rows"
+    assert null_purchase, "no purchase-watermark expiry rows"
+    assert matched, "no matched pairs"
+    assert all(
+        r["purchase_id"] != se.SENTINEL_PURCHASE_ID
+        and r["click_id"] != se.SENTINEL_PURCHASE_ID - 1
+        for r in got
+    )
