@@ -1364,6 +1364,161 @@ def text_trigram_sbo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Kneser–Ney absolute discount d = 3/4 — EXACTLY representable in
+#: binary (0.75 = 3·2⁻²), so subtracting or scaling by it is an exact
+#: IEEE op on integer-valued doubles and the whole probability is a
+#: short fixed op chain both engines evaluate bit-identically
+_KN_DISCOUNT = 0.75
+
+
+def text_trigram_kn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated TRIGRAM Kneser–Ney language-model score (Kneser &
+    Ney 1995; Chen & Goodman 1999's interpolated form) — the fidelity
+    rung above :func:`text_trigram_sbo_quality`'s stupid backoff and
+    the estimator family KenLM itself implements for CCNet:
+
+        p(w|u,v) = max(c(uvw)−d, 0)/c(uv) + d·N1+(uv·)/c(uv) · p(w|v)
+        p(w|v)   = max(N1+(·vw)−d, 0)/N1+(·v·)
+                   + d·N1+(v·)/N1+(·v·) · p(w)
+        p(w)     = (N1+(·w) + 1)/(N1+(··) + V)
+
+    — lower orders use CONTINUATION counts (how many distinct contexts
+    a unit completes), the property that makes KN the strongest n-gram
+    smoother: "San Francisco" inflates c(Francisco) but not
+    N1+(·Francisco). The unigram base is +1-smoothed over the
+    continuation vocabulary so document-initial-only words (zero
+    continuation mass) stay finite — the documented deviation, same
+    class as the repo's other Laplace floors. Counts are corpus-
+    trained and interpolation touches every order on every event, so
+    the discount machinery is exercised corpus-wide (no train/eval
+    split needed, unlike stupid backoff whose top level always hits on
+    its own training text); i=2 events start at the bigram level, i=1
+    at the unigram base, and a history with zero continuation mass
+    (N1+(·v·) = 0, reachable only at i=2) backs off to p(w) entirely.
+
+    Exactness discipline: every count is an exact int64; d = 0.75 is
+    binary-exact, so ``max(C − 0.75, 0)`` and ``0.75·M`` are EXACT on
+    integer-valued doubles; each probability is then the identical
+    short chain — two divisions, one multiply, one add per level —
+    that the DuckDB replay evaluates in the same association order, so
+    per-event doubles are bit-identical and the 4dp floor on the
+    average absorbs summation order (the backoff-LM precedent, one
+    level deeper).
+
+    Scale shape: the (u,v,w) event stream is row-local; count tables
+    are partial-agg shuffles on n-gram keys; the LM is ASSEMBLED FIRST
+    (trigram-vocabulary-sized joins pre-compute p₃ per distinct
+    trigram), so the corpus-sized i≥3 stream joins ONCE on (u,v,w) —
+    an INNER join, since corpus-trained counts contain every observed
+    trigram — the i=2 stream once on (v,w), and the i=1 stream is
+    #docs rows; LM tables deliberately NOT broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    ev = (
+        staged.select(
+            "doc_id", "t", F.posexplode("t").alias("pos", "w")
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("i"),
+            F.when(
+                F.col("pos") >= 2, F.element_at("t", F.col("pos") - 1)
+            ).alias("u"),
+            F.when(
+                F.col("pos") >= 1, F.element_at("t", F.col("pos"))
+            ).alias("v"),
+            "w",
+        )
+        .persist()
+    )
+    big = (
+        ev.filter(F.col("v").isNotNull())
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tri = (
+        ev.filter(F.col("u").isNotNull())
+        .groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    # continuation statistics (all vocabulary-sized partial aggs)
+    uv_stats = tri.groupBy("u", "v").agg(
+        F.sum("c3").alias("duv"), F.count(F.lit(1)).alias("mfo")
+    )
+    vw_stats = tri.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("a1")
+    )
+    v_stats = tri.groupBy("v").agg(F.count(F.lit(1)).alias("d2"))
+    l_stats = big.groupBy("v").agg(F.count(F.lit(1)).alias("lv"))
+    w_stats = big.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n_ev"),  # unused, keeps agg non-empty
+        F.countDistinct("w").alias("vv"),
+    ).crossJoin(
+        F.broadcast(big.agg(F.count(F.lit(1)).alias("n1all")))
+    )
+    kd = F.lit(_KN_DISCOUNT)
+    p1 = (F.coalesce(F.col("n1w"), F.lit(0)) + 1) / (
+        F.col("n1all") + F.col("vv")
+    )
+    p2 = F.when(
+        F.coalesce(F.col("d2"), F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce(F.col("a1"), F.lit(0)) - kd, F.lit(0.0)
+        )
+        / F.col("d2")
+        + ((kd * F.col("lv")) / F.col("d2")) * p1,
+    ).otherwise(p1)
+    p3 = (
+        F.greatest(F.col("c3") - kd, F.lit(0.0)) / F.col("duv")
+        + ((kd * F.col("mfo")) / F.col("duv")) * p2
+    )
+    # LM assembly: p3 per distinct trigram, p2 per distinct bigram —
+    # the event streams then each join exactly once
+    lm3 = (
+        tri.join(uv_stats, ["u", "v"])
+        .join(vw_stats, ["v", "w"], "left")
+        .join(v_stats, ["v"], "left")
+        .join(l_stats, ["v"])
+        .join(w_stats, ["w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select("u", "v", "w", p3.alias("p"))
+    )
+    lm2 = (
+        big.join(vw_stats, ["v", "w"], "left")
+        .join(v_stats, ["v"], "left")
+        .join(l_stats, ["v"])
+        .join(w_stats, ["w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select("v", "w", p2.alias("p"))
+    )
+    s3 = (
+        ev.filter(F.col("i") >= 3)
+        .join(lm3, ["u", "v", "w"])
+        .select("doc_id", (-F.log("p")).alias("nl"))
+    )
+    s2 = (
+        ev.filter(F.col("i") == 2)
+        .join(lm2, ["v", "w"])
+        .select("doc_id", (-F.log("p")).alias("nl"))
+    )
+    s1 = (
+        ev.filter(F.col("i") == 1)
+        .join(w_stats, ["w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(p1)).alias("nl"))
+    )
+    return (
+        s3.unionByName(s2)
+        .unionByName(s1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            _r4(F.avg("nl")).alias("nll"),
+        )
+    )
+
+
 def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge-step statistics: corpus-wide frequencies of
     adjacent character pairs inside words — the argmax of this table is
@@ -2587,6 +2742,7 @@ QUERIES = {
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "text_backoff_lm_quality": text_backoff_lm_quality,
     "text_trigram_sbo_quality": text_trigram_sbo_quality,
+    "text_trigram_kn_quality": text_trigram_kn_quality,
     "corpus_ccnet_buckets_sbo": corpus_ccnet_buckets_sbo,
     "text_bigram_lm_quality": text_bigram_lm_quality,
     "dsir_importance_weights": dsir_importance_weights,
@@ -2833,6 +2989,66 @@ _SBO_LM_CTES = f"""
                       AS BIGINT) AS n_uni_events,
                  floor(avg(nl) * 10000 + 0.5) / 10000 AS nll
           FROM sscore GROUP BY doc_id)
+"""
+
+#: Shared DuckDB replay of the interpolated Kneser–Ney trigram scoring
+#: (text_trigram_kn_quality's oracle). The per-level probability
+#: expressions are built from nested Python fragments so the bigram
+#: level inside the trigram formula and the standalone bigram level are
+#: the same bytes; every arithmetic step mirrors the Spark op chain
+#: (d = 0.75 is binary-exact, so subtract/scale are exact on
+#: integer-valued doubles and the whole chain is bit-identical).
+_KN_D = repr(_KN_DISCOUNT)
+_KN_P1 = "((coalesce(kw.n1w, 0) + 1) / (kt.n1all + kt.vv))"
+_KN_P2 = (
+    "(CASE WHEN coalesce(kv.d2, 0) > 0 THEN "
+    f"greatest(coalesce(vw.a1, 0) - {_KN_D}, 0.0) / kv.d2 "
+    f"+ (({_KN_D} * kl.lv) / kv.d2) * {_KN_P1} "
+    f"ELSE {_KN_P1} END)"
+)
+_KN_P3 = (
+    f"(greatest(t3.c3 - {_KN_D}, 0.0) / uv.duv "
+    f"+ (({_KN_D} * uv.mfo) / uv.duv) * {_KN_P2})"
+)
+_KN_LM_CTES = f"""
+        kdocs AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        kev AS (
+          SELECT doc_id, i,
+                 CASE WHEN i >= 3 THEN t[i - 2] END AS u,
+                 CASE WHEN i >= 2 THEN t[i - 1] END AS v,
+                 t[i] AS w
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM kdocs)),
+        kbig AS (SELECT v, w, count(*) AS c2 FROM kev
+                 WHERE v IS NOT NULL GROUP BY v, w),
+        ktri AS (SELECT u, v, w, count(*) AS c3 FROM kev
+                 WHERE u IS NOT NULL GROUP BY u, v, w),
+        kuv AS (SELECT u, v, sum(c3) AS duv, count(*) AS mfo
+                FROM ktri GROUP BY u, v),
+        kvw AS (SELECT v, w, count(*) AS a1 FROM ktri GROUP BY v, w),
+        kv AS (SELECT v, count(*) AS d2 FROM ktri GROUP BY v),
+        kl AS (SELECT v, count(*) AS lv FROM kbig GROUP BY v),
+        kw AS (SELECT w, count(*) AS n1w FROM kbig GROUP BY w),
+        ktot AS (SELECT (SELECT count(DISTINCT w) FROM kev) AS vv,
+                        (SELECT count(*) FROM kbig) AS n1all),
+        kscore AS (
+          SELECT e.doc_id,
+                 -ln(CASE WHEN e.i >= 3 THEN {_KN_P3}
+                          WHEN e.i = 2 THEN {_KN_P2}
+                          ELSE {_KN_P1} END) AS nl
+          FROM kev e
+          LEFT JOIN ktri t3 ON t3.u = e.u AND t3.v = e.v AND t3.w = e.w
+          LEFT JOIN kuv uv ON uv.u = e.u AND uv.v = e.v
+          LEFT JOIN kvw vw ON vw.v = e.v AND vw.w = e.w
+          LEFT JOIN kv ON kv.v = e.v
+          LEFT JOIN kl ON kl.v = e.v
+          LEFT JOIN kw ON kw.w = e.w
+          CROSS JOIN ktot kt),
+        kscored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 floor(avg(nl) * 10000 + 0.5) / 10000 AS nll
+          FROM kscore GROUP BY doc_id)
 """
 
 _SQL_STOPWORDS = ", ".join(f"('{lang}', '{w}')" for lang, w in STOPWORDS)
@@ -3660,6 +3876,10 @@ ORACLE = {
                CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                       ELSE 'tail' END AS bucket
         FROM t
+    """,
+    "text_trigram_kn_quality": f"""
+        WITH {_KN_LM_CTES}
+        SELECT doc_id, n_tokens, nll FROM kscored
     """,
     "text_trigram_sbo_quality": f"""
         WITH {_SBO_LM_CTES}

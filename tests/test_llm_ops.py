@@ -1168,6 +1168,47 @@ def test_trigram_sbo_backoff_telemetry(spark):
     assert again == {tuple(r) for r in rows}
 
 
+def test_trigram_kn_quality_contract(spark):
+    """text_trigram_kn_quality: every non-null-text doc scores with a
+    finite positive nll and the right token count (interpolation
+    touches every order on every event — nothing can hit a zero
+    probability thanks to the +1 continuation base); two runs are
+    identical; and the continuation-count signature holds on the
+    corpus: a doc's nll differs from the raw-frequency stupid-backoff
+    score (the two estimators genuinely disagree, i.e. the KN
+    machinery is not silently degenerate)."""
+    import math
+
+    from dbscan_spark.operators import text as text_ops
+
+    rows = text_ops.text_trigram_kn_quality(spark, SF_TINY).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            f"{SF_TINY}/documents.parquet"
+        ).collect()
+        if r["text"] is not None
+    }
+    assert {r["doc_id"] for r in rows} == set(docs)
+    for r in rows:
+        assert r["nll"] is not None and math.isfinite(r["nll"])
+        assert r["nll"] > 0
+        assert r["n_tokens"] >= 1
+    sbo = {
+        r["doc_id"]: r["nll"]
+        for r in text_ops.text_trigram_sbo_quality(
+            spark, SF_TINY
+        ).collect()
+    }
+    kn = {r["doc_id"]: r["nll"] for r in rows}
+    assert any(abs(kn[d] - sbo[d]) > 1e-3 for d in kn)
+    again = {
+        tuple(r)
+        for r in text_ops.text_trigram_kn_quality(spark, SF_TINY).collect()
+    }
+    assert again == {tuple(r) for r in rows}
+
+
 def test_ccnet_buckets_sbo_tercile_rule(spark):
     """corpus_ccnet_buckets_sbo: the factored bucketizer must cut exact
     per-language ntile(3) thirds over the stupid-backoff score, same

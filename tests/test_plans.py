@@ -304,6 +304,10 @@ _REVIEWED_NESTED_LOOPS = {
     # themselves join by n-gram HASH keys
     "text_trigram_sbo_quality",
     "corpus_ccnet_buckets_sbo",
+    # 1-row (V, N1+(··)) continuation-totals broadcast crossJoined onto
+    # the vocabulary-sized KN LM assembly and the #docs first-token
+    # slice (r12); LM tables join by n-gram HASH keys
+    "text_trigram_kn_quality",
     "text_bigram_lm_quality",
     "basket_part_affinity",
     "events_ab_welch_t",
