@@ -206,45 +206,60 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.withColumn("histo16", F.to_json("histo16"))
 
 
-def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar Arrow-batched pandas UDF producing a deterministic stub
-    embedding (8 floats) from each blob — the signature/batch shape a real
-    encoder model would plug into. Completes the engine's Python-UDF
-    taxonomy: scalar pandas_udf here, grouped-map applyInPandas (DBSCAN
-    kernel), mapInPandas (feature extract), applyInPandasWithState
-    (streaming).
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image embedding over the DECODED raster — since
+    r12 (renamed from ``multimodal_embed_stub``; the last multimodal
+    operator still reading raw bytes now parses the real P6 container):
+    a scalar Arrow-batched pandas UDF decodes each payload through
+    :func:`decode_image` and emits a 24-dim PER-CHANNEL color
+    histogram embedding (3 channels × 8 intensity buckets,
+    L2-normalized) — the classic handcrafted image descriptor, and the
+    exact signature/batch shape a learned encoder model plugs into
+    (the model itself is the one documented swap point). A header
+    mis-parse shifts the channel assignment and every coordinate, so
+    the decoder is hash-gated through the embedding. Completes the
+    engine's Python-UDF taxonomy: scalar pandas_udf here, grouped-map
+    applyInPandas (DBSCAN kernel), mapInPandas (feature extract),
+    applyInPandasWithState (streaming).
 
-    EXACT DuckDB oracle: bucket counts are integers, the L2 norm and
-    the divisions are single IEEE ops on those exact integers, and the
-    rounding is half-up floor — so SQL reproduces every component. The
-    graded projection flattens the vector into e0..e7 double columns
-    (floats hash per-column through the driver's canonicalizer; a JSON
-    rendering of doubles would be formatting-fragile); production
-    consumers take the array column before the flatten."""
+    EXACT DuckDB oracle: per-(channel, bucket) counts are exact
+    integers rebuilt from the hex byte stream (channel = byte-index
+    mod 3; padding zeros land in each channel's bucket 0 with the
+    closed-form count ((E−ch+2)//3 − (n−ch+2)//3)); the sum of 24
+    integer squares stays < 2⁵³ so it is float64-exact in ANY
+    summation order, the norm is one IEEE sqrt (plain
+    sqrt-of-sum-of-squares, NOT np.linalg.norm — BLAS nrm2 rescales
+    internally and rounds differently), each division is one IEEE op,
+    and the rounding is half-up floor. The graded projection flattens
+    the vector into e0..e23 double columns (floats hash per-column
+    through the driver's canonicalizer); production consumers take the
+    array column before the flatten. Zero shuffle."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
     def embed(blobs: pd.Series) -> pd.Series:
         out = []
         for b in blobs:
-            arr = np.frombuffer(b, dtype=np.uint8)
-            # deterministic 8-bucket byte-histogram "embedding", L2-normed
-            h = np.bincount(arr >> 5, minlength=8).astype(np.float64)
-            # plain sqrt-of-sum-of-squares, NOT np.linalg.norm: BLAS
-            # nrm2 rescales internally and rounds differently from the
-            # single IEEE sqrt the SQL oracle computes
-            n = float(np.sqrt((h * h).sum()))
-            e = h / n if n else h
+            img = decode_image(bytes(b)).astype(np.int64)  # (h, 16, 3)
+            hist = np.stack(
+                [
+                    np.bincount(
+                        img[:, :, ch].reshape(-1) >> 5, minlength=8
+                    )
+                    for ch in range(3)
+                ]
+            )
+            flat = hist.reshape(-1).astype(np.float64)
+            n = float(np.sqrt((flat * flat).sum()))
+            e = flat / n if n else flat
             out.append(np.floor(e * 1e6 + 0.5) / 1e6)
         return pd.Series(out)
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
-    )
-    vec = d.select("doc_id", embed(F.col("blob")).alias("v"))
+    src = _ppm_blob_src(spark, sf_dir).select("doc_id", "blob")
+    vec = src.select("doc_id", embed(F.col("blob")).alias("v"))
     return vec.select(
         "doc_id",
-        *[F.element_at("v", i + 1).alias(f"e{i}") for i in range(8)],
+        *[F.element_at("v", i + 1).alias(f"e{i}") for i in range(24)],
     )
 
 
@@ -583,25 +598,9 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_size_histogram": multimodal_size_histogram,
     "multimodal_feature_extract": multimodal_feature_extract,
-    "multimodal_embed_stub": multimodal_embed_stub,
+    "multimodal_embed": multimodal_embed,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
-
-#: exploded byte stream of the payload.
-# True UTF-8 BYTES of the payload, not codepoints: the Spark side
-# decodes encode(text, 'UTF-8') with numpy, so the oracle must walk the
-# same byte stream. The previous ascii(text[i]) form walked CODEPOINTS —
-# identical on ASCII corpora but divergent (and INT32-overflowing:
-# 0x1F389² > 2³¹) the moment an emoji/CJK/accents row appears (round-9
-# unicode shape fuzz). hex() of the encoded blob gives two hex chars per
-# byte on both engines' UTF-8 storage.
-_SQL_BYTES = """
-  SELECT doc_id,
-         unnest(list_transform(range(1, octet_length(encode(text)) + 1),
-                i -> CAST(('0x' || substring(hx, (i - 1) * 2 + 1, 2))
-                          AS INTEGER))) AS byte
-  FROM (SELECT doc_id, hex(encode(text)) AS hx, text FROM documents)
-"""
 
 _H16 = ", ".join(
     f"sum(CASE WHEN byte // 16 = {b} THEN 1 ELSE 0 END) AS h{b}"
@@ -630,15 +629,37 @@ _SQL_RASTER = f"""
                                AS INTEGER))) AS byte
           FROM m)
 """
-_C8 = ", ".join(
-    f"sum(CASE WHEN byte // 32 = {b} THEN 1 ELSE 0 END) AS c{b}"
+#: 24-dim per-channel histogram fragments for the multimodal_embed
+#: oracle (r12): text byte i is channel i%3; padding zeros land in each
+#: channel's bucket 0 with a closed-form count.
+_C24 = ", ".join(
+    f"sum(CASE WHEN i % 3 = {ch} AND byte // 32 = {b} "
+    f"THEN 1 ELSE 0 END) AS c{ch}_{b}"
+    for ch in range(3)
     for b in range(8)
 )
-_NORM8 = " + ".join(f"coalesce(c{b}, 0) * coalesce(c{b}, 0)" for b in range(8))
-_E8 = ", ".join(
-    f"CASE WHEN norm = 0 THEN 0.0 ELSE floor(coalesce(c{b}, 0) / norm"
-    f" * 1000000.0 + 0.5) / 1000000.0 END AS e{b}"
+
+
+def _pad_ch(ch: int) -> str:
+    """#zero pad bytes on channel ch: |{j in [n, h*48): j % 3 == ch}|."""
+    return (
+        f"((m.h * {3 * _PPM_W} - {ch} + 2) // 3"
+        f" - (m.n - {ch} + 2) // 3)"
+    )
+
+
+_K24 = ", ".join(
+    f"coalesce(c{ch}_{b}, 0)"
+    + (f" + {_pad_ch(ch)}" if b == 0 else "")
+    + f" AS k{ch * 8 + b}"
+    for ch in range(3)
     for b in range(8)
+)
+_NORM24 = " + ".join(f"k{i} * k{i}" for i in range(24))
+_E24 = ", ".join(
+    f"CASE WHEN norm = 0 THEN 0.0 ELSE floor(k{i} / norm"
+    f" * 1000000.0 + 0.5) / 1000000.0 END AS e{i}"
+    for i in range(24)
 )
 
 ORACLE = {
@@ -783,14 +804,17 @@ ORACLE = {
                    || ']' AS histo16
         FROM m LEFT JOIN agg USING (doc_id)
     """,
-    "multimodal_embed_stub": f"""
-        WITH ch AS ({_SQL_BYTES}),
-        agg AS (SELECT doc_id, {_C8} FROM ch GROUP BY doc_id),
-        normed AS (
-          SELECT d.doc_id, {", ".join(f"coalesce(c{b}, 0) AS c{b}" for b in range(8))},
-                 sqrt({_NORM8}) AS norm
-          FROM documents d LEFT JOIN agg USING (doc_id))
-        SELECT doc_id, {_E8}
+    # real-raster embedding (r12): per-(channel, bucket) integer counts
+    # from the text byte stream + closed-form per-channel padding mass
+    # in bucket 0; the 24-square norm sum stays < 2^53 (float64-exact
+    # in any order), then one sqrt and one division per coordinate
+    "multimodal_embed": f"""
+        WITH {_SQL_RASTER},
+        cnts AS (SELECT doc_id, {_C24} FROM by GROUP BY doc_id),
+        kf AS (SELECT m.doc_id, {_K24}
+               FROM m LEFT JOIN cnts USING (doc_id)),
+        normed AS (SELECT *, sqrt({_NORM24}) AS norm FROM kf)
+        SELECT doc_id, {_E24}
         FROM normed
     """,
     # real-raster frame sampling (r12): a frame is a parsed raster row

@@ -806,19 +806,34 @@ def test_approx_percentiles_track_exact(spark):
         assert a["sketch_within_1pct"] is True, flag
 
 
-def test_multimodal_embed_stub_deterministic(spark):
-    """The scalar pandas_udf stub encoder must be deterministic and
-    L2-normalized (the plumbing contract a real encoder would inherit)."""
+def test_multimodal_embed_deterministic_and_channelled(spark):
+    """The decoded-raster encoder (r12) must be deterministic,
+    L2-normalized, and genuinely per-channel: the 24-dim vector equals
+    a direct numpy per-channel histogram of the padded raster."""
     import numpy as np
 
-    cols = [f"e{i}" for i in range(8)]
+    cols = [f"e{i}" for i in range(24)]
     a = {r["doc_id"]: tuple(r[c] for c in cols)
-         for r in multimodal.multimodal_embed_stub(spark, SF_TINY).collect()}
+         for r in multimodal.multimodal_embed(spark, SF_TINY).collect()}
     b = {r["doc_id"]: tuple(r[c] for c in cols)
-         for r in multimodal.multimodal_embed_stub(spark, SF_TINY).collect()}
+         for r in multimodal.multimodal_embed(spark, SF_TINY).collect()}
     assert a == b and len(a) > 0
+    rasters = _doc_rasters(spark)
+    assert set(a) == set(rasters)
+    for doc_id, got in list(a.items())[:20]:
+        img = rasters[doc_id]
+        hist = np.stack(
+            [
+                np.bincount(img[:, :, ch].reshape(-1) >> 5, minlength=8)
+                for ch in range(3)
+            ]
+        )
+        flat = hist.reshape(-1).astype(np.float64)
+        n = float(np.sqrt((flat * flat).sum()))
+        want = tuple(np.floor(flat / n * 1e6 + 0.5) / 1e6)
+        assert got == want, doc_id
     v = np.array(next(iter(a.values())))
-    assert len(v) == 8 and abs(np.linalg.norm(v) - 1.0) < 1e-4
+    assert len(v) == 24 and abs(np.linalg.norm(v) - 1.0) < 1e-4
 
 
 def test_ann_ivf_recall(spark):
