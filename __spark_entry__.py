@@ -186,45 +186,14 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # (Empty at round-12 open: the 7 r11 bumps — gopher trimmed-line
-    # rules, the blob-dir landing-zone guard, the _dup_span_islands
-    # factor-out pair, the ivfpq train/probe split, the ccnet
-    # backoff-LM score column, and the shared _row() stream/batch
-    # factor-out — were ALL re-graded hash-green in CORRECTNESS_r11
-    # and pruned here; manifest re-baselined via
+    # (Empty at round-13 open: the 10 r12 bumps — the multimodal
+    # real-decoder quartet, the corpus_published_clean stage-core
+    # factor-outs (c4/paragraph/dup-span families), and the
+    # _ccnet_bucketize factor-out — were ALL re-graded hash-green in
+    # CORRECTNESS_r12 and pruned here; manifest re-baselined via
     # tools/query_hashes.py --write. An expired bump is inert for the
     # rotation but the rotation-invariant test rejects it by design,
     # so prune-at-round-open is mandatory.)
-    #
-    # round 12 (VERDICT r11 #3): the multimodal quartet now decodes the
-    # REAL P6 payload through decode_image — feature_extract and
-    # frame_sample compute raster statistics (new semantics + new
-    # oracles), and ppm_decode's blob construction factored into the
-    # shared _ppm_blob_src (identical dataflow, moved fingerprint).
-    # multimodal_resize_stub was RENAMED to multimodal_resize (never-
-    # graded under the new name, so it enters the dark-priority block,
-    # no bump needed).
-    "multimodal_feature_extract": 9,
-    "multimodal_frame_sample": 9,
-    "multimodal_ppm_decode": 11,
-    # round 12 (VERDICT r11 #4): the composed corpus_published_clean
-    # pipeline factored corpus-agnostic cores out of its three stages —
-    # _c4_clean_pages (C4 line/page rules), _paragraph_occurrences_from
-    # / _units_and_pairs_from / _paragraph_clean_tagged (paragraph
-    # exact+near dedup), _dup_span_islands_from / _span_removal_from
-    # (span removal). Identical dataflow for the existing queries, but
-    # their closure fingerprints moved:
-    "corpus_c4_filters": 10,
-    "text_dup_spans": 11,
-    "text_dup_spans_w50": 11,
-    "text_dup_span_removal": 11,
-    "corpus_paragraph_neardup": 11,
-    "corpus_paragraph_clean": 11,
-    # round 12 (VERDICT r11 #6): corpus_ccnet_buckets' bucketing
-    # machinery factored into the score-agnostic _ccnet_bucketize (now
-    # also feeding corpus_ccnet_buckets_sbo) — identical dataflow,
-    # moved fingerprint:
-    "corpus_ccnet_buckets": 11,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
