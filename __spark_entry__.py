@@ -186,14 +186,19 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # (Empty at round-13 open: the 10 r12 bumps — the multimodal
-    # real-decoder quartet, the corpus_published_clean stage-core
-    # factor-outs (c4/paragraph/dup-span families), and the
+    # (The 10 r12 bumps — the multimodal real-decoder quartet, the
+    # corpus_published_clean stage-core factor-outs, and the
     # _ccnet_bucketize factor-out — were ALL re-graded hash-green in
-    # CORRECTNESS_r12 and pruned here; manifest re-baselined via
-    # tools/query_hashes.py --write. An expired bump is inert for the
-    # rotation but the rotation-invariant test rejects it by design,
-    # so prune-at-round-open is mandatory.)
+    # CORRECTNESS_r12 and pruned at round-13 open; manifest
+    # re-baselined via tools/query_hashes.py --write.)
+    #
+    # round 13 (VERDICT r12 #3): _embedding_lsh_pairs rewritten from
+    # pair-level verify (distinct candidates + two vector re-join legs)
+    # to per-bucket applyInPandas verify — identical candidate set and
+    # float op chain (einsum + per-row norms), re-verified hash-green
+    # vs the unchanged exact oracle at sf0.001/0.01/0.1 + adversarial
+    # this round, but the closure fingerprint moved:
+    "dedup_embedding_lsh": 10,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

@@ -70,6 +70,43 @@ def _cpu_mhz() -> float:
         return 0.0
 
 
+#: recorded per-query baseline slice (BASELINE.md §4, the 52.856 s
+#: quiet-host capture) — drives the steal-aware retry trigger below.
+BASELINE_SEC = {
+    "q1_pricing_summary": 0.585, "q3_shipping_priority": 1.519,
+    "q5_region_revenue": 1.619, "join_left_outer": 0.65,
+    "agg_rollup": 0.458, "agg_grouping_sets": 0.901,
+    "pivot_segment_priority": 0.815, "subquery_exists_urgent": 0.417,
+    "join_asof_last_click": 0.776, "window_running_total": 0.671,
+    "window_moving_avg": 0.399, "window_ntile_deciles": 0.938,
+    "window_tumbling_events": 0.434, "window_session_events": 0.629,
+    "json_aggregate_events": 0.603, "json_source_events": 0.792,
+    "events_gapfill_hourly": 0.724, "dedup_exact": 0.286,
+    "dedup_ngram_jaccard": 3.776, "dedup_minhash_lsh": 3.173,
+    "dedup_embedding_lsh": 2.914, "ann_topk_bruteforce": 0.938,
+    "text_token_stats": 0.612, "text_language_id": 0.721,
+    "text_rolling_hash": 0.637, "text_tfidf_top_terms": 1.539,
+    "corpus_clean_pipeline": 3.13, "join_salted_skew": 0.485,
+    "sample_hash_orders": 0.228, "q7_volume_shipping": 1.018,
+    "q13_customer_distribution": 0.602, "merge_upsert_orders": 0.771,
+    "sample_stratified_orders": 0.505, "text_inverted_index": 0.804,
+    "events_dod_change": 0.576, "events_funnel": 0.819,
+    "events_sessionize_lag": 0.642, "text_contamination_check": 2.266,
+    "ann_topk_pq": 2.471, "dedup_cluster_cc": 1.615,
+    "supplier_pagerank": 6.293, "dbscan_embeddings": 3.105,
+}
+
+#: steal-aware retry (VERDICT r12 #2): two consecutive official captures
+#: were wrecked by steal bursts landing on individual queries (r12:
+#: 28,642 of 30,415 bracketed ticks on three byte-unchanged queries,
+#: 9.48x blowups) while quiet runs on the identical tree read 1.15-1.29x.
+#: Any query whose steal bracket exceeds RETRY_STEAL_TICKS or whose
+#: elapsed exceeds RETRY_BASELINE_X of its recorded baseline gets ONE
+#: immediate solo re-run; the headline keeps the min and BOTH values
+#: stay machine-readable in the capture under "retries".
+RETRY_STEAL_TICKS = 100
+RETRY_BASELINE_X = 3.0
+
 #: headline set: scan-agg, join-heavy, window, event-time, dedup (exact +
 #: LSH), similarity, text, and the flagship clustering pipeline
 BENCH_QUERIES = [
@@ -172,33 +209,62 @@ def main() -> None:
     steal0, total0 = _cpu_ticks()
     timings: dict[str, float] = {}
     query_steal: dict[str, int] = {}
+    retries: dict[str, dict] = {}
     rewarm_sec = 0.0
     from dbscan_spark.operators.dedup import rewarm_pair_cache
 
-    for name in BENCH_QUERIES:
-        if name == "dedup_cluster_cc":
-            # untimed: restore the shared pair-graph artifact the
-            # per-query cache sweep evicts. The baseline regime charges
-            # the pair compute to dedup_minhash_lsh (timed above) and
-            # only the CC rounds here — production materializes the
-            # pair table once. VERDICT r9 #3 adjudication: the 2.79×
-            # was this silent recompute, not a cc regression. The
-            # excluded wall-clock is emitted as `rewarm_sec` so the
-            # exclusion is visible and auditable in every capture
-            # (ADVICE r10).
-            rw0 = time.perf_counter()
-            rewarm_pair_cache(spark, SF_DIR)
-            rewarm_sec = round(time.perf_counter() - rw0, 3)
-        qs0, _ = _cpu_ticks()
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        qs1, _ = _cpu_ticks()
+    def _rewarm_cc() -> None:
+        # untimed: restore the shared pair-graph artifact the
+        # per-query cache sweep evicts. The baseline regime charges
+        # the pair compute to dedup_minhash_lsh (timed above) and
+        # only the CC rounds here — production materializes the
+        # pair table once. VERDICT r9 #3 adjudication: the 2.79×
+        # was this silent recompute, not a cc regression. The
+        # excluded wall-clock is emitted as `rewarm_sec` so the
+        # exclusion is visible and auditable in every capture
+        # (ADVICE r10).
+        nonlocal rewarm_sec
+        rw0 = time.perf_counter()
+        rewarm_pair_cache(spark, SF_DIR)
+        rewarm_sec = round(rewarm_sec + time.perf_counter() - rw0, 3)
+
+    def _run_once(name: str) -> tuple[float, int]:
         # per-query steal bracket (VERDICT r9 #3): a single-query blowup
         # under a local steal burst (e.g. dedup_cluster_cc's 2.79× in the
         # otherwise-quiet r9 capture) is distinguishable from a real
         # regression without a solo re-run
-        query_steal[name] = qs1 - qs0
+        s0, _ = _cpu_ticks()
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 3)
+        s1, _ = _cpu_ticks()
+        return sec, s1 - s0
+
+    for name in BENCH_QUERIES:
+        if name == "dedup_cluster_cc":
+            _rewarm_cc()
+        sec, ticks = _run_once(name)
+        base = BASELINE_SEC.get(name)
+        if ticks > RETRY_STEAL_TICKS or (
+            base is not None and sec > RETRY_BASELINE_X * base
+        ):
+            # steal-slammed (or anomalously slow) first run: one solo
+            # re-run after the usual cache sweep; keep the min, record
+            # both so the capture stays auditable
+            spark.catalog.clearCache()
+            if name == "dedup_cluster_cc":
+                _rewarm_cc()
+            sec2, ticks2 = _run_once(name)
+            retries[name] = {
+                "first_sec": sec,
+                "first_steal_ticks": ticks,
+                "retry_sec": sec2,
+                "retry_steal_ticks": ticks2,
+            }
+            if sec2 < sec:
+                sec, ticks = sec2, ticks2
+        timings[name] = sec
+        query_steal[name] = ticks
         # untimed sweep of blocks a query persisted but (by repo
         # convention) left for the session to reclaim — keeps a long
         # bench session's executor memory flat (ADVICE r8)
@@ -216,6 +282,10 @@ def main() -> None:
         "steal_ticks": steal1 - steal0,
         "cpu_ticks": total1 - total0,
         "query_steal_ticks": query_steal,
+        # steal-aware retry audit trail (VERDICT r12 #2): every entry
+        # here had its first run discarded-or-kept by min(); both runs'
+        # seconds + steal brackets are preserved for adjudication
+        "retries": retries,
         "rewarm_sec": rewarm_sec,
         # host-speed calibration (VERDICT r11 #2): fixed-work SHA-256
         # probe bracketing the timed loop + /proc/cpuinfo MHz samples.
