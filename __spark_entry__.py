@@ -199,6 +199,14 @@ _REGRADE = {
     # vs the unchanged exact oracle at sf0.001/0.01/0.1 + adversarial
     # this round, but the closure fingerprint moved:
     "dedup_embedding_lsh": 10,
+    # round 13 (VERDICT r12 #4): the trigram-SBO scoring body factored
+    # into the prune-aware _sbo_scored core (now also feeding
+    # text_trigram_sbo_pruned / corpus_ccnet_buckets_sbo_pruned) —
+    # identical dataflow for the existing pair (prune_min=None), both
+    # re-verified hash-green at sf0.001/0.01/0.1 + adversarial this
+    # round, but their closure fingerprints moved:
+    "text_trigram_sbo_quality": 12,
+    "corpus_ccnet_buckets_sbo": 12,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

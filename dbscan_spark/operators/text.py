@@ -1245,6 +1245,67 @@ def text_trigram_sbo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v,w), and only THEIR misses hit the unigram table; every level's
     join is hash-keyed and the LM tables are deliberately NOT
     broadcast (a web-scale trigram table outgrows broadcast)."""
+    return _sbo_scored(spark, sf_dir)
+
+
+#: count-pruning threshold for the production SBO variant (Brants et
+#: al. 2007 §4's count cutoff): n-grams observed fewer than this many
+#: times are dropped from the trigram/bigram LOOKUP tables, the backoff
+#: chain absorbing them. Denominator counts stay raw (c(uv) ≥ c(uvw)
+#: for every retained trigram, so retained probabilities are unchanged).
+_SBO_PRUNE_MIN = 2
+
+
+def text_trigram_sbo_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-pruned trigram stupid backoff (Brants et al. 2007 §4 —
+    the production knob, VERDICT r12 #4): identical scoring cascade to
+    :func:`text_trigram_sbo_quality`, but singleton trigrams and
+    bigrams (count < ``_SBO_PRUNE_MIN`` = 2) are dropped from the LM
+    lookup tables. A pruned event backs off exactly as an unseen one
+    would — same α-scaled chain, same one-division exact-int64
+    probabilities on every retained entry (raw counts are kept for
+    what survives, so retained scores are bit-identical to the
+    unpruned LM's).
+
+    Why it matters at 100 TB: the unpruned LM family's one shared
+    scale residue is near-linear trigram-VOCABULARY growth (the
+    assembled lm3/lm2 join state tracks distinct-n-gram count,
+    3.7-4.4× for 10× data) — and under Zipf the singleton tail IS most
+    of that vocabulary. Counting still shuffles the full event stream
+    once (you must count to know c ≥ 2, map-side partial aggs intact),
+    but every downstream structure — the LM-assembly joins, the
+    scoring join's build side, a persisted LM table — carries only the
+    surviving head. Brants et al. report this as the difference
+    between an LM that fits the serving fleet and one that doesn't.
+    Telemetry: per-doc level-hit counts shift from tri toward
+    big/uni vs the unpruned twin (pinned in CI)."""
+    return _sbo_scored(spark, sf_dir, prune_min=_SBO_PRUNE_MIN)
+
+
+def corpus_ccnet_buckets_sbo_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail buckets over the count-PRUNED stupid
+    backoff score (:func:`text_trigram_sbo_pruned`) — proves the
+    bucketing recipe's score fidelity survives the production pruning
+    knob (VERDICT r12 #4): same score-agnostic two-pass
+    :func:`_ccnet_bucketize` machinery, oracle shares the pruned LM
+    replay with the scoring query so the two cannot drift."""
+    scored = text_trigram_sbo_pruned(spark, sf_dir).select(
+        "doc_id", "nll"
+    )
+    return _ccnet_bucketize(spark, sf_dir, scored)
+
+
+def _sbo_scored(
+    spark: SparkSession, sf_dir: str, prune_min: int | None = None
+) -> DataFrame:
+    """Shared trigram-SBO scoring core (factored in r13 for the pruned
+    variant): train on the md5-slice, assemble the LM on
+    vocabulary-sized tables, score ALL docs via the miss cascade.
+    ``prune_min`` drops low-count entries from the trigram/bigram
+    LOOKUP tables only — denominators and the unigram floor always use
+    raw counts."""
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", tokens(F.col("text")).alias("t"))
     ev = (
@@ -1289,9 +1350,18 @@ def text_trigram_sbo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("u"), F.col("w").alias("v"),
         F.col("c2").alias("duv"),
     )
-    lm3 = tri.join(duv, ["u", "v"])
+    # pruning applies to the LOOKUP tables only; duv/cv denominators
+    # keep raw counts (c(uv) ≥ c(uvw) for any retained trigram, so a
+    # retained probability is bit-identical to the unpruned LM's)
+    tri_lm = (
+        tri if prune_min is None else tri.filter(F.col("c3") >= prune_min)
+    )
+    big_lm = (
+        big if prune_min is None else big.filter(F.col("c2") >= prune_min)
+    )
+    lm3 = tri_lm.join(duv, ["u", "v"])
     cv = uni.select(F.col("w").alias("v"), F.col("c1").alias("cv"))
-    lm2 = big.join(cv, ["v"])
+    lm2 = big_lm.join(cv, ["v"])
 
     an, ad = _SBO_ALPHA_NUM, _SBO_ALPHA_DEN
     e3 = ev.filter(F.col("i") >= 3)
@@ -2742,8 +2812,10 @@ QUERIES = {
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "text_backoff_lm_quality": text_backoff_lm_quality,
     "text_trigram_sbo_quality": text_trigram_sbo_quality,
+    "text_trigram_sbo_pruned": text_trigram_sbo_pruned,
     "text_trigram_kn_quality": text_trigram_kn_quality,
     "corpus_ccnet_buckets_sbo": corpus_ccnet_buckets_sbo,
+    "corpus_ccnet_buckets_sbo_pruned": corpus_ccnet_buckets_sbo_pruned,
     "text_bigram_lm_quality": text_bigram_lm_quality,
     "dsir_importance_weights": dsir_importance_weights,
     "text_dup_spans": text_dup_spans,
@@ -2922,12 +2994,26 @@ _BACKOFF_LM_CTES = f"""
 
 #: Shared DuckDB replay of the trigram stupid-backoff scoring (used by
 #: the text_trigram_sbo_quality AND corpus_ccnet_buckets_sbo oracles so
-#: the two replays cannot drift). Ends with a ``sscored(doc_id,
+#: the two replays cannot drift; parameterized in r13 so the PRUNED
+#: twins reuse the same bytes with only the two lookup-table legs
+#: swapped for count-filtered subqueries — denominators stay raw).
+#: Ends with a ``sscored(doc_id,
 #: n_tokens, n_tri_hits, n_big_hits, n_uni_events, nll)`` CTE. Every
 #: probability is the same one-division-of-exact-int64s form the Spark
 #: side computes; the LM trains on the md5 < 'e' document slice and
 #: scores ALL documents.
-_SBO_LM_CTES = f"""
+def _sbo_lm_ctes(prune_min: int | None = None) -> str:
+    tri_src = (
+        "stri"
+        if prune_min is None
+        else f"(SELECT * FROM stri WHERE c3 >= {prune_min})"
+    )
+    big_src = (
+        "sbig"
+        if prune_min is None
+        else f"(SELECT * FROM sbig WHERE c2 >= {prune_min})"
+    )
+    return f"""
         sdocs AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
         sev AS (
           SELECT doc_id, i,
@@ -2972,8 +3058,8 @@ _SBO_LM_CTES = f"""
                    ELSE (coalesce(u1.c1, 0) + 1) / (t.n_tot + t.vsz)
                  END) AS nl
           FROM sev e
-          LEFT JOIN stri t3 ON t3.u = e.u AND t3.v = e.v AND t3.w = e.w
-          LEFT JOIN sbig b2 ON b2.v = e.v AND b2.w = e.w
+          LEFT JOIN {tri_src} t3 ON t3.u = e.u AND t3.v = e.v AND t3.w = e.w
+          LEFT JOIN {big_src} b2 ON b2.v = e.v AND b2.w = e.w
           LEFT JOIN sduv dv ON dv.u = e.u AND dv.v = e.v
           LEFT JOIN suni cu ON cu.w = e.v
           LEFT JOIN suni u1 ON u1.w = e.w
@@ -2990,6 +3076,9 @@ _SBO_LM_CTES = f"""
                  floor(avg(nl) * 10000 + 0.5) / 10000 AS nll
           FROM sscore GROUP BY doc_id)
 """
+
+
+_SBO_LM_CTES = _sbo_lm_ctes()
 
 #: Shared DuckDB replay of the interpolated Kneser–Ney trigram scoring
 #: (text_trigram_kn_quality's oracle). The per-level probability
@@ -3887,10 +3976,30 @@ ORACLE = {
                n_uni_events, nll
         FROM sscored
     """,
+    # the pruned twin re-renders the SAME CTE body with only the two
+    # lookup-table legs count-filtered (single source via _sbo_lm_ctes)
+    "text_trigram_sbo_pruned": f"""
+        WITH {_sbo_lm_ctes(_SBO_PRUNE_MIN)}
+        SELECT doc_id, n_tokens, n_tri_hits, n_big_hits,
+               n_uni_events, nll
+        FROM sscored
+    """,
     # same ntile replay as corpus_ccnet_buckets, over the shared
     # stupid-backoff scored CTE (single source with the scoring oracle)
     "corpus_ccnet_buckets_sbo": f"""
         WITH {_SBO_LM_CTES},
+        j AS (SELECT s.doc_id, d.lang, s.nll
+              FROM sscored s JOIN documents d USING (doc_id)),
+        t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY nll, doc_id) AS t
+              FROM j)
+        SELECT doc_id, lang, nll,
+               CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+        FROM t
+    """,
+    "corpus_ccnet_buckets_sbo_pruned": f"""
+        WITH {_sbo_lm_ctes(_SBO_PRUNE_MIN)},
         j AS (SELECT s.doc_id, d.lang, s.nll
               FROM sscored s JOIN documents d USING (doc_id)),
         t AS (SELECT *, ntile(3) OVER (PARTITION BY lang

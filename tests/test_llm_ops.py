@@ -1183,6 +1183,72 @@ def test_trigram_sbo_backoff_telemetry(spark):
     assert again == {tuple(r) for r in rows}
 
 
+def test_trigram_sbo_pruned_backoff_absorption(spark):
+    """text_trigram_sbo_pruned vs the unpruned twin: pruning drops
+    entries from the LOOKUP tables only, so per event it can only push
+    scoring DOWN the backoff chain — (a) token counts identical,
+    (b) tri hits (and tri+big hits) monotonically non-increasing,
+    (c) a doc whose per-level telemetry is unchanged kept every event
+    at its level, and since retained entries keep raw counts its nll
+    is bit-identical, (d) pruning actually bites on the fixture."""
+    from dbscan_spark.operators import text as text_ops
+
+    base = {
+        r["doc_id"]: r
+        for r in text_ops.text_trigram_sbo_quality(spark, SF_TINY).collect()
+    }
+    pruned = {
+        r["doc_id"]: r
+        for r in text_ops.text_trigram_sbo_pruned(spark, SF_TINY).collect()
+    }
+    assert set(base) == set(pruned)
+    moved = 0
+    for d, p in pruned.items():
+        b = base[d]
+        assert p["n_tokens"] == b["n_tokens"]
+        assert p["n_tri_hits"] <= b["n_tri_hits"]
+        assert (
+            p["n_tri_hits"] + p["n_big_hits"]
+            <= b["n_tri_hits"] + b["n_big_hits"]
+        )
+        if (p["n_tri_hits"], p["n_big_hits"]) == (
+            b["n_tri_hits"],
+            b["n_big_hits"],
+        ):
+            assert p["nll"] == b["nll"], d
+        else:
+            moved += 1
+    assert moved > 0, "pruning never bit — fixture degenerate"
+
+
+def test_ccnet_buckets_sbo_pruned_rides_pruned_score(spark):
+    """corpus_ccnet_buckets_sbo_pruned: the bucket column must be the
+    exact per-language ntile(3) over the PRUNED score (nll ASC, doc_id
+    ASC), and the emitted nll must equal text_trigram_sbo_pruned's —
+    score fidelity survives the pruning knob end-to-end."""
+    from dbscan_spark.operators import text as text_ops
+
+    rows = text_ops.corpus_ccnet_buckets_sbo_pruned(
+        spark, SF_TINY
+    ).collect()
+    want = {
+        r["doc_id"]: r["nll"]
+        for r in text_ops.text_trigram_sbo_pruned(spark, SF_TINY).collect()
+    }
+    assert {r["doc_id"]: r["nll"] for r in rows} == want
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (r["nll"], r["doc_id"]))
+        q, rem = divmod(len(rs), 3)
+        sizes = [q + (1 if i < rem else 0) for i in range(3)]
+        expect = (
+            ["head"] * sizes[0] + ["middle"] * sizes[1] + ["tail"] * sizes[2]
+        )
+        assert [r["bucket"] for r in rs] == expect, lang
+
+
 def test_trigram_kn_quality_contract(spark):
     """text_trigram_kn_quality: every non-null-text doc scores with a
     finite positive nll and the right token count (interpolation
