@@ -716,6 +716,45 @@ def test_multimodal_resize_matches_numpy(spark):
         assert r["thumb_last"] == cells[-1]
 
 
+def test_phash_neardup_recall_vs_bruteforce(spark):
+    """multimodal_phash_neardup: the banded candidate join must emit
+    EXACTLY the brute-force all-pairs hamming ≤ 2 set over the same
+    36-bit dHash (recall 1 is structural — 3 bands, ≤2 flipped bits
+    leave ≥1 band intact; precision 1 because the verify is exact) —
+    recomputed here from the decoded rasters with independent python
+    bit math, fixture must contain at least one near-dup pair."""
+    import numpy as np
+
+    rows = multimodal.multimodal_phash_neardup(spark, SF_TINY).collect()
+    got = {(r["doc1"], r["doc2"]): r["hamming"] for r in rows}
+    rasters = _doc_rasters(spark)
+    sig = {}
+    for doc_id, img in rasters.items():
+        img = img.astype(np.int64)
+        h = img.shape[0]
+        val = 0
+        for tr in range(4):
+            lo, hi = (tr * h) // 4, ((tr + 1) * h) // 4
+            for tc in range(3):
+                for ch in range(3):
+                    a = int(img[lo:hi, 4 * tc : 4 * tc + 4, ch].sum())
+                    b = int(
+                        img[lo:hi, 4 * tc + 4 : 4 * tc + 8, ch].sum()
+                    )
+                    if a > b:
+                        val |= 1 << (ch * 12 + tr * 3 + tc)
+        sig[doc_id] = val
+    ids = sorted(sig)
+    want = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            hm = bin(sig[d1] ^ sig[d2]).count("1")
+            if hm <= 2:
+                want[(d1, d2)] = hm
+    assert want, "fixture has no phash near-dup pair — drifted?"
+    assert got == want
+
+
 def test_decode_image_ppm_pgm():
     """decode_image is a real netpbm parser since r11: P6/P5 payloads
     with comments and ragged header whitespace decode to the exact

@@ -459,7 +459,13 @@ def test_ntile_family_single_window(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_embedding_lsh", "ann_topk_lsh", "ann_topk_ivf"]
+    "name",
+    [
+        "dedup_embedding_lsh",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "multimodal_phash_neardup",
+    ],
 )
 def test_bucketed_paths_never_nested_loop(spark, name):
     """The bucketed scale paths exist to avoid the all-pairs plan; every
