@@ -434,8 +434,135 @@ def streaming_full_outer_clicks(
     )
 
 
+#: phase-1 bound for the checkpoint-restart query: exactly 2 micro-
+#: batches, so the first run is PARTIAL by construction (32,768 of the
+#: 50,000 rows), never by timing luck
+_RESTART_PHASE1_ROWS = 2 * _PYSRC_BATCH
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming."
+    "state.RocksDBStateStoreProvider"
+)
+
+
+def _run_restart_phase(
+    spark: SparkSession, ckpt: str, out: str, n_rows: int
+) -> None:
+    """One ``start()``→drain→``stop()`` leg of the checkpoint-restart
+    query: the synthetic stream bounded at ``n_rows``, complete-mode
+    per-type totals, a foreachBatch sink that overwrites ``out`` with
+    each batch's full snapshot (idempotent — replaying an uncommitted
+    batch rewrites the same bytes), all under the DURABLE ``ckpt``.
+    Drains until the snapshot accounts for exactly ``n_rows`` events.
+    Shared by the graded query and the CI restart pin."""
+    from dbscan_spark import datasource
+
+    datasource.register(spark)
+    src = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", n_rows)
+        .option("batch_rows", _PYSRC_BATCH)
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+            / 100
+        ).alias("total_value"),
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(_write)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        got = None
+        while time.time() < deadline:
+            try:
+                got = (
+                    spark.read.parquet(out)
+                    .agg(F.sum("n_events").alias("n"))
+                    .collect()[0]["n"]
+                )
+            except Exception:
+                got = None  # sink mid-overwrite or not yet written
+            if got == n_rows:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"restart phase drained {got} of {n_rows} rows in 300s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def streaming_checkpoint_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-RESTART recovery, graded exactly (VERDICT r12 #6 —
+    the production semantics every prior streaming query skipped by
+    draining a fresh query): the drain spans TWO separate ``start()``
+    calls against ONE durable ``checkpointLocation`` on the RocksDB
+    state store. Phase 1 bounds the deterministic Python source at
+    2 micro-batches (32,768 of 50,000 rows — partial BY CONSTRUCTION,
+    not by timing) and stops; phase 2 re-creates the query with the
+    full 50,000-row bound and the SAME checkpoint, so Spark restores
+    the committed offsets AND the complete-mode aggregation state and
+    processes only rows 32,768…49,999.
+
+    The hash gate proves both restart properties at once: if phase 2
+    re-read phase-1 rows the totals would cover 82,768 events; if the
+    state store failed to restore (fresh aggregation, resumed offsets)
+    they would cover only 17,232 — only exactly-once resume over
+    restored state matches the 50,000-row batch oracle (shared shape
+    with streaming_pysource_events' oracle). A stop landing between
+    the foreachBatch write and the checkpoint commit replays that
+    batch from the simple reader's checkpointed prefetch cache
+    (readBetweenOffsets) into the idempotent overwrite sink — the
+    exactly-once-downstream discipline of run_foreach_batch_parquet.
+
+    Scale shape: identical per-micro-batch plan to the single-run
+    query; the restart machinery is pure checkpoint metadata (offset
+    log + RocksDB snapshot/changelog), which is how a 1000-executor
+    job survives a driver loss mid-stream."""
+    scratch = tempfile.mkdtemp(prefix="dbscan_spark_restart_")
+    ckpt = os.path.join(scratch, "ckpt")
+    out = os.path.join(scratch, "out")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        _run_restart_phase(spark, ckpt, out, _RESTART_PHASE1_ROWS)
+        _run_restart_phase(spark, ckpt, out, _PYSRC_ROWS)
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    return spark.read.parquet(out)
+
+
 QUERIES = {
     "streaming_pysource_events": streaming_pysource_events,
+    "streaming_checkpoint_restart": streaming_checkpoint_restart,
     "streaming_outer_join_clicks": streaming_outer_join_clicks,
     "streaming_full_outer_clicks": streaming_full_outer_clicks,
     "streaming_tumbling_totals": streaming_tumbling_totals,
@@ -451,6 +578,23 @@ ORACLE = {
     # (relational.pysource_synthetic_events), same aggregate minus the
     # distinct (unsupported in a streaming agg)
     "streaming_pysource_events": """
+        WITH g AS (SELECT unnest(range(0, 50000)) AS i),
+        rows_ AS (
+          SELECT i AS event_id,
+                 (i * 2654435761) % 997 AS user_id,
+                 (['view', 'click', 'purchase', 'signup', 'error'])[i % 5 + 1]
+                   AS event_type,
+                 ((i * 1103515245 + 12345) % 10000) / 100.0 AS value
+          FROM g)
+        SELECT event_type, count(*) AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100
+                 AS total_value
+        FROM rows_ GROUP BY event_type
+    """,
+    # checkpoint-restart: the FINAL snapshot must equal the full
+    # 50,000-row regeneration — any offset re-read or state-restore
+    # failure shifts every total (see the query docstring)
+    "streaming_checkpoint_restart": """
         WITH g AS (SELECT unnest(range(0, 50000)) AS i),
         rows_ AS (
           SELECT i AS event_id,

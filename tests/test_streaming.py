@@ -609,6 +609,74 @@ def test_pysource_stream_reader_offset_protocol():
     assert list(r.readBetweenOffsets(offsets[1], offsets[2])) == seen[1]
 
 
+def test_checkpoint_restart_resumes_offsets_and_state(spark):
+    """The checkpoint-restart discipline (streaming_checkpoint_restart),
+    pinned phase by phase with explicit dirs: phase 1 (2 micro-batches,
+    32,768 rows) stops with a PARTIAL snapshot whose totals equal the
+    first 32,768 generated rows exactly; phase 2 re-starts on the SAME
+    checkpoint and must (a) resume offsets — the offset log's batch ids
+    CONTINUE instead of restarting at 0 — and (b) restore the
+    complete-mode aggregation state from RocksDB, so the final snapshot
+    equals the full 50,000-row batch totals (re-reading would overshoot,
+    fresh state would undershoot; either diverges)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.datasource import _row
+    from dbscan_spark.operators.streaming_queries import (
+        _PYSRC_ROWS,
+        _RESTART_PHASE1_ROWS,
+        _ROCKSDB_PROVIDER,
+        _run_restart_phase,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="dbscan_spark_restart_test_")
+    ckpt = os.path.join(scratch, "ckpt")
+    out = os.path.join(scratch, "out")
+
+    def want_totals(n: int) -> dict:
+        agg: dict = {}
+        for i in range(n):
+            r = _row(i)
+            cnt, cents = agg.get(r[2], (0, 0))
+            agg[r[2]] = (cnt + 1, cents + int(r[3] * 100 + 0.5))
+        return {k: (c, cents / 100) for k, (c, cents) in agg.items()}
+
+    def got_totals() -> dict:
+        return {
+            r["event_type"]: (r["n_events"], r["total_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        _run_restart_phase(spark, ckpt, out, _RESTART_PHASE1_ROWS)
+        assert got_totals() == want_totals(_RESTART_PHASE1_ROWS)
+        batches_p1 = set(os.listdir(os.path.join(ckpt, "commits")))
+        _run_restart_phase(spark, ckpt, out, _PYSRC_ROWS)
+        assert got_totals() == want_totals(_PYSRC_ROWS)
+        batches_p2 = set(os.listdir(os.path.join(ckpt, "commits")))
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # offsets resumed: phase 2 APPENDED commit entries (batch ids
+    # continue past phase 1's), it did not restart numbering at 0
+    assert batches_p1 and batches_p1 < batches_p2
+
+
 def test_streaming_outer_join_watermark_expiry(spark):
     """LEFT OUTER stream-stream join: the streaming result (with the
     far-future watermark sentinel flushing all real state) must equal
