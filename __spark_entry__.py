@@ -228,6 +228,12 @@ _HEAVY = {
     "pysource_synthetic_events",
     "dbscan_flags_64d",
     "streaming_pysource_events",
+    # two-phase kill/resume drain: ~20 s at any SF by construction
+    "streaming_checkpoint_restart",
+    # 5-level backoff cascade: big codegen plan, ~15 s cold-session
+    "text_5gram_sbo_quality",
+    "text_5gram_sbo_pruned",
+    "corpus_ccnet_buckets_5gram",
 }
 
 

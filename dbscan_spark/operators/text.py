@@ -1434,6 +1434,199 @@ def _sbo_scored(
     )
 
 
+def text_5gram_sbo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-GRAM stupid-backoff LM score — the order CCNet's actual KenLM
+    filter runs at (VERDICT r12 growth #4; Brants et al. 2007 report
+    stupid backoff at exactly this order for web-scale MT). Same
+    train-slice / score-all shape and exact-int64 one-division
+    probability discipline as :func:`text_trigram_sbo_quality`, with
+    the backoff chain extended to 5→4→3→2→1: an event entering at
+    order k backs off with α = 2/5 per level, so every probability is
+    (2^m · c_k) / (5^m · c_{k-1}(context)) — exact integer products,
+    one IEEE division, bit-identical cross-engine. Per-doc telemetry
+    counts hits at every order (the 5-level backoff histogram).
+
+    Scale shape: the full event stream joins ONE LM (its entry order);
+    only misses reshuffle on the shorter context — the trigram miss
+    cascade two rungs deeper. The 5-gram count shuffle is the big one;
+    its vocabulary growth is the residue count pruning bounds — which
+    is why the pruned twin below exists (do the order jump WITH the
+    pruning knob, per the r12 verdict)."""
+    return _sbo5_scored(spark, sf_dir)
+
+
+def text_5gram_sbo_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-pruned 5-gram stupid backoff — the production pairing
+    (Brants et al. 2007 §4): singleton 5/4/3/2-gram entries dropped
+    from the LOOKUP tables (under Zipf the singleton tail dominates
+    5-gram vocabulary far harder than trigram), denominators raw, the
+    deeper backoff chain absorbing pruned events; retained
+    probabilities bit-identical to the unpruned LM's."""
+    return _sbo5_scored(spark, sf_dir, prune_min=_SBO_PRUNE_MIN)
+
+
+def corpus_ccnet_buckets_5gram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail buckets over the count-PRUNED 5-gram
+    stupid-backoff score — the closest self-contained restatement of
+    CCNet's shipped recipe (Wenzek et al. 2020 bucket on a 5-gram
+    KenLM; the estimator here is SBO instead of KN, the documented
+    substitution): the factored two-pass :func:`_ccnet_bucketize`
+    machinery over :func:`text_5gram_sbo_pruned`'s nll."""
+    scored = text_5gram_sbo_pruned(spark, sf_dir).select("doc_id", "nll")
+    return _ccnet_bucketize(spark, sf_dir, scored)
+
+
+def _sbo5_scored(
+    spark: SparkSession, sf_dir: str, prune_min: int | None = None
+) -> DataFrame:
+    """Order-5 stupid-backoff scoring core: context columns g1..g4
+    (g1 = previous token), k-gram count tables for k = 1..5,
+    denominators = the (k−1)-gram table re-keyed one context slot up,
+    and a miss CASCADE that carries the α power as exact integer
+    (un, ud) columns — entry at order k starts at (1, 1), each backoff
+    multiplies by (2, 5), so the hit probability
+    (un·c_k)/(ud·d_k) is one division of exact int64 products at every
+    level (the same bit-exactness contract the trigram core keeps)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    ev = (
+        staged.select(
+            "doc_id", "t", F.posexplode("t").alias("pos", "w")
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("i"),
+            *[
+                F.when(
+                    F.col("pos") >= k,
+                    F.element_at("t", F.col("pos") - (k - 1)),
+                ).alias(f"g{k}")
+                for k in range(1, 5)
+            ],
+            "w",
+        )
+        .persist()
+    )
+    held_out = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("e", "f")
+    tr = ev.filter(~held_out)
+    uni = tr.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    tot = tr.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.countDistinct("w").alias("vsz"),
+    )
+    cnt: dict[int, DataFrame] = {1: uni}
+    for k in range(2, 6):
+        keys = [f"g{j}" for j in range(k - 1, 0, -1)] + ["w"]
+        cnt[k] = (
+            tr.filter(F.col(f"g{k - 1}").isNotNull())
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias(f"c{k}"))
+        )
+    # denominator of order k = the RAW (k−1)-gram table re-keyed as the
+    # context of the next position (w → g1, g_j → g_{j+1})
+    den: dict[int, DataFrame] = {}
+    for k in range(2, 6):
+        if k == 2:
+            den[k] = cnt[1].select(
+                F.col("w").alias("g1"), F.col("c1").alias("d2")
+            )
+        else:
+            den[k] = cnt[k - 1].select(
+                *[
+                    F.col(f"g{j}").alias(f"g{j + 1}")
+                    for j in range(k - 2, 0, -1)
+                ],
+                F.col("w").alias("g1"),
+                F.col(f"c{k - 1}").alias(f"d{k}"),
+            )
+    an, ad = _SBO_ALPHA_NUM, _SBO_ALPHA_DEN
+    lm: dict[int, DataFrame] = {}
+    for k in range(2, 6):
+        ck = cnt[k]
+        if prune_min is not None:
+            ck = ck.filter(F.col(f"c{k}") >= prune_min)
+        lm[k] = ck.join(den[k], [f"g{j}" for j in range(k - 1, 0, -1)])
+    lvl_name = {5: "h5", 4: "h4", 3: "tri", 2: "big"}
+    hits = []
+    pend: DataFrame | None = None
+    for k in range(5, 1, -1):
+        enter = ev.filter(
+            F.col("i") >= 5 if k == 5 else F.col("i") == k
+        ).select(
+            "doc_id",
+            *[f"g{j}" for j in range(k - 1, 0, -1)],
+            "w",
+            F.lit(1).cast("long").alias("un"),
+            F.lit(1).cast("long").alias("ud"),
+        )
+        ink = enter if pend is None else enter.unionByName(pend)
+        j = ink.join(
+            lm[k], [f"g{j_}" for j_ in range(k - 1, 0, -1)] + ["w"], "left"
+        )
+        hits.append(
+            j.filter(F.col(f"c{k}").isNotNull()).select(
+                "doc_id",
+                F.lit(lvl_name[k]).alias("lvl"),
+                (
+                    -F.log(
+                        (F.col("un") * F.col(f"c{k}"))
+                        / (F.col("ud") * F.col(f"d{k}"))
+                    )
+                ).alias("nl"),
+            )
+        )
+        pend = j.filter(F.col(f"c{k}").isNull()).select(
+            "doc_id",
+            *[f"g{j_}" for j_ in range(k - 2, 0, -1)],
+            "w",
+            (F.col("un") * an).alias("un"),
+            (F.col("ud") * ad).alias("ud"),
+        )
+    e1 = ev.filter(F.col("i") == 1).select(
+        "doc_id",
+        "w",
+        F.lit(1).cast("long").alias("un"),
+        F.lit(1).cast("long").alias("ud"),
+    )
+    unis = (
+        pend.unionByName(e1)
+        .join(uni, ["w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.lit("uni").alias("lvl"),
+            (
+                -F.log(
+                    (
+                        F.col("un")
+                        * (F.coalesce(F.col("c1"), F.lit(0)) + 1)
+                    )
+                    / (F.col("ud") * (F.col("n_tot") + F.col("vsz")))
+                )
+            ).alias("nl"),
+        )
+    )
+    scored = hits[0]
+    for h in hits[1:]:
+        scored = scored.unionByName(h)
+    scored = scored.unionByName(unis)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("lvl") == "h5").cast("long")).alias("n_5_hits"),
+        F.sum((F.col("lvl") == "h4").cast("long")).alias("n_4_hits"),
+        F.sum((F.col("lvl") == "tri").cast("long")).alias("n_tri_hits"),
+        F.sum((F.col("lvl") == "big").cast("long")).alias("n_big_hits"),
+        F.sum((F.col("lvl") == "uni").cast("long")).alias(
+            "n_uni_events"
+        ),
+        _r4(F.avg("nl")).alias("nll"),
+    )
+
+
 #: Kneser–Ney absolute discount d = 3/4 — EXACTLY representable in
 #: binary (0.75 = 3·2⁻²), so subtracting or scaling by it is an exact
 #: IEEE op on integer-valued doubles and the whole probability is a
@@ -2813,9 +3006,12 @@ QUERIES = {
     "text_backoff_lm_quality": text_backoff_lm_quality,
     "text_trigram_sbo_quality": text_trigram_sbo_quality,
     "text_trigram_sbo_pruned": text_trigram_sbo_pruned,
+    "text_5gram_sbo_quality": text_5gram_sbo_quality,
+    "text_5gram_sbo_pruned": text_5gram_sbo_pruned,
     "text_trigram_kn_quality": text_trigram_kn_quality,
     "corpus_ccnet_buckets_sbo": corpus_ccnet_buckets_sbo,
     "corpus_ccnet_buckets_sbo_pruned": corpus_ccnet_buckets_sbo_pruned,
+    "corpus_ccnet_buckets_5gram": corpus_ccnet_buckets_5gram,
     "text_bigram_lm_quality": text_bigram_lm_quality,
     "dsir_importance_weights": dsir_importance_weights,
     "text_dup_spans": text_dup_spans,
@@ -3079,6 +3275,133 @@ def _sbo_lm_ctes(prune_min: int | None = None) -> str:
 
 
 _SBO_LM_CTES = _sbo_lm_ctes()
+
+
+def _sbo5_lm_ctes(prune_min: int | None = None) -> str:
+    """DuckDB replay of the 5-gram stupid-backoff scoring (shared by
+    the text_5gram_sbo_* and corpus_ccnet_buckets_5gram oracles) —
+    ends with ``f5scored(doc_id, n_tokens, n_5_hits, n_4_hits,
+    n_tri_hits, n_big_hits, n_uni_events, nll)``. The per-branch
+    probability literals mirror the Spark cascade's carried (un, ud)
+    exact-integer α powers — ``({2^m} · c_k) / ({5^m} · d_k)`` — so
+    every double is the same one-division op chain. Generated
+    programmatically (15 entry-level × hit-level branches) from the
+    same α constants; ``prune_min`` swaps the four lookup legs for
+    count-filtered subqueries, denominators stay raw."""
+    look = {
+        k: (
+            f"q{k}"
+            if prune_min is None
+            else f"(SELECT * FROM q{k} WHERE c{k} >= {prune_min})"
+        )
+        for k in range(2, 6)
+    }
+    branches = []
+    for lvl in (5, 4, 3, 2, 1):
+        cond_i = "e.i >= 5" if lvl == 5 else f"e.i = {lvl}"
+        for k in range(lvl, 0, -1):
+            un = _SBO_ALPHA_NUM ** (lvl - k)
+            ud = _SBO_ALPHA_DEN ** (lvl - k)
+            if k >= 2:
+                branches.append(
+                    f"WHEN {cond_i} AND t{k}.c{k} IS NOT NULL THEN"
+                    f" ({un} * t{k}.c{k}) / ({ud} * d{k}.d{k})"
+                )
+            else:
+                branches.append(
+                    f"WHEN {cond_i} THEN"
+                    f" ({un} * (coalesce(u1.c1, 0) + 1))"
+                    f" / ({ud} * (t.n_tot + t.vsz))"
+                )
+    nl_case = "\n                   ".join(branches)
+    qs = "\n".join(
+        f"""        q{k} AS (SELECT {', '.join([f'g{j}' for j in range(k - 1, 0, -1)] + ['w'])},
+                     count(*) AS c{k}
+              FROM f5train WHERE g{k - 1} IS NOT NULL
+              GROUP BY {', '.join([f'g{j}' for j in range(k - 1, 0, -1)] + ['w'])}),"""
+        for k in range(2, 6)
+    )
+    ds = "\n".join(
+        (
+            f"        d{k} AS (SELECT "
+            + ", ".join(
+                [
+                    f"g{j} AS g{j + 1}"
+                    for j in range(k - 2, 0, -1)
+                ]
+                + ["w AS g1", f"c{k - 1} AS d{k}"]
+            )
+            + f" FROM q{k - 1}),"
+        )
+        for k in range(3, 6)
+    )
+    lookup_joins = "\n".join(
+        f"          LEFT JOIN {look[k]} t{k} ON "
+        + " AND ".join(
+            [f"t{k}.g{j} = e.g{j}" for j in range(k - 1, 0, -1)]
+            + [f"t{k}.w = e.w"]
+        )
+        for k in range(5, 1, -1)
+    )
+    den_joins = "\n".join(
+        f"          LEFT JOIN d{k} ON "
+        + " AND ".join(
+            f"d{k}.g{j} = e.g{j}" for j in range(k - 1, 0, -1)
+        )
+        for k in range(5, 1, -1)
+    )
+    return f"""
+        f5docs AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        f5ev AS (
+          SELECT doc_id, i,
+                 CASE WHEN i >= 5 THEN t[i - 4] END AS g4,
+                 CASE WHEN i >= 4 THEN t[i - 3] END AS g3,
+                 CASE WHEN i >= 3 THEN t[i - 2] END AS g2,
+                 CASE WHEN i >= 2 THEN t[i - 1] END AS g1,
+                 t[i] AS w
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM f5docs)),
+        f5train AS (SELECT * FROM f5ev
+                    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          NOT IN ('e', 'f')),
+        q1 AS (SELECT w, count(*) AS c1 FROM f5train GROUP BY w),
+        f5tot AS (SELECT count(*) AS n_tot, count(DISTINCT w) AS vsz
+                  FROM f5train),
+{qs}
+        d2 AS (SELECT w AS g1, c1 AS d2 FROM q1),
+{ds}
+        f5score AS (
+          SELECT e.doc_id,
+                 CASE WHEN e.i >= 5 AND t5.c5 IS NOT NULL THEN 'h5'
+                      WHEN e.i >= 4 AND t4.c4 IS NOT NULL THEN 'h4'
+                      WHEN e.i >= 3 AND t3.c3 IS NOT NULL THEN 'tri'
+                      WHEN e.i >= 2 AND t2.c2 IS NOT NULL THEN 'big'
+                      ELSE 'uni' END AS lvl,
+                 -ln(CASE
+                   {nl_case}
+                 END) AS nl
+          FROM f5ev e
+{lookup_joins}
+{den_joins}
+          LEFT JOIN q1 u1 ON u1.w = e.w
+          CROSS JOIN f5tot t),
+        f5scored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN lvl = 'h5' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_5_hits,
+                 CAST(sum(CASE WHEN lvl = 'h4' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_4_hits,
+                 CAST(sum(CASE WHEN lvl = 'tri' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tri_hits,
+                 CAST(sum(CASE WHEN lvl = 'big' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_big_hits,
+                 CAST(sum(CASE WHEN lvl = 'uni' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_uni_events,
+                 floor(avg(nl) * 10000 + 0.5) / 10000 AS nll
+          FROM f5score GROUP BY doc_id)
+"""
+
 
 #: Shared DuckDB replay of the interpolated Kneser–Ney trigram scoring
 #: (text_trigram_kn_quality's oracle). The per-level probability
@@ -3984,6 +4307,18 @@ ORACLE = {
                n_uni_events, nll
         FROM sscored
     """,
+    "text_5gram_sbo_quality": f"""
+        WITH {_sbo5_lm_ctes()}
+        SELECT doc_id, n_tokens, n_5_hits, n_4_hits, n_tri_hits,
+               n_big_hits, n_uni_events, nll
+        FROM f5scored
+    """,
+    "text_5gram_sbo_pruned": f"""
+        WITH {_sbo5_lm_ctes(_SBO_PRUNE_MIN)}
+        SELECT doc_id, n_tokens, n_5_hits, n_4_hits, n_tri_hits,
+               n_big_hits, n_uni_events, nll
+        FROM f5scored
+    """,
     # same ntile replay as corpus_ccnet_buckets, over the shared
     # stupid-backoff scored CTE (single source with the scoring oracle)
     "corpus_ccnet_buckets_sbo": f"""
@@ -4002,6 +4337,18 @@ ORACLE = {
         WITH {_sbo_lm_ctes(_SBO_PRUNE_MIN)},
         j AS (SELECT s.doc_id, d.lang, s.nll
               FROM sscored s JOIN documents d USING (doc_id)),
+        t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY nll, doc_id) AS t
+              FROM j)
+        SELECT doc_id, lang, nll,
+               CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+        FROM t
+    """,
+    "corpus_ccnet_buckets_5gram": f"""
+        WITH {_sbo5_lm_ctes(_SBO_PRUNE_MIN)},
+        j AS (SELECT s.doc_id, d.lang, s.nll
+              FROM f5scored s JOIN documents d USING (doc_id)),
         t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
                                        ORDER BY nll, doc_id) AS t
               FROM j)

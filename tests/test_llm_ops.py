@@ -1260,6 +1260,75 @@ def test_trigram_sbo_pruned_backoff_absorption(spark):
     assert moved > 0, "pruning never bit — fixture degenerate"
 
 
+def test_5gram_sbo_backoff_telemetry_and_pruned_absorption(spark):
+    """text_5gram_sbo_quality / text_5gram_sbo_pruned: (a) every doc
+    scores with finite positive nll and level counts reconciling to
+    n_tokens across all FIVE levels; (b) train docs with ≥5 tokens hit
+    the 5-gram level on every i≥5 event in the UNPRUNED LM (they count
+    themselves); (c) held-out docs genuinely back off; (d) pruning can
+    only push events DOWN the chain (every hit-level prefix sum
+    non-increasing) and bites on the fixture; (e) a doc with unchanged
+    telemetry keeps a bit-identical nll."""
+    import hashlib
+    import math
+
+    from dbscan_spark.operators import text as text_ops
+
+    base = {
+        r["doc_id"]: r
+        for r in text_ops.text_5gram_sbo_quality(spark, SF_TINY).collect()
+    }
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{SF_TINY}/documents.parquet"
+        ).collect()
+        if r["text"] is not None
+    }
+    assert set(base) == docs
+    held = {
+        d
+        for d in docs
+        if hashlib.md5(str(d).encode()).hexdigest()[0] in "ef"
+    }
+    backoff_events = 0
+    for d, r in base.items():
+        assert r["nll"] is not None and math.isfinite(r["nll"])
+        assert r["nll"] > 0
+        assert r["n_tokens"] == (
+            r["n_5_hits"]
+            + r["n_4_hits"]
+            + r["n_tri_hits"]
+            + r["n_big_hits"]
+            + r["n_uni_events"]
+        )
+        if d not in held and r["n_tokens"] >= 5:
+            assert r["n_5_hits"] == r["n_tokens"] - 4
+        if d in held:
+            backoff_events += r["n_tokens"] - r["n_5_hits"]
+    assert backoff_events > 0, "held-out slice never backed off"
+    pruned = {
+        r["doc_id"]: r
+        for r in text_ops.text_5gram_sbo_pruned(spark, SF_TINY).collect()
+    }
+    assert set(pruned) == docs
+    moved = 0
+    levels = ["n_5_hits", "n_4_hits", "n_tri_hits", "n_big_hits"]
+    for d, p in pruned.items():
+        b = base[d]
+        assert p["n_tokens"] == b["n_tokens"]
+        acc_p = acc_b = 0
+        for lv in levels:
+            acc_p += p[lv]
+            acc_b += b[lv]
+            assert acc_p <= acc_b, (d, lv)
+        if all(p[lv] == b[lv] for lv in levels):
+            assert p["nll"] == b["nll"], d
+        else:
+            moved += 1
+    assert moved > 0, "5-gram pruning never bit — fixture degenerate"
+
+
 def test_ccnet_buckets_sbo_pruned_rides_pruned_score(spark):
     """corpus_ccnet_buckets_sbo_pruned: the bucket column must be the
     exact per-language ntile(3) over the PRUNED score (nll ASC, doc_id
