@@ -301,9 +301,15 @@ _REVIEWED_NESTED_LOOPS = {
     "corpus_ccnet_buckets",
     # 1-row (N, V) totals broadcast crossJoined onto the unigram-level
     # tail of the stupid-backoff miss cascade (r12); the LM tables
-    # themselves join by n-gram HASH keys
+    # themselves join by n-gram HASH keys — the r13 pruned twins and
+    # the order-5 family share the identical tail shape
     "text_trigram_sbo_quality",
     "corpus_ccnet_buckets_sbo",
+    "text_trigram_sbo_pruned",
+    "corpus_ccnet_buckets_sbo_pruned",
+    "text_5gram_sbo_quality",
+    "text_5gram_sbo_pruned",
+    "corpus_ccnet_buckets_5gram",
     # 1-row (V, N1+(··)) continuation-totals broadcast crossJoined onto
     # the vocabulary-sized KN LM assembly and the #docs first-token
     # slice (r12); LM tables join by n-gram HASH keys
