@@ -207,6 +207,13 @@ _REGRADE = {
     # round, but their closure fingerprints moved:
     "text_trigram_sbo_quality": 12,
     "corpus_ccnet_buckets_sbo": 12,
+    # round 13: dedup_cluster_cc's min-label loop factored into
+    # _min_label_cc (now also feeding multimodal_phash_clusters) —
+    # identical dataflow, moved fingerprints (dedup_semantic_keep_best
+    # composes cluster_cc); both re-verified hash-green at
+    # sf0.001/0.01/0.1 + adversarial this round:
+    "dedup_cluster_cc": 5,
+    "dedup_semantic_keep_best": 5,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

@@ -709,6 +709,18 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     ).toDF("src", "dst")
+    n_hint = load_table(spark, sf_dir, "documents").count()
+    return _min_label_cc(spark, sym, n_hint)
+
+
+def _min_label_cc(
+    spark: SparkSession, sym: DataFrame, n_hint: int
+) -> DataFrame:
+    """Iterative min-label connected components over a SYMMETRIZED
+    (src, dst) edge list → (doc_id, cluster_id) with cluster_id = the
+    component's min node (factored from :func:`dedup_cluster_cc` in
+    r13 so multimodal_phash_clusters shares the loop verbatim).
+    ``n_hint`` sizes the loop's shuffles to the label state."""
     # loop-scoped config, same rationale as supplier_pagerank: size the
     # iteration's shuffles to the label state (near-dup docs only — tiny
     # versus the corpus), and drop AQE's per-exchange stage barriers for
@@ -722,7 +734,6 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.adaptive.enabled",
         )
     }
-    n_hint = load_table(spark, sf_dir, "documents").count()
     loop_shuffle = min(
         int(saved["spark.sql.shuffle.partitions"]),
         max(8, n_hint // 65536 + 1),

@@ -537,6 +537,35 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_phash_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image near-dup CLUSTER formation — connected components over the
+    verified perceptual-hash pair graph (the image-side twin of
+    :func:`dedup.dedup_cluster_cc`, sharing its factored min-label
+    loop verbatim): every transitively-linked image group gets one
+    canonical cluster id (the component's min doc_id), turning the
+    pairwise :func:`multimodal_phash_neardup` output into
+    keep-one-per-group decisions. The fixpoint is deterministic, so a
+    DuckDB recursive-CTE closure over the same pair graph replays it —
+    EXACT oracle; component structure additionally pinned against a
+    driver-side union-find in CI.
+
+    Scale shape: the loop's rounds are shuffle-bounded by |near-dup
+    edges| (tiny versus the corpus) and converge in O(component
+    diameter); see dedup_cluster_cc's notes."""
+    from dbscan_spark.operators.dedup import _min_label_cc
+
+    pairs = multimodal_phash_neardup(spark, sf_dir).select("doc1", "doc2")
+    sym = pairs.union(
+        pairs.select(
+            F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
+        )
+    ).toDF("src", "dst")
+    n_hint = load_table(spark, sf_dir, "documents").count()
+    return _min_label_cc(spark, sym, n_hint)
+
+
 def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through a REAL container format — the decode
     quarter of the multimodal quartet running on actual pixels instead
@@ -702,6 +731,7 @@ QUERIES = {
     "multimodal_embed": multimodal_embed,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_phash_neardup": multimodal_phash_neardup,
+    "multimodal_phash_clusters": multimodal_phash_clusters,
 }
 
 _H16 = ", ".join(
@@ -975,7 +1005,42 @@ ORACLE = {
     # structural (3 bands, ≤2 flips ⇒ ≥1 intact band) — the oracle and
     # the bucketed Spark path provably emit the same set.
     "multimodal_phash_neardup": f"""
-        WITH {_SQL_RASTER},
+        WITH {{sig_ctes}}
+        SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+               CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.phash, y.phash)) <= {_PHASH_MAX_HAMMING}
+    """,
+    # image cluster formation: the same deterministic min-label
+    # fixpoint dedup_cluster_cc's oracle replays, over the phash pair
+    # graph (shared sig CTE body with the pair oracle — single source)
+    "multimodal_phash_clusters": f"""
+        WITH RECURSIVE {{sig_ctes}},
+        ppairs AS (
+          SELECT x.doc_id AS doc1, y.doc_id AS doc2
+          FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.phash, y.phash))
+                <= {_PHASH_MAX_HAMMING}),
+        pedges AS (SELECT doc1 AS src, doc2 AS dst FROM ppairs
+                   UNION ALL
+                   SELECT doc2 AS src, doc1 AS dst FROM ppairs),
+        reach(node, label) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM pedges) n(src)
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN pedges e ON e.src = r.node),
+        rep AS (SELECT node, min(label) AS cluster_id
+                FROM reach GROUP BY node)
+        SELECT node AS doc_id, cluster_id FROM rep
+    """,
+    # multimodal_feature_extract: numpy kernel inside mapInPandas —
+    # rows-only driver check; unit tests pin the values.
+}
+
+#: shared 36-bit dHash signature CTE body (raster → block sums →
+#: packed integer comparisons), interpolated into both phash oracles
+#: above so the pair replay and the cluster replay cannot drift
+_PHASH_SIG_CTES = f"""{_SQL_RASTER},
         bsum AS (
           SELECT doc_id,
                  (4 * (i // {3 * _PPM_W}) + 3) // h AS tr,
@@ -1000,12 +1065,7 @@ ORACLE = {
                           AND l.tc = sp.tc AND l.ch = sp.ch
           LEFT JOIN bsum r ON r.doc_id = sp.doc_id AND r.tr = sp.tr
                           AND r.tc = sp.tc + 1 AND r.ch = sp.ch),
-        sig AS (SELECT doc_id, sum(bv) AS phash FROM bits GROUP BY doc_id)
-        SELECT x.doc_id AS doc1, y.doc_id AS doc2,
-               CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-        WHERE bit_count(xor(x.phash, y.phash)) <= {_PHASH_MAX_HAMMING}
-    """,
-    # multimodal_feature_extract: numpy kernel inside mapInPandas —
-    # rows-only driver check; unit tests pin the values.
-}
+        sig AS (SELECT doc_id, sum(bv) AS phash FROM bits GROUP BY doc_id)"""
+
+for _n in ("multimodal_phash_neardup", "multimodal_phash_clusters"):
+    ORACLE[_n] = ORACLE[_n].format(sig_ctes=_PHASH_SIG_CTES)

@@ -922,6 +922,42 @@ def test_dedup_cluster_cc_matches_union_find(spark):
     assert got == want
 
 
+def test_phash_clusters_match_union_find(spark):
+    """multimodal_phash_clusters: the min-label fixpoint over the
+    verified phash pair graph must equal a driver-side union-find with
+    min-root attachment over the SAME pairs (the dedup_cluster_cc pin,
+    image side)."""
+    pair_list = [
+        (r["doc1"], r["doc2"])
+        for r in multimodal.multimodal_phash_neardup(
+            spark, SF_TINY
+        ).collect()
+    ]
+    assert pair_list, "fixture produced no phash near-dup pairs"
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in multimodal.multimodal_phash_clusters(
+            spark, SF_TINY
+        ).collect()
+    }
+    assert got == want
+
+
 def test_heavy_hitters_exactly_true_set(spark):
     """Sketch-pruned + exact-verified heavy hitters must equal the true
     heavy-hitter set exactly: freqItems guarantees no false negatives
