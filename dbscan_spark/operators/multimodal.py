@@ -537,6 +537,58 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE similarity search — exact cosine top-5 neighbors over the
+    decoded-raster embeddings, closing the multimodal loop
+    (decode → :func:`multimodal_embed` → search): the composition a
+    multimodal training pipeline runs to find near-duplicate or
+    related images by CONTENT once they're embedded, and the exact
+    anchor an ANN index over image embeddings would be recalled
+    against. Same plan shape as similarity.ann_topk_bruteforce (the
+    known hash-green float path: broadcast the N_QUERIES=10 query
+    rows, fold dot/norms JVM-side, round to 4dp, row_number top-5 with
+    id tie-break) — the embedding column is rebuilt as an array from
+    the graded e0..e23 projection, zero-norm images (empty payloads)
+    excluded on both engines. EXACT oracle: the embed oracle's
+    e0..e23 rebuild packed into a DOUBLE[] + list_cosine_similarity,
+    the exact combination ann_topk_bruteforce already proves
+    cross-engine at 4dp. At 100 TB the query side stays broadcast-
+    sized and the corpus side never shuffles."""
+    from dbscan_spark.functions import dot, l2_norm
+    from dbscan_spark.operators.similarity import N_QUERIES, TOP_K
+    from pyspark.sql.window import Window
+
+    m = multimodal_embed(spark, sf_dir)
+    v = F.array(*[F.col(f"e{i}") for i in range(24)])
+    e = (
+        m.select("doc_id", v.alias("v"))
+        .select("doc_id", "v", l2_norm(F.col("v")).alias("nv"))
+        .filter(F.col("nv") > 0.0)
+    )
+    q = e.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(e, F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 def multimodal_phash_clusters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -732,6 +784,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "multimodal_phash_clusters": multimodal_phash_clusters,
+    "multimodal_embed_topk": multimodal_embed_topk,
 }
 
 _H16 = ", ".join(
@@ -948,6 +1001,36 @@ ORACLE = {
         normed AS (SELECT *, sqrt({_NORM24}) AS norm FROM kf)
         SELECT doc_id, {_E24}
         FROM normed
+    """,
+    # image similarity search (r13): the embed oracle's e0..e23 rebuild
+    # packed into a DOUBLE[] + list_cosine_similarity — the exact
+    # cross-engine float combination ann_topk_bruteforce proves at 4dp;
+    # zero-norm images excluded via list_inner_product > 0 on both
+    # engines (Spark ANSI division throws on a zero norm)
+    "multimodal_embed_topk": f"""
+        WITH {_SQL_RASTER},
+        cnts AS (SELECT doc_id, {_C24} FROM by GROUP BY doc_id),
+        kf AS (SELECT m.doc_id, {_K24}
+               FROM m LEFT JOIN cnts USING (doc_id)),
+        normed AS (SELECT *, sqrt({_NORM24}) AS norm FROM kf),
+        emb AS (SELECT doc_id,
+                       [{', '.join(f'e{i}' for i in range(24))}]::DOUBLE[]
+                         AS v
+                FROM (SELECT doc_id, {_E24} FROM normed))
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT q.doc_id AS query_id,
+                   e.doc_id AS neighbor_id,
+                   round(list_cosine_similarity(q.v, e.v), 4) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.doc_id
+                       ORDER BY round(list_cosine_similarity(q.v, e.v), 4)
+                                DESC,
+                                e.doc_id) AS rnk
+            FROM emb q JOIN emb e ON e.doc_id <> q.doc_id
+            WHERE q.doc_id < 10
+              AND list_inner_product(q.v, q.v) > 0
+              AND list_inner_product(e.v, e.v) > 0)
+        WHERE rnk <= 5
     """,
     # real-raster frame sampling (r12): a frame is a parsed raster row
     # (48 bytes), frame count = parsed height, per-channel sums come
