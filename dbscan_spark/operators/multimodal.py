@@ -618,6 +618,53 @@ def multimodal_phash_clusters(
     return _min_label_cc(spark, sym, n_hint)
 
 
+def multimodal_phash_keep_best(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end IMAGE dedup resolution — the keep-one-survivor-per-
+    cluster decision a multimodal pipeline actually ships (the image
+    twin of :func:`dedup.dedup_semantic_keep_best`): phash near-dup
+    pairs → connected-component clusters → ONE canonical survivor per
+    cluster chosen by image QUALITY (tallest raster = most content,
+    doc_id tie-break). Output: every clustered image with its cluster,
+    its survivor, and whether it would be dropped.
+
+    Scale shape: the cluster table is |near-dup images|-sized (tiny
+    versus the corpus) so it BROADCASTS onto the height projection —
+    the corpus side never moves; the survivor pick is one window over
+    the broadcast-joined slice. EXACT oracle: the recursive-CTE
+    cluster replay plus the same deterministic window, heights
+    rebuilt from the byte stream (height = ceil(n/48), the raster
+    geometry every multimodal oracle shares)."""
+    from pyspark.sql.window import Window
+
+    clusters = multimodal_phash_clusters(spark, sf_dir)
+    heights = _ppm_blob_src(spark, sf_dir).select(
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("n_text_bytes") / F.lit(3.0 * _PPM_W)),
+        )
+        .cast("long")
+        .alias("height"),
+    )
+    labeled = heights.join(F.broadcast(clusters), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("height"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("survivor_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "survivor_id",
+            (F.col("rn") > 1).alias("drop"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through a REAL container format — the decode
     quarter of the multimodal quartet running on actual pixels instead
@@ -784,6 +831,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "multimodal_phash_clusters": multimodal_phash_clusters,
+    "multimodal_phash_keep_best": multimodal_phash_keep_best,
     "multimodal_embed_topk": multimodal_embed_topk,
 }
 
@@ -1116,6 +1164,41 @@ ORACLE = {
                 FROM reach GROUP BY node)
         SELECT node AS doc_id, cluster_id FROM rep
     """,
+    # image keep-best: the cluster replay + the deterministic
+    # (height DESC, doc_id) survivor window; height rebuilds from the
+    # shared raster geometry (ceil(n/48), min 1)
+    "multimodal_phash_keep_best": f"""
+        WITH RECURSIVE {{sig_ctes}},
+        ppairs AS (
+          SELECT x.doc_id AS doc1, y.doc_id AS doc2
+          FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.phash, y.phash))
+                <= {_PHASH_MAX_HAMMING}),
+        pedges AS (SELECT doc1 AS src, doc2 AS dst FROM ppairs
+                   UNION ALL
+                   SELECT doc2 AS src, doc1 AS dst FROM ppairs),
+        reach(node, label) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM pedges) n(src)
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN pedges e ON e.src = r.node),
+        rep AS (SELECT node, min(label) AS cluster_id
+                FROM reach GROUP BY node),
+        lab AS (
+            SELECT m.doc_id, m.h AS height, rep.cluster_id
+            FROM m JOIN rep ON m.doc_id = rep.node),
+        ranked AS (
+            SELECT doc_id, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY height DESC, doc_id) AS rn,
+                   first_value(doc_id) OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY height DESC, doc_id) AS survivor_id
+            FROM lab)
+        SELECT doc_id, cluster_id, survivor_id, rn > 1 AS "drop"
+        FROM ranked
+    """,
     # multimodal_feature_extract: numpy kernel inside mapInPandas —
     # rows-only driver check; unit tests pin the values.
 }
@@ -1150,5 +1233,9 @@ _PHASH_SIG_CTES = f"""{_SQL_RASTER},
                           AND r.tc = sp.tc + 1 AND r.ch = sp.ch),
         sig AS (SELECT doc_id, sum(bv) AS phash FROM bits GROUP BY doc_id)"""
 
-for _n in ("multimodal_phash_neardup", "multimodal_phash_clusters"):
+for _n in (
+    "multimodal_phash_neardup",
+    "multimodal_phash_clusters",
+    "multimodal_phash_keep_best",
+):
     ORACLE[_n] = ORACLE[_n].format(sig_ctes=_PHASH_SIG_CTES)

@@ -1084,6 +1084,17 @@ def test_trigram_sbo_cascade_shape(spark):
     assert "HashAggregate" in plan
 
 
+def test_5gram_sbo_cascade_shape(spark):
+    """text_5gram_sbo_pruned: the order-5 cascade keeps the trigram
+    core's plan contract — every LM join equi-keyed (no cartesian
+    products), partial count aggregates, no row-at-a-time Python —
+    with two more backoff rungs in the pipeline."""
+    plan = plan_of(spark, "text_5gram_sbo_pruned")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_published_clean_c4_stage_is_projection(spark):
     """corpus_published_clean: the C4 stage must reach the documents
     scan as row-local projections/filters — the first Exchange in the
