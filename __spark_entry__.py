@@ -235,8 +235,9 @@ _HEAVY = {
     "pysource_synthetic_events",
     "dbscan_flags_64d",
     "streaming_pysource_events",
-    # two-phase kill/resume drain: ~20 s at any SF by construction
+    # two-phase kill/resume drains: ~20-30 s at any SF by construction
     "streaming_checkpoint_restart",
+    "streaming_restart_windowed_totals",
     # 5-level backoff cascade: big codegen plan, ~15 s cold-session
     "text_5gram_sbo_quality",
     "text_5gram_sbo_pruned",

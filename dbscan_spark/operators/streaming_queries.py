@@ -560,9 +560,140 @@ def streaming_checkpoint_restart(
     return spark.read.parquet(out)
 
 
+def _write_events_half(
+    spark: SparkSession, sf_dir: str, data_dir: str, parity: int
+) -> None:
+    """Copy the deterministic half of events.parquet (pmod(event_id, 2)
+    == parity, NULL ids to half 0) into ``data_dir`` as one new file —
+    the file-arrival step of the windowed-restart drill. Preserves the
+    shipped column types untouched so read_events_stream's footer
+    sniff sees the same physical schema as the original."""
+    import glob
+    import shutil
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    half = raw.filter(
+        F.coalesce(F.pmod(F.col("event_id"), F.lit(2)), F.lit(0))
+        == parity
+    )
+    tmp = data_dir + f".tmp{parity}"
+    half.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(data_dir, f"half{parity}.parquet"))
+
+
+def _run_windowed_restart_phase(
+    spark: SparkSession, data_dir: str, ckpt: str, out: str
+) -> None:
+    """One start()→drain→stop() leg of the windowed-restart drill:
+    watermarked tumbling totals over whatever files ``data_dir``
+    currently holds, complete-mode foreachBatch snapshot overwrite
+    under the durable ``ckpt``; drains until the snapshot accounts for
+    every qualifying event currently on disk (the batch count of the
+    same directory — the same ingest rule on both paths)."""
+    batch = spark.read.parquet(data_dir)
+    from dbscan_spark.io import EVENTS_INGEST_RULE
+
+    if dict(batch.dtypes)["ts"] in ("bigint", "long"):
+        batch = batch.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
+    else:
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    n_expected = batch.filter(F.expr(EVENTS_INGEST_RULE)).count()
+
+    src = se.read_events_stream(spark, data_dir)
+    agg = se.streaming_tumbling_counts(src)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(_write)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        got = None
+        while time.time() < deadline:
+            try:
+                got = (
+                    spark.read.parquet(out)
+                    .agg(F.sum("n_events").alias("n"))
+                    .collect()[0]["n"]
+                )
+            except Exception:
+                got = None
+            if got == n_expected:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"windowed restart phase drained {got} of "
+                f"{n_expected} events in 300s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def streaming_restart_windowed_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WINDOWED-aggregation restart recovery, graded exactly — the
+    event-time sibling of :func:`streaming_checkpoint_restart` (which
+    restores a keyless aggregate over a synthetic source; this one
+    restores per-WINDOW state over the real file source with files
+    ARRIVING ACROSS the restart): phase 1 streams the deterministic
+    even-event_id half of events.parquet under a durable RocksDB
+    checkpoint and stops; the odd half then lands in the source
+    directory and phase 2 re-starts the same query, which must resume
+    the file-source offset log (phase-1 files are NOT re-read) AND
+    restore every window's partial (count, exact-cents) state so the
+    interleaved-in-time phase-2 events MERGE into the restored
+    windows. Only both properties together reproduce the batch twin
+    (relational.window_tumbling_events' plan) over the full table —
+    re-reading doubles the even half, lost state drops it. Oracle =
+    the same SQL that grades streaming_tumbling_totals.
+
+    Scale shape: identical per-micro-batch plan to the single-run
+    query; restart cost is checkpoint metadata + the RocksDB window-
+    state restore — the driver-loss recovery a 1000-executor
+    streaming job relies on."""
+    scratch = tempfile.mkdtemp(prefix="dbscan_spark_wrestart_")
+    data_dir = os.path.join(scratch, "in")
+    ckpt = os.path.join(scratch, "ckpt")
+    out = os.path.join(scratch, "out")
+    os.makedirs(data_dir)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        _write_events_half(spark, sf_dir, data_dir, 0)
+        _run_windowed_restart_phase(spark, data_dir, ckpt, out)
+        _write_events_half(spark, sf_dir, data_dir, 1)
+        _run_windowed_restart_phase(spark, data_dir, ckpt, out)
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    return spark.read.parquet(out)
+
+
 QUERIES = {
     "streaming_pysource_events": streaming_pysource_events,
     "streaming_checkpoint_restart": streaming_checkpoint_restart,
+    "streaming_restart_windowed_totals": streaming_restart_windowed_totals,
     "streaming_outer_join_clicks": streaming_outer_join_clicks,
     "streaming_full_outer_clicks": streaming_full_outer_clicks,
     "streaming_tumbling_totals": streaming_tumbling_totals,
@@ -643,6 +774,19 @@ ORACLE = {
          AND c.c_ts < p.p_ts
     """,
     "streaming_tumbling_totals": """
+        SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+                 AS w_start,
+               event_type,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100
+                 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # the restart drill's FINAL snapshot must equal the same full-table
+    # tumbling aggregate — any file re-read doubles the even half, any
+    # lost window state drops it
+    "streaming_restart_windowed_totals": """
         SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
                  AS w_start,
                event_type,
