@@ -322,6 +322,10 @@ _REVIEWED_NESTED_LOOPS = {
     "knn_label_predict",
     "similarity_range_search",
     "ann_topk_bruteforce",
+    # bruteforce's exact shape over the image embeddings: the
+    # broadcast side is the N_QUERIES=10 query rows; the non-equi
+    # condition is only the self-pair exclusion
+    "multimodal_embed_topk",
     # same bounded shape as bruteforce: the broadcast side is the
     # N_QUERIES=10 query rows; the non-equi condition is only the
     # self-pair exclusion
