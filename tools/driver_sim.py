@@ -62,6 +62,13 @@ def main() -> None:
     ap.add_argument("--first", type=int, default=50)
     ap.add_argument("--only", default="")
     args = ap.parse_args()
+    # absolute, like the real driver: events_stream_dir symlinks the
+    # events parquet with the GIVEN path as the target, and a relative
+    # target resolves from the /tmp link dir and dangles — the file
+    # stream then reads zero files and every file-stream query
+    # "mismatches" (r13 false alarm: 8 reds that vanished with an
+    # absolute --sf)
+    args.sf = os.path.abspath(args.sf)
 
     import __spark_entry__ as entry_mod
     from dbscan_spark.io import TABLES
