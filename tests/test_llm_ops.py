@@ -958,6 +958,45 @@ def test_phash_clusters_match_union_find(spark):
     assert got == want
 
 
+def test_phash_keep_best_survivor_invariants(spark):
+    """multimodal_phash_keep_best: exactly one survivor per cluster
+    (its own id, drop=False), every survivor has the cluster's max
+    raster height (ties to min doc_id), every non-survivor is marked
+    drop, and the clustered doc set equals multimodal_phash_clusters'."""
+    rows = multimodal.multimodal_phash_keep_best(spark, SF_TINY).collect()
+    assert rows, "fixture produced no clustered images"
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in multimodal.multimodal_phash_clusters(
+            spark, SF_TINY
+        ).collect()
+    }
+    assert {r["doc_id"]: r["cluster_id"] for r in rows} == clusters
+    heights = {
+        r["doc_id"]: max(
+            1, -(-len((r["text"] or "").encode("utf-8")) // 48)
+        )
+        for r in spark.read.parquet(
+            f"{SF_TINY}/documents.parquet"
+        ).collect()
+        if r["text"] is not None
+    }
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rs in by_cluster.items():
+        survivors = [r for r in rs if not r["drop"]]
+        assert len(survivors) == 1, cid
+        s = survivors[0]
+        assert s["doc_id"] == s["survivor_id"] == rs[0]["survivor_id"]
+        assert all(r["survivor_id"] == s["doc_id"] for r in rs)
+        assert all(r["drop"] for r in rs if r["doc_id"] != s["doc_id"])
+        best = min(
+            (( -heights[r["doc_id"]], r["doc_id"]) for r in rs)
+        )
+        assert s["doc_id"] == best[1], cid
+
+
 def test_heavy_hitters_exactly_true_set(spark):
     """Sketch-pruned + exact-verified heavy hitters must equal the true
     heavy-hitter set exactly: freqItems guarantees no false negatives
