@@ -186,34 +186,10 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # (The 10 r12 bumps — the multimodal real-decoder quartet, the
-    # corpus_published_clean stage-core factor-outs, and the
-    # _ccnet_bucketize factor-out — were ALL re-graded hash-green in
-    # CORRECTNESS_r12 and pruned at round-13 open; manifest
+    # (The 5 r13 bumps — dedup_embedding_lsh, the trigram-SBO pair,
+    # and the dedup_cluster_cc pair — were ALL re-graded hash-green in
+    # CORRECTNESS_r13 and pruned at round-14 open; manifest
     # re-baselined via tools/query_hashes.py --write.)
-    #
-    # round 13 (VERDICT r12 #3): _embedding_lsh_pairs rewritten from
-    # pair-level verify (distinct candidates + two vector re-join legs)
-    # to per-bucket applyInPandas verify — identical candidate set and
-    # float op chain (einsum + per-row norms), re-verified hash-green
-    # vs the unchanged exact oracle at sf0.001/0.01/0.1 + adversarial
-    # this round, but the closure fingerprint moved:
-    "dedup_embedding_lsh": 10,
-    # round 13 (VERDICT r12 #4): the trigram-SBO scoring body factored
-    # into the prune-aware _sbo_scored core (now also feeding
-    # text_trigram_sbo_pruned / corpus_ccnet_buckets_sbo_pruned) —
-    # identical dataflow for the existing pair (prune_min=None), both
-    # re-verified hash-green at sf0.001/0.01/0.1 + adversarial this
-    # round, but their closure fingerprints moved:
-    "text_trigram_sbo_quality": 12,
-    "corpus_ccnet_buckets_sbo": 12,
-    # round 13: dedup_cluster_cc's min-label loop factored into
-    # _min_label_cc (now also feeding multimodal_phash_clusters) —
-    # identical dataflow, moved fingerprints (dedup_semantic_keep_best
-    # composes cluster_cc); both re-verified hash-green at
-    # sf0.001/0.01/0.1 + adversarial this round:
-    "dedup_cluster_cc": 5,
-    "dedup_semantic_keep_best": 5,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
