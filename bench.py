@@ -105,7 +105,11 @@ BASELINE_SEC = {
 #: immediate solo re-run; the headline keeps the min and BOTH values
 #: stay machine-readable in the capture under "retries".
 RETRY_STEAL_TICKS = 100
-RETRY_BASELINE_X = 3.0
+#: 2.0 (VERDICT r13 #2): the retry must defend the 2× per-query budget
+#: it adjudicates — in the r13 official capture events_funnel (2.28×)
+#: and ann_topk_bruteforce (2.15×) sat in the 2–3× band at clean steal
+#: brackets and never self-repaired under the old 3.0× trigger.
+RETRY_BASELINE_X = 2.0
 
 #: headline set: scan-agg, join-heavy, window, event-time, dedup (exact +
 #: LSH), similarity, text, and the flagship clustering pipeline
@@ -310,6 +314,20 @@ def main() -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp_path, out_path)
+    # Archive every capture to a timestamped file as well (VERDICT r13
+    # #3): the driver's official run overwrites BENCH_SUMMARY.json, so
+    # the builder's quiet-window evidence must survive in its own file.
+    # Timestamped, append-only, committed alongside the repo.
+    arch_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_captures"
+    )
+    os.makedirs(arch_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+    arch_path = os.path.join(arch_dir, f"capture_{stamp}.json")
+    with open(arch_path, "w") as fh:
+        fh.write(line + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
     print(line)
     spark.stop()
 
