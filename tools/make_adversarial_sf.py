@@ -123,6 +123,17 @@ def documents() -> None:
         ("A code page { return 0; } with sentences. One. Two. Three. "
          "Four sentences more.", "en", "adv"),
     ]
+    # round-14 constant-image wave (VERDICT r13 #4): a block of
+    # byte-identical documents → byte-identical PPM rasters → ONE
+    # shared 36-bit phash → every 12-bit band bucket degenerate-hot.
+    # Exercises the distinct-hash collapse in multimodal_phash_neardup
+    # (banded join work must stay O(distinct hashes), the C(12,2)=66
+    # hamming-0 pairs come from the equality expansion) and, as a side
+    # effect, deepens every text-dedup group shape (exact/minhash/
+    # simhash all see a 12-deep duplicate class).
+    extra_texts.extend(
+        [("constant thumbnail block image bytes", "en", "adv")] * 12
+    )
     for i, (text, lang, source) in enumerate(extra_texts):
         rows.append(
             {
