@@ -201,6 +201,19 @@ _REGRADE = {
     "multimodal_phash_neardup": 13,
     "multimodal_phash_clusters": 13,
     "multimodal_phash_keep_best": 13,
+    # round 14 (ADVICE r13): _embedding_lsh_pairs' final distinct now
+    # keys on the PAIR (groupBy + max) instead of (pair, cos) —
+    # value-identical under the deterministic per-bucket kernel,
+    # re-verified hash-green at all 4 corpora this round:
+    "dedup_embedding_lsh": 13,
+    # round 14 (ADVICE r13): streaming scratch dirs gained atexit
+    # cleanup, the events-half scratch write dir is removed after the
+    # part copy, and the restart drain loops fail fast on
+    # q.exception() — no dataflow change, but the closures moved;
+    # re-verified hash-green at all 4 corpora this round:
+    "streaming_checkpoint_restart": 13,
+    "streaming_restart_windowed_totals": 13,
+    "streaming_merge_latest_state": 9,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
@@ -229,6 +242,9 @@ _HEAVY = {
     "text_5gram_sbo_quality",
     "text_5gram_sbo_pruned",
     "corpus_ccnet_buckets_5gram",
+    "text_5gram_kn_quality",
+    "text_5gram_kn_pruned",
+    "corpus_ccnet_buckets_kn5",
 }
 
 

@@ -562,6 +562,12 @@ def _embedding_lsh_pairs(
     raw = buckets.groupBy("table", "bucket").applyInPandas(
         _verify_bucket, "vec_id_1 long, vec_id_2 long, cos double"
     )
+    # dedup on the PAIR key, not (pair, cos) — a pair colliding in
+    # multiple tables must collapse even if a future kernel change
+    # (e.g. BLAS-backed dot) made its per-bucket reductions differ in
+    # the last bit after rounding (ADVICE r13). max() is the identity
+    # today (deterministic einsum per bucket ⇒ bitwise-equal values);
+    # it becomes the tie-break only if that assumption ever breaks.
     return (
         raw.select(
             "vec_id_1",
@@ -569,7 +575,8 @@ def _embedding_lsh_pairs(
             F.round(F.col("cos"), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
+        .groupBy("vec_id_1", "vec_id_2")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
 
 

@@ -28,6 +28,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dbscan_spark.streaming import events as se
 
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree (ADVICE r13): several queries here
+    return a DataFrame that lazily reads its scratch sink, so the
+    scratch must outlive the function — but not the process. Without
+    this, every graded run of the restart drills left events-parquet-
+    sized copies accumulating in /tmp across driver rounds."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 #: memory-sink query names must be unique per active session
 _SEQ = itertools.count()
 
@@ -77,7 +91,7 @@ def streaming_merge_latest_state(
     is idempotent) → final snapshot returned. Oracle: per-user argmax on
     (ts, event_id) plus count(*) in plain SQL."""
     src = se.read_events_stream(spark, se.events_stream_dir(sf_dir))
-    scratch = tempfile.mkdtemp(prefix="dbscan_spark_merge_sink_")
+    scratch = _scratch_dir("dbscan_spark_merge_sink_")
     target = os.path.join(scratch, "state")
     se.run_streaming_merge_sink(
         src, target, os.path.join(scratch, "ckpt")
@@ -495,6 +509,11 @@ def _run_restart_phase(
                 )
             except Exception:
                 got = None  # sink mid-overwrite or not yet written
+            if q.exception() is not None:
+                # fail fast with the ROOT CAUSE (ADVICE r13): a dead
+                # query (e.g. missing state-store provider class) must
+                # not hide behind a 5-minute drain timeout
+                raise q.exception()
             if got == n_rows:
                 break
             time.sleep(0.25)
@@ -536,7 +555,7 @@ def streaming_checkpoint_restart(
     query; the restart machinery is pure checkpoint metadata (offset
     log + RocksDB snapshot/changelog), which is how a 1000-executor
     job survives a driver loss mid-stream."""
-    scratch = tempfile.mkdtemp(prefix="dbscan_spark_restart_")
+    scratch = _scratch_dir("dbscan_spark_restart_")
     ckpt = os.path.join(scratch, "ckpt")
     out = os.path.join(scratch, "out")
     prev = spark.conf.get(
@@ -580,6 +599,7 @@ def _write_events_half(
     half.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     shutil.copy(part, os.path.join(data_dir, f"half{parity}.parquet"))
+    shutil.rmtree(tmp)  # scratch write dir — done once the part is copied
 
 
 def _run_windowed_restart_phase(
@@ -626,6 +646,8 @@ def _run_windowed_restart_phase(
                 )
             except Exception:
                 got = None
+            if q.exception() is not None:
+                raise q.exception()  # fail fast — see _run_restart_phase
             if got == n_expected:
                 break
             time.sleep(0.25)
@@ -662,7 +684,7 @@ def streaming_restart_windowed_totals(
     query; restart cost is checkpoint metadata + the RocksDB window-
     state restore — the driver-loss recovery a 1000-executor
     streaming job relies on."""
-    scratch = tempfile.mkdtemp(prefix="dbscan_spark_wrestart_")
+    scratch = _scratch_dir("dbscan_spark_wrestart_")
     data_dir = os.path.join(scratch, "in")
     ckpt = os.path.join(scratch, "ckpt")
     out = os.path.join(scratch, "out")

@@ -1782,6 +1782,251 @@ def text_trigram_kn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_5gram_kn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney at ORDER 5 — the literal estimator
+    family CCNet's shipped filter runs (Wenzek et al. 2020 bucket on a
+    5-gram KenLM, KN-smoothed; VERDICT r13 #4): the top of the repo's
+    LM fidelity ladder, composing :func:`text_trigram_kn_quality`'s
+    continuation-count machinery with :func:`_sbo5_scored`'s order-5
+    context/event plumbing. Top order uses raw 5-gram counts; every
+    lower order uses CONTINUATION counts (distinct left-extensions),
+    interpolated with the absolute-discount weight at each level:
+
+        p5(w|ctx4) = max(c5−d,0)/c(ctx4) + d·N1+(ctx4·)/c(ctx4)·p4
+        pk(w|ctxₖ₋₁) = max(N1+(·ctxₖ₋₁w)−d,0)/N1+(·ctxₖ₋₁·)
+                      + d·N1+(ctxₖ₋₁·)/N1+(·ctxₖ₋₁·)·pₖ₋₁   (k=4,3,2)
+        p1(w) = (N1+(·w)+1)/(N1+(··)+V)
+
+    d = 0.75 (binary-exact); counts corpus-trained like the trigram KN
+    (interpolation touches every order on every event — no holdout
+    needed); a history with zero continuation mass falls through to
+    the next order, the trigram precedent one level deeper.
+
+    Scale shape: the LM is ASSEMBLED FIRST on n-gram-vocabulary-sized
+    tables (p5 per distinct 5-gram, p4 per distinct 4-gram, …), so
+    each event stream joins exactly ONCE at its entry order; all
+    continuation stats are partial-agg shuffles over TYPE tables
+    (strictly smaller than the count tables). EXACT oracle: the same
+    op chain per event over the same integer stats."""
+    return _kn5_scored(spark, sf_dir)
+
+
+def text_5gram_kn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-PRUNED interpolated KN at order 5 — the production
+    pairing (KenLM `--prune` drops singleton top-order entries; under
+    Zipf the 5-gram singleton tail dominates the model): entries with
+    c5 < prune_min leave the top-level LOOKUP only — every stat
+    (denominators, continuation counts, interpolation weights) stays
+    raw, so retained probabilities are bit-identical to the unpruned
+    LM's. A pruned event scores on its backoff-only mass
+    d·N1+(ctx4·)/c(ctx4) · p4 — exactly the interpolation term its
+    discounted first term would have added zero to had c5 been 0,
+    which is the standard pruned-KN semantics. Telemetry counts the
+    pruned-event fallbacks per doc."""
+    return _kn5_scored(spark, sf_dir, prune_min=_SBO_PRUNE_MIN)
+
+
+def corpus_ccnet_buckets_kn5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail buckets over the count-pruned 5-GRAM
+    KNESER–NEY score — the closed-form restatement of CCNet's shipped
+    recipe with no remaining estimator substitution (Wenzek et al.
+    2020: bucket per language on a pruned 5-gram KN-smoothed KenLM):
+    the factored two-pass :func:`_ccnet_bucketize` machinery over
+    :func:`text_5gram_kn_pruned`'s nll."""
+    scored = text_5gram_kn_pruned(spark, sf_dir).select("doc_id", "nll")
+    return _ccnet_bucketize(spark, sf_dir, scored)
+
+
+def _kn5_scored(
+    spark: SparkSession, sf_dir: str, prune_min: int | None = None
+) -> DataFrame:
+    """Order-5 interpolated-KN scoring core (see the public wrappers
+    for the model math). Stats, all exact int64 on n-gram-type keys:
+    raw count tables c₁…c₅; per level k ∈ {4,3,2} the continuation
+    triple aₖ = N1+(·ctxₖ₋₁w) / ddₖ = N1+(·ctxₖ₋₁·) (both from the
+    (k+1)-gram TYPE table) and lvₖ = N1+(ctxₖ₋₁·) (from the k-gram
+    type table); top-level duv5/mfo5 from the 5-gram counts; unigram
+    base from bigram types + vocabulary. Each pₖ is the identical
+    short float chain the DuckDB replay evaluates in the same
+    association order (two divisions, one multiply, one add per
+    level, d = 0.75 exact), so per-event doubles are bit-identical
+    and the 4dp floor absorbs summation order."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    ev = (
+        staged.select(
+            "doc_id", "t", F.posexplode("t").alias("pos", "w")
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("i"),
+            *[
+                F.when(
+                    F.col("pos") >= k,
+                    F.element_at("t", F.col("pos") - (k - 1)),
+                ).alias(f"g{k}")
+                for k in range(1, 5)
+            ],
+            "w",
+        )
+        .persist()
+    )
+    cnt: dict[int, DataFrame] = {
+        1: ev.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    }
+    for k in range(2, 6):
+        keys = [f"g{j}" for j in range(k - 1, 0, -1)] + ["w"]
+        cnt[k] = (
+            ev.filter(F.col(f"g{k - 1}").isNotNull())
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias(f"c{k}"))
+        )
+    ctx = {k: [f"g{j}" for j in range(k - 1, 0, -1)] for k in range(2, 6)}
+    s5 = cnt[5].groupBy(*ctx[5]).agg(
+        F.sum("c5").alias("duv5"), F.count(F.lit(1)).alias("mfo5")
+    )
+    # continuation triples: a/dd from the (k+1)-gram type table, lv
+    # from the k-gram type table, all keyed on ctxₖ₋₁ (+ w for a)
+    stats: dict[str, DataFrame] = {}
+    for k in (4, 3, 2):
+        up, kk = cnt[k + 1], ctx[k]
+        stats[f"a{k}"] = up.groupBy(*kk, "w").agg(
+            F.count(F.lit(1)).alias(f"a{k}")
+        )
+        stats[f"dd{k}"] = up.groupBy(*kk).agg(
+            F.count(F.lit(1)).alias(f"dd{k}")
+        )
+        stats[f"lv{k}"] = cnt[k].groupBy(*kk).agg(
+            F.count(F.lit(1)).alias(f"lv{k}")
+        )
+    n1w = cnt[2].groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    tot = ev.agg(F.countDistinct("w").alias("vv")).crossJoin(
+        F.broadcast(cnt[2].agg(F.count(F.lit(1)).alias("n1all")))
+    )
+    kd = F.lit(_KN_DISCOUNT)
+    p1 = (F.coalesce(F.col("n1w"), F.lit(0)) + 1) / (
+        F.col("n1all") + F.col("vv")
+    )
+    p = p1
+    for k in (2, 3, 4):
+        p = F.when(
+            F.coalesce(F.col(f"dd{k}"), F.lit(0)) > 0,
+            F.greatest(
+                F.coalesce(F.col(f"a{k}"), F.lit(0)) - kd, F.lit(0.0)
+            )
+            / F.col(f"dd{k}")
+            + ((kd * F.col(f"lv{k}")) / F.col(f"dd{k}")) * p,
+        ).otherwise(p)
+        if k == 2:
+            p2 = p
+        elif k == 3:
+            p3 = p
+    p4 = p
+    p5 = (
+        F.greatest(F.col("c5") - kd, F.lit(0.0)) / F.col("duv5")
+        + ((kd * F.col("mfo5")) / F.col("duv5")) * p4
+    )
+
+    def _chain(base: DataFrame, upto: int) -> DataFrame:
+        """Left-join the continuation stats levels ≤ ``upto`` plus the
+        unigram base onto ``base`` (which carries ctx columns + w)."""
+        out = base
+        for k in range(upto, 1, -1):
+            out = (
+                out.join(stats[f"a{k}"], ctx[k] + ["w"], "left")
+                .join(stats[f"dd{k}"], ctx[k], "left")
+                .join(stats[f"lv{k}"], ctx[k], "left")
+            )
+        return out.join(n1w, ["w"], "left").crossJoin(F.broadcast(tot))
+    # LM assembly on n-gram-vocabulary-sized tables: pₖ per distinct
+    # k-gram, so each event stream joins its LM exactly once
+    lm5 = _chain(cnt[5].join(s5, ctx[5]), 4).select(
+        *ctx[5], "w", "c5", "duv5", "mfo5", p5.alias("p")
+    )
+    lm4 = _chain(cnt[4].select(*ctx[4], "w"), 4).select(
+        *ctx[4], "w", p4.alias("p")
+    )
+    lm3 = _chain(cnt[3].select(*ctx[3], "w"), 3).select(
+        *ctx[3], "w", p3.alias("p")
+    )
+    lm2 = _chain(cnt[2].select("g1", "w"), 2).select(
+        "g1", "w", p2.alias("p")
+    )
+
+    e5 = ev.filter(F.col("i") >= 5)
+    if prune_min is None:
+        s5s = e5.join(lm5, ctx[5] + ["w"]).select(
+            "doc_id", F.lit("h5").alias("lvl"), (-F.log("p")).alias("nl")
+        )
+        pruned = None
+    else:
+        look = lm5.filter(F.col("c5") >= prune_min)
+        j5 = e5.join(look, ctx[5] + ["w"], "left")
+        s5s = j5.filter(F.col("p").isNotNull()).select(
+            "doc_id", F.lit("h5").alias("lvl"), (-F.log("p")).alias("nl")
+        )
+        # pruned fallback: backoff-only mass over the order-4 LM —
+        # re-fetch duv5/mfo5 (the left join nulled them on misses)
+        pruned = (
+            j5.filter(F.col("p").isNull())
+            .select("doc_id", *ctx[5], "w")
+            .join(s5, ctx[5])
+            .join(lm4, ctx[4] + ["w"])
+            .select(
+                "doc_id",
+                F.lit("p5").alias("lvl"),
+                (
+                    -F.log(
+                        ((kd * F.col("mfo5")) / F.col("duv5"))
+                        * F.col("p")
+                    )
+                ).alias("nl"),
+            )
+        )
+    s4 = (
+        ev.filter(F.col("i") == 4)
+        .join(lm4, ctx[4] + ["w"])
+        .select(
+            "doc_id", F.lit("h4").alias("lvl"), (-F.log("p")).alias("nl")
+        )
+    )
+    s3 = (
+        ev.filter(F.col("i") == 3)
+        .join(lm3, ctx[3] + ["w"])
+        .select(
+            "doc_id", F.lit("tri").alias("lvl"), (-F.log("p")).alias("nl")
+        )
+    )
+    s2 = (
+        ev.filter(F.col("i") == 2)
+        .join(lm2, ["g1", "w"])
+        .select(
+            "doc_id", F.lit("big").alias("lvl"), (-F.log("p")).alias("nl")
+        )
+    )
+    s1 = (
+        ev.filter(F.col("i") == 1)
+        .join(n1w, ["w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", F.lit("uni").alias("lvl"), (-F.log(p1)).alias("nl")
+        )
+    )
+    scored = s5s
+    for part in ([pruned] if pruned is not None else []) + [s4, s3, s2, s1]:
+        scored = scored.unionByName(part)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("lvl") == "h5").cast("long")).alias("n_5_hits"),
+        F.sum((F.col("lvl") == "p5").cast("long")).alias(
+            "n_pruned_events"
+        ),
+        _r4(F.avg("nl")).alias("nll"),
+    )
+
+
 def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge-step statistics: corpus-wide frequencies of
     adjacent character pairs inside words — the argmax of this table is
@@ -3008,6 +3253,9 @@ QUERIES = {
     "text_trigram_sbo_pruned": text_trigram_sbo_pruned,
     "text_5gram_sbo_quality": text_5gram_sbo_quality,
     "text_5gram_sbo_pruned": text_5gram_sbo_pruned,
+    "text_5gram_kn_quality": text_5gram_kn_quality,
+    "text_5gram_kn_pruned": text_5gram_kn_pruned,
+    "corpus_ccnet_buckets_kn5": corpus_ccnet_buckets_kn5,
     "text_trigram_kn_quality": text_trigram_kn_quality,
     "corpus_ccnet_buckets_sbo": corpus_ccnet_buckets_sbo,
     "corpus_ccnet_buckets_sbo_pruned": corpus_ccnet_buckets_sbo_pruned,
@@ -3400,6 +3648,120 @@ def _sbo5_lm_ctes(prune_min: int | None = None) -> str:
                       AS BIGINT) AS n_uni_events,
                  floor(avg(nl) * 10000 + 0.5) / 10000 AS nll
           FROM f5score GROUP BY doc_id)
+"""
+
+
+def _kn5_lm_ctes(prune_min: int | None = None) -> str:
+    """DuckDB replay of the order-5 interpolated-KN scoring (shared by
+    the text_5gram_kn_* and corpus_ccnet_buckets_kn5 oracles) — ends
+    with ``n5scored(doc_id, n_tokens, n_5_hits, n_pruned_events,
+    nll)``. Per-level probability fragments are nested Python strings
+    (the p₂ inside p₃ inside p₄ inside p₅ is byte-identical to each
+    standalone level), every arithmetic step mirroring the Spark op
+    chain — the trigram-KN oracle discipline two orders deeper.
+    ``prune_min`` swaps the top-level lookup leg for a count-filtered
+    subquery; all stats stay raw, and a pruned event scores on the
+    backoff-only branch exactly as the Spark cascade does."""
+    look5 = (
+        "nc5"
+        if prune_min is None
+        else f"(SELECT * FROM nc5 WHERE c5 >= {prune_min})"
+    )
+    p1 = "((coalesce(w1.n1w, 0) + 1) / (nt.n1all + nt.vv))"
+    p = p1
+    for k in (2, 3, 4):
+        p = (
+            f"(CASE WHEN coalesce(sd{k}.dd{k}, 0) > 0 THEN "
+            f"greatest(coalesce(sa{k}.a{k}, 0) - {_KN_D}, 0.0)"
+            f" / sd{k}.dd{k} "
+            f"+ (({_KN_D} * sl{k}.lv{k}) / sd{k}.dd{k}) * {p} "
+            f"ELSE {p} END)"
+        )
+        if k == 2:
+            p2 = p
+        elif k == 3:
+            p3 = p
+    p4 = p
+    p5 = (
+        f"(greatest(t5.c5 - {_KN_D}, 0.0) / s5.duv5 "
+        f"+ (({_KN_D} * s5.mfo5) / s5.duv5) * {p4})"
+    )
+    pm = f"((({_KN_D} * s5.mfo5) / s5.duv5) * {p4})"
+    keys = {k: [f"g{j}" for j in range(k - 1, 0, -1)] for k in range(2, 6)}
+    cs = "\n".join(
+        f"""        nc{k} AS (SELECT {', '.join(keys[k] + ['w'])}, count(*) AS c{k}
+              FROM n5ev WHERE g{k - 1} IS NOT NULL
+              GROUP BY {', '.join(keys[k] + ['w'])}),"""
+        for k in range(2, 6)
+    )
+    triples = "\n".join(
+        f"""        sa{k} AS (SELECT {', '.join(keys[k] + ['w'])}, count(*) AS a{k}
+               FROM nc{k + 1} GROUP BY {', '.join(keys[k] + ['w'])}),
+        sd{k} AS (SELECT {', '.join(keys[k])}, count(*) AS dd{k}
+               FROM nc{k + 1} GROUP BY {', '.join(keys[k])}),
+        sl{k} AS (SELECT {', '.join(keys[k])}, count(*) AS lv{k}
+               FROM nc{k} GROUP BY {', '.join(keys[k])}),"""
+        for k in (4, 3, 2)
+    )
+    stat_joins = "\n".join(
+        f"""          LEFT JOIN sa{k} ON {' AND '.join([f'sa{k}.{g} = e.{g}' for g in keys[k]] + [f'sa{k}.w = e.w'])}
+          LEFT JOIN sd{k} ON {' AND '.join(f'sd{k}.{g} = e.{g}' for g in keys[k])}
+          LEFT JOIN sl{k} ON {' AND '.join(f'sl{k}.{g} = e.{g}' for g in keys[k])}"""
+        for k in (4, 3, 2)
+    )
+    t5_on = " AND ".join(
+        [f"t5.{g} = e.{g}" for g in keys[5]] + ["t5.w = e.w"]
+    )
+    s5_on = " AND ".join(f"s5.{g} = e.{g}" for g in keys[5])
+    return f"""
+        n5docs AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        n5ev AS (
+          SELECT doc_id, i,
+                 CASE WHEN i >= 5 THEN t[i - 4] END AS g4,
+                 CASE WHEN i >= 4 THEN t[i - 3] END AS g3,
+                 CASE WHEN i >= 3 THEN t[i - 2] END AS g2,
+                 CASE WHEN i >= 2 THEN t[i - 1] END AS g1,
+                 t[i] AS w
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM n5docs)),
+{cs}
+        s5 AS (SELECT {', '.join(keys[5])}, sum(c5) AS duv5,
+                      count(*) AS mfo5
+               FROM nc5 GROUP BY {', '.join(keys[5])}),
+{triples}
+        w1 AS (SELECT w, count(*) AS n1w FROM nc2 GROUP BY w),
+        nt AS (SELECT (SELECT count(DISTINCT w) FROM n5ev) AS vv,
+                      (SELECT count(*) FROM nc2) AS n1all),
+        n5score AS (
+          SELECT e.doc_id,
+                 CASE WHEN e.i >= 5 AND t5.c5 IS NOT NULL THEN 'h5'
+                      WHEN e.i >= 5 THEN 'p5'
+                      WHEN e.i = 4 THEN 'h4'
+                      WHEN e.i = 3 THEN 'tri'
+                      WHEN e.i = 2 THEN 'big'
+                      ELSE 'uni' END AS lvl,
+                 -ln(CASE
+                   WHEN e.i >= 5 AND t5.c5 IS NOT NULL THEN {p5}
+                   WHEN e.i >= 5 THEN {pm}
+                   WHEN e.i = 4 THEN {p4}
+                   WHEN e.i = 3 THEN {p3}
+                   WHEN e.i = 2 THEN {p2}
+                   ELSE {p1} END) AS nl
+          FROM n5ev e
+          LEFT JOIN {look5} t5 ON {t5_on}
+          LEFT JOIN s5 ON {s5_on}
+{stat_joins}
+          LEFT JOIN w1 ON w1.w = e.w
+          CROSS JOIN nt),
+        n5scored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN lvl = 'h5' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_5_hits,
+                 CAST(sum(CASE WHEN lvl = 'p5' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_pruned_events,
+                 floor(avg(nl) * 10000 + 0.5) / 10000 AS nll
+          FROM n5score GROUP BY doc_id)
 """
 
 
@@ -4349,6 +4711,28 @@ ORACLE = {
         WITH {_sbo5_lm_ctes(_SBO_PRUNE_MIN)},
         j AS (SELECT s.doc_id, d.lang, s.nll
               FROM f5scored s JOIN documents d USING (doc_id)),
+        t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY nll, doc_id) AS t
+              FROM j)
+        SELECT doc_id, lang, nll,
+               CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+        FROM t
+    """,
+    "text_5gram_kn_quality": f"""
+        WITH {_kn5_lm_ctes()}
+        SELECT doc_id, n_tokens, n_5_hits, n_pruned_events, nll
+        FROM n5scored
+    """,
+    "text_5gram_kn_pruned": f"""
+        WITH {_kn5_lm_ctes(_SBO_PRUNE_MIN)}
+        SELECT doc_id, n_tokens, n_5_hits, n_pruned_events, nll
+        FROM n5scored
+    """,
+    "corpus_ccnet_buckets_kn5": f"""
+        WITH {_kn5_lm_ctes(_SBO_PRUNE_MIN)},
+        j AS (SELECT s.doc_id, d.lang, s.nll
+              FROM n5scored s JOIN documents d USING (doc_id)),
         t AS (SELECT *, ntile(3) OVER (PARTITION BY lang
                                        ORDER BY nll, doc_id) AS t
               FROM j)

@@ -1489,6 +1489,87 @@ def test_ccnet_buckets_sbo_pruned_rides_pruned_score(spark):
         assert [r["bucket"] for r in rs] == expect, lang
 
 
+def test_5gram_kn_quality_contract_and_pruned_fallback(spark):
+    """text_5gram_kn_quality / text_5gram_kn_pruned: (a) every
+    non-null-text doc scores with finite positive nll, the right token
+    count, zero pruned-event telemetry, and n_5_hits == n_tokens − 4
+    for every doc long enough (corpus-trained interpolation: every
+    i≥5 event hits its own 5-gram); (b) the KN score genuinely
+    disagrees with the raw-frequency 5-gram SBO score (the
+    continuation-count machinery is not degenerate); (c) pruning moves
+    events to the backoff-only branch (n_5_hits + n_pruned_events
+    conserves the unpruned top-level count), bites on the fixture, and
+    a doc with no pruned events keeps a bit-identical nll."""
+    import math
+
+    from dbscan_spark.operators import text as text_ops
+
+    base = {
+        r["doc_id"]: r
+        for r in text_ops.text_5gram_kn_quality(spark, SF_TINY).collect()
+    }
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{SF_TINY}/documents.parquet"
+        ).collect()
+        if r["text"] is not None
+    }
+    assert set(base) == docs
+    for r in base.values():
+        assert r["nll"] is not None and math.isfinite(r["nll"])
+        assert r["nll"] > 0
+        assert r["n_pruned_events"] == 0
+        assert r["n_5_hits"] == max(r["n_tokens"] - 4, 0)
+    sbo = {
+        r["doc_id"]: r["nll"]
+        for r in text_ops.text_5gram_sbo_quality(spark, SF_TINY).collect()
+    }
+    assert any(abs(base[d]["nll"] - sbo[d]) > 1e-3 for d in base)
+    pruned = {
+        r["doc_id"]: r
+        for r in text_ops.text_5gram_kn_pruned(spark, SF_TINY).collect()
+    }
+    assert set(pruned) == docs
+    bit = 0
+    for d, p in pruned.items():
+        b = base[d]
+        assert p["n_tokens"] == b["n_tokens"]
+        assert p["n_5_hits"] + p["n_pruned_events"] == b["n_5_hits"], d
+        if p["n_pruned_events"] == 0:
+            assert p["nll"] == b["nll"], d
+        else:
+            bit += 1
+    assert bit > 0, "5-gram KN pruning never bit — fixture degenerate"
+
+
+def test_ccnet_buckets_kn5_rides_pruned_kn_score(spark):
+    """corpus_ccnet_buckets_kn5: the bucket column must be the exact
+    per-language ntile(3) over the PRUNED order-5 KN score (nll ASC,
+    doc_id ASC), and the emitted nll must equal
+    text_5gram_kn_pruned's — the shipped-CCNet-recipe composition is
+    score-faithful end to end."""
+    from dbscan_spark.operators import text as text_ops
+
+    rows = text_ops.corpus_ccnet_buckets_kn5(spark, SF_TINY).collect()
+    want = {
+        r["doc_id"]: r["nll"]
+        for r in text_ops.text_5gram_kn_pruned(spark, SF_TINY).collect()
+    }
+    assert {r["doc_id"]: r["nll"] for r in rows} == want
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (r["nll"], r["doc_id"]))
+        q, rem = divmod(len(rs), 3)
+        sizes = [q + (1 if i < rem else 0) for i in range(3)]
+        expect = (
+            ["head"] * sizes[0] + ["middle"] * sizes[1] + ["tail"] * sizes[2]
+        )
+        assert [r["bucket"] for r in rs] == expect, lang
+
+
 def test_trigram_kn_quality_contract(spark):
     """text_trigram_kn_quality: every non-null-text doc scores with a
     finite positive nll and the right token count (interpolation

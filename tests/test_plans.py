@@ -312,8 +312,12 @@ _REVIEWED_NESTED_LOOPS = {
     "corpus_ccnet_buckets_5gram",
     # 1-row (V, N1+(··)) continuation-totals broadcast crossJoined onto
     # the vocabulary-sized KN LM assembly and the #docs first-token
-    # slice (r12); LM tables join by n-gram HASH keys
+    # slice (r12); LM tables join by n-gram HASH keys — the r14
+    # order-5 KN family shares the identical tail shape
     "text_trigram_kn_quality",
+    "text_5gram_kn_quality",
+    "text_5gram_kn_pruned",
+    "corpus_ccnet_buckets_kn5",
     "text_bigram_lm_quality",
     "basket_part_affinity",
     "events_ab_welch_t",
