@@ -245,6 +245,10 @@ _HEAVY = {
     "text_5gram_kn_quality",
     "text_5gram_kn_pruned",
     "corpus_ccnet_buckets_kn5",
+    # 5-round GD loop (10 actions over the persisted design matrix)
+    "text_quality_classifier_train",
+    "text_quality_classifier_scores",
+    "corpus_quality_classifier_buckets",
 }
 
 

@@ -2551,6 +2551,88 @@ def test_dsir_separates_target_slice(spark, tmp_path):
     assert min(en_scores) > max(de_scores), (en_scores, de_scores)
 
 
+def test_quality_classifier_learns_target_direction(spark, tmp_path):
+    """text_quality_classifier_* on a corpus with disjoint en/de
+    bigram vocabularies: 5 GD rounds must push en-only feature
+    weights POSITIVE and de-only weights NEGATIVE (gradient (p−y)·x
+    with y = is-en), every en doc must score strictly above every
+    non-en doc, a 1-token doc must drop, the bias row (bucket −1)
+    must exist, every weight must sit on the 1e-4 grid (the
+    replayability invariant), and the bucket terciles must ride the
+    negated score (head = best)."""
+    import pandas as pd
+
+    from dbscan_spark.operators import text as text_ops
+
+    texts = [
+        ("the cat sat on the mat", "en"),
+        ("the dog sat on the rug", "en"),
+        ("the cat ran to the dog", "en"),
+        ("der hund lief zum haus", "de"),
+        ("der gato sitzt auf dem", "de"),
+        ("single", "de"),  # 1 token → no bigram features → dropped
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": [t for t, _ in texts],
+            "lang": [lg for _, lg in texts],
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t, _ in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    wrows = text_ops.text_quality_classifier_train(
+        spark, str(tmp_path)
+    ).collect()
+    w = {r["bucket"]: r["w"] for r in wrows}
+    assert -1 in w
+    for v in w.values():
+        assert v == round(v, 4), v  # 1e-4 grid
+    # locate en-only vs de-only buckets via the operator's own hashing
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+
+    def bigrams(t):
+        toks = t.split()
+        return [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+
+    en_b = {bucket(g) for t, lg in texts if lg == "en" for g in bigrams(t)}
+    de_b = {bucket(g) for t, lg in texts if lg == "de" for g in bigrams(t)}
+    only_en, only_de = en_b - de_b, de_b - en_b
+    assert only_en and only_de, "fixture bigram buckets collided"
+    assert all(w[b] > 0 for b in only_en), [w[b] for b in only_en]
+    assert all(w[b] < 0 for b in only_de), [w[b] for b in only_de]
+
+    rows = {
+        r["doc_id"]: r
+        for r in text_ops.text_quality_classifier_scores(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4}  # doc 5 dropped
+    for doc_id, (t, lg) in enumerate(texts[:5]):
+        assert rows[doc_id]["n_feats"] == len(t.split()) - 1
+        assert rows[doc_id]["is_target"] == (lg == "en")
+    en_s = [rows[i]["score"] for i in (0, 1, 2)]
+    de_s = [rows[i]["score"] for i in (3, 4)]
+    assert min(en_s) > max(de_s), (en_s, de_s)
+
+    buck = {
+        r["doc_id"]: r
+        for r in text_ops.corpus_quality_classifier_buckets(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(buck) == {0, 1, 2, 3, 4}
+    for d, r in buck.items():
+        assert r["nll"] == -rows[d]["score"], d
+
+
 def test_lang_temperature_matches_numpy(spark):
     """corpus_lang_temperature vs an independent numpy computation of
     q_l = p_l^alpha / sum p_l^alpha from the operator's own per-lang
