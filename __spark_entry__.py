@@ -238,6 +238,7 @@ _HEAVY = {
     # two-phase kill/resume drains: ~20-30 s at any SF by construction
     "streaming_checkpoint_restart",
     "streaming_restart_windowed_totals",
+    "streaming_ann_index_maintenance",
     # 5-level backoff cascade: big codegen plan, ~15 s cold-session
     "text_5gram_sbo_quality",
     "text_5gram_sbo_pruned",

@@ -712,8 +712,150 @@ def streaming_restart_windowed_totals(
     return spark.read.parquet(out)
 
 
+def streaming_ann_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ANN index maintenance with checkpoint-restart, graded
+    exactly (VERDICT r13 #6) — the production ingest loop of a vector
+    store: new vectors arrive as a stream and a ``foreachBatch``
+    consumer encodes each micro-batch against the FROZEN IVFPQ
+    centroids/codebooks (trained once on the EXISTING corpus slice —
+    FAISS ``add`` after ``train``, the
+    :func:`similarity.ann_index_add_batch` semantics) and appends the
+    new (vec_id, cell, codes) index rows to the persisted assignments
+    store. The drill spans TWO ``start()`` calls against ONE durable
+    checkpoint with vectors arriving ACROSS the restart (the
+    :func:`streaming_restart_windowed_totals` discipline): phase 1
+    streams the even-vec_id half of the incoming slice and stops; the
+    odd half then lands and phase 2 re-starts the same query, which
+    must resume the file-source offset log (phase-1 files NOT
+    re-encoded or re-appended) while the frozen codebooks guarantee
+    the same codes either side of the restart.
+
+    Exactly-once-downstream: each micro-batch overwrites its own
+    ``bid=<batch_id>`` partition of the append store, so a batch
+    replayed after a crash-between-write-and-commit lands
+    idempotently — the partitioned-append twin of
+    run_foreach_batch_parquet's snapshot overwrite. The hash gate is
+    the ENTIRE point: re-read doubles phase-1 rows, a lost offset log
+    re-encodes them, and only exactly-once resume over the frozen
+    codebooks matches the batch add-batch replay over the full
+    incoming slice — the SAME exact recursive-CTE train-replay oracle
+    ann_index_add_batch carries (single source, imported verbatim).
+
+    Scale shape: training sees only the ≤2048-row driver sample; each
+    micro-batch is one zero-shuffle Arrow encode map (two GEMMs per
+    batch); restart cost is offset-log metadata. At 100 TB this is a
+    continuous ingestion pipeline appending code rows co-partitioned
+    with the primary store on vec_id."""
+    import glob
+    import shutil
+
+    from dbscan_spark.operators.similarity import (
+        _PQ_M,
+        _embeddings_with_norms,
+        _ivf_centroids,
+        _ivfpq_residual_books,
+        _nearest_cells_udf,
+        _residual_encode_udf,
+    )
+
+    scratch = _scratch_dir("dbscan_spark_annstream_")
+    data_dir = os.path.join(scratch, "in")
+    ckpt = os.path.join(scratch, "ckpt")
+    out = os.path.join(scratch, "out")
+    os.makedirs(data_dir)
+    os.makedirs(out)
+
+    e = _embeddings_with_norms(spark, sf_dir)
+    inc_pred = F.substring(
+        F.md5(F.col("vec_id").cast("string")), 1, 1
+    ).isin("e", "f")
+    existing = e.filter(~inc_pred)
+    cent = _ivf_centroids(existing)
+    books = _ivfpq_residual_books(existing, cent)
+    nearest1 = _nearest_cells_udf(cent, 1)
+    encode_residual = _residual_encode_udf(cent, books)
+    incoming = e.filter(inc_pred).select("vec_id", "v")
+
+    def _arrive_half(parity: int) -> int:
+        half = incoming.filter(
+            F.pmod(F.col("vec_id"), F.lit(2)) == parity
+        )
+        tmp = data_dir + f".tmp{parity}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(data_dir, f"half{parity}.parquet"))
+        shutil.rmtree(tmp)
+        return half.count()
+
+    def _phase(n_expected: int) -> None:
+        src = spark.readStream.schema(
+            "vec_id long, v array<double>"
+        ).parquet(data_dir)
+        enc = src.select(
+            "vec_id",
+            F.element_at(nearest1(F.col("v")), 1).alias("cell"),
+            "v",
+        ).select(
+            "vec_id",
+            "cell",
+            encode_residual(F.col("v"), F.col("cell")).alias("codes"),
+        )
+
+        def _write(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.select(
+                "vec_id",
+                F.col("cell").cast("long").alias("cell"),
+                *[
+                    F.element_at("codes", m + 1)
+                    .cast("long")
+                    .alias(f"c{m}")
+                    for m in range(_PQ_M)
+                ],
+            ).write.mode("overwrite").parquet(
+                os.path.join(out, f"bid={batch_id}")
+            )
+
+        q = (
+            enc.writeStream.foreachBatch(_write)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = time.time() + 300
+            got = None
+            while time.time() < deadline:
+                try:
+                    got = spark.read.parquet(out).count()
+                except Exception:
+                    got = None  # store mid-overwrite or still empty
+                if q.exception() is not None:
+                    raise q.exception()  # fail fast with the root cause
+                if got == n_expected:
+                    break
+                time.sleep(0.25)
+            else:
+                raise TimeoutError(
+                    f"ANN ingest phase appended {got} of "
+                    f"{n_expected} index rows in 300s"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    n0 = _arrive_half(0)
+    _phase(n0)
+    n1 = _arrive_half(1)
+    _phase(n0 + n1)
+    return spark.read.parquet(out).select(
+        "vec_id", "cell", *[f"c{m}" for m in range(_PQ_M)]
+    )
+
+
 QUERIES = {
     "streaming_pysource_events": streaming_pysource_events,
+    "streaming_ann_index_maintenance": streaming_ann_index_maintenance,
     "streaming_checkpoint_restart": streaming_checkpoint_restart,
     "streaming_restart_windowed_totals": streaming_restart_windowed_totals,
     "streaming_outer_join_clicks": streaming_outer_join_clicks,
@@ -886,3 +1028,16 @@ import re as _re  # noqa: E402
 
 for _name, _sql in ORACLE.items():
     ORACLE[_name] = _re.sub(r"\b(FROM|JOIN) events\b", rf"\1 {_EV}", _sql)
+
+# Single-source oracle reuse: the streaming ANN maintenance drill must
+# reproduce EXACTLY the batch add-batch encoding over the full incoming
+# slice — the drill's restart/idempotence properties are what the hash
+# gate adjudicates, the values are the frozen-codebook encode the batch
+# oracle already replays. Imported verbatim so the two cannot drift.
+from dbscan_spark.operators.similarity import (  # noqa: E402
+    ORACLE as _SIM_ORACLE,
+)
+
+ORACLE["streaming_ann_index_maintenance"] = _SIM_ORACLE[
+    "ann_index_add_batch"
+]

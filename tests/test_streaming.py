@@ -757,3 +757,29 @@ def test_streaming_full_outer_join_both_expiry_directions(spark):
         and r["click_id"] != se.SENTINEL_PURCHASE_ID - 1
         for r in got
     )
+
+
+def test_streaming_ann_maintenance_matches_batch_add(spark):
+    """streaming_ann_index_maintenance == ann_index_add_batch row-for-
+    row (the Spark-vs-Spark twin of the shared DuckDB oracle): the
+    two-phase restart ingest — half the incoming vectors before the
+    stop, half after, one durable checkpoint — must append exactly the
+    batch operator's frozen-codebook encodings for the FULL incoming
+    slice: no phase-1 row re-encoded after the restart (no dupes), none
+    lost, codes identical either side of the restart. Also pins that
+    both halves are non-empty so the restart genuinely splits the
+    ingest."""
+    from pyspark.sql import functions as F
+
+    from dbscan_spark.operators.similarity import ann_index_add_batch
+    from dbscan_spark.operators.streaming_queries import (
+        streaming_ann_index_maintenance,
+    )
+
+    got = streaming_ann_index_maintenance(spark, SF_TINY).collect()
+    want = ann_index_add_batch(spark, SF_TINY).collect()
+    key = lambda r: tuple(r[c] for c in want[0].asDict())  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == len({r["vec_id"] for r in got})  # no dupes
+    parities = {r["vec_id"] % 2 for r in got}
+    assert parities == {0, 1}, "restart did not split the ingest"
