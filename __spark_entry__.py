@@ -250,6 +250,8 @@ _HEAVY = {
     "text_quality_classifier_train",
     "text_quality_classifier_scores",
     "corpus_quality_classifier_buckets",
+    # composes KN5 buckets + the GD loop + LID in one query
+    "corpus_ccnet_pipeline",
 }
 
 

@@ -2078,6 +2078,15 @@ def text_quality_classifier_scores(
     final weights (see :func:`text_quality_classifier_train`), plus
     the ground-truth label and feature mass. Docs with <2 tokens have
     no bigram features and drop (the DSIR convention)."""
+    out, _ = _qcls_scored(spark, sf_dir)
+    return out
+
+
+def _qcls_scored(spark: SparkSession, sf_dir: str):
+    """Train-then-score core shared by the scores query and
+    :func:`corpus_ccnet_pipeline` (which also needs the trained BIAS
+    for its prior-threshold keep rule without retraining): returns
+    ``(scores_df, bias)``."""
     fx, w, bias = _qcls_train(spark, sf_dir)
     wdf = spark.createDataFrame(
         [(b, wv) for b, wv in sorted(w.items())], "bucket long, wv double"
@@ -2113,7 +2122,7 @@ def text_quality_classifier_scores(
         )
     )
     fx.unpersist()
-    return out
+    return out, bias
 
 
 def corpus_quality_classifier_buckets(
@@ -2131,6 +2140,65 @@ def corpus_quality_classifier_buckets(
         "doc_id", (-F.col("score")).alias("nll")
     )
     return _ccnet_bucketize(spark, sf_dir, scored)
+
+
+def corpus_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LITERAL CCNet pipeline end-to-end (Wenzek et al. 2020) as
+    ONE per-document verdict vector — the capstone composition now
+    that every stage exists in its shipped form: (1) language
+    identification (:func:`text_language_id`'s stopword-vote LID;
+    ``lid_keep`` = identified at all, the confidence gate), (2)
+    perplexity bucketing under the count-pruned 5-gram Kneser–Ney LM
+    (:func:`corpus_ccnet_buckets_kn5` — the paper's own filter), and
+    (3) the fastText-style quality classifier
+    (:func:`text_quality_classifier_scores`; ``cls_keep`` = score
+    STRICTLY ABOVE the no-feature prior sigmoid(bias) — i.e. the
+    document's features vote target, the decision rule that stays
+    calibrated whatever class prior the bias absorbs; both engines
+    compute the 4dp prior from the trained bias). Composite ``keep``
+    = identified AND not perplexity-tail AND classifier-positive —
+    the verdict-vector form (the corpus_gopher_rules shape) so a
+    pipeline operator can audit WHY each document dropped, which is
+    how these stages are actually operated (CCNet's stage-1 paragraph
+    dedup is graded separately as corpus_paragraph_dedup / the
+    published-clean compositions). Docs with <2 tokens have no
+    classifier features → ``cls_score`` NULL → ``cls_keep`` false
+    (NULL-safe on both engines).
+
+    Scale shape: three doc_id-co-keyed joins over per-doc score
+    tables; each stage keeps its own documented plan (zero-shuffle
+    LID map, assembled-LM single-join scoring, bounded GD loop).
+    EXACT oracle: the three stage replays composed in one WITH
+    RECURSIVE."""
+    import math
+
+    lid = text_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    buck = corpus_ccnet_buckets_kn5(spark, sf_dir)
+    cls_df, bias = _qcls_scored(spark, sf_dir)
+    cls = cls_df.select("doc_id", F.col("score").alias("cls_score"))
+    p0 = math.floor(
+        (1.0 / (1.0 + math.exp(-bias))) * 10000 + 0.5
+    ) / 10000
+    lid_keep = F.col("pred_lang") != "und"
+    cls_keep = F.coalesce(
+        F.col("cls_score") > F.lit(p0), F.lit(False)
+    )
+    keep = lid_keep & (F.col("bucket") != "tail") & cls_keep
+    return (
+        buck.join(lid, "doc_id")
+        .join(cls, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            lid_keep.alias("lid_keep"),
+            "nll",
+            F.col("bucket").alias("ppl_bucket"),
+            "cls_score",
+            cls_keep.alias("cls_keep"),
+            keep.alias("keep"),
+        )
+    )
 
 
 def _qcls_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3476,6 +3544,7 @@ QUERIES = {
     "text_quality_classifier_train": text_quality_classifier_train,
     "text_quality_classifier_scores": text_quality_classifier_scores,
     "corpus_quality_classifier_buckets": corpus_quality_classifier_buckets,
+    "corpus_ccnet_pipeline": corpus_ccnet_pipeline,
     "text_trigram_kn_quality": text_trigram_kn_quality,
     "corpus_ccnet_buckets_sbo": corpus_ccnet_buckets_sbo,
     "corpus_ccnet_buckets_sbo_pruned": corpus_ccnet_buckets_sbo_pruned,
@@ -5052,6 +5121,52 @@ ORACLE = {
                CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                       ELSE 'tail' END AS bucket
         FROM t
+    """,
+    # three stage replays composed: LID stopword vote + pruned-KN5
+    # terciles + classifier GD replay, joined on the doc spine
+    "corpus_ccnet_pipeline": f"""
+        WITH RECURSIVE
+        {_qcls_ctes()},
+        {_kn5_lm_ctes(_SBO_PRUNE_MIN)},
+        sw(lang, word) AS (VALUES {_SQL_STOPWORDS}),
+        lwords AS (SELECT doc_id, unnest({_SQL_TOKS}) AS word
+                   FROM documents),
+        lhits AS (
+            SELECT doc_id, lang, count(*) AS n_hits
+            FROM lwords JOIN sw USING (word) GROUP BY doc_id, lang),
+        lbest AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n_hits DESC, lang) AS rn
+            FROM lhits),
+        lid AS (
+            SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+            FROM documents d
+            LEFT JOIN (SELECT * FROM lbest WHERE rn = 1) b
+              ON d.doc_id = b.doc_id),
+        pj AS (SELECT s.doc_id, d.lang, s.nll
+               FROM n5scored s JOIN documents d USING (doc_id)),
+        pt AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                        ORDER BY nll, doc_id) AS t
+               FROM pj),
+        pbuck AS (SELECT doc_id, lang, nll,
+                         CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                                ELSE 'tail' END AS ppl_bucket
+                  FROM pt),
+        p0 AS (SELECT floor((1.0 / (1.0 + exp(-w))) * 10000 + 0.5)
+                      / 10000 AS p0
+               FROM qw WHERE bucket = -1)
+        SELECT b.doc_id, b.lang, l.pred_lang,
+               (l.pred_lang <> 'und') AS lid_keep,
+               b.nll, b.ppl_bucket,
+               c.score AS cls_score,
+               coalesce(c.score > p0.p0, false) AS cls_keep,
+               ((l.pred_lang <> 'und') AND b.ppl_bucket <> 'tail'
+                AND coalesce(c.score > p0.p0, false)) AS keep
+        FROM pbuck b
+        JOIN lid l USING (doc_id)
+        LEFT JOIN qscored c USING (doc_id)
+        CROSS JOIN p0
     """,
     "corpus_ccnet_buckets_kn5": f"""
         WITH {_kn5_lm_ctes(_SBO_PRUNE_MIN)},

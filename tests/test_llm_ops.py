@@ -2633,6 +2633,63 @@ def test_quality_classifier_learns_target_direction(spark, tmp_path):
         assert r["nll"] == -rows[d]["score"], d
 
 
+def test_ccnet_pipeline_composes_its_stages(spark):
+    """corpus_ccnet_pipeline: the verdict vector must equal its three
+    stage queries run standalone (pred_lang from text_language_id,
+    nll + ppl_bucket from corpus_ccnet_buckets_kn5, cls_score from
+    text_quality_classifier_scores), the keep booleans must follow
+    their definitions (cls_keep = score strictly above the trained
+    prior sigmoid(bias); NULL cls_score → false), and the fixture
+    must exercise both keep outcomes."""
+    import math
+
+    from dbscan_spark.operators import text as text_ops
+
+    rows = {
+        r["doc_id"]: r
+        for r in text_ops.corpus_ccnet_pipeline(spark, SF_TINY).collect()
+    }
+    lid = {
+        r["doc_id"]: r["pred_lang"]
+        for r in text_ops.text_language_id(spark, SF_TINY).collect()
+    }
+    buck = {
+        r["doc_id"]: r
+        for r in text_ops.corpus_ccnet_buckets_kn5(
+            spark, SF_TINY
+        ).collect()
+    }
+    cls = {
+        r["doc_id"]: r["score"]
+        for r in text_ops.text_quality_classifier_scores(
+            spark, SF_TINY
+        ).collect()
+    }
+    bias = {
+        r["bucket"]: r["w"]
+        for r in text_ops.text_quality_classifier_train(
+            spark, SF_TINY
+        ).collect()
+    }[-1]
+    p0 = math.floor(
+        (1.0 / (1.0 + math.exp(-bias))) * 10000 + 0.5
+    ) / 10000
+    assert set(rows) == set(buck)  # spine = every LM-scored doc
+    for d, r in rows.items():
+        assert r["pred_lang"] == lid[d]
+        assert r["nll"] == buck[d]["nll"]
+        assert r["ppl_bucket"] == buck[d]["bucket"]
+        assert r["cls_score"] == cls.get(d)
+        assert r["lid_keep"] == (r["pred_lang"] != "und")
+        want_cls = cls.get(d) is not None and cls[d] > p0
+        assert r["cls_keep"] == want_cls
+        assert r["keep"] == (
+            r["lid_keep"] and r["ppl_bucket"] != "tail" and want_cls
+        )
+    outcomes = {r["keep"] for r in rows.values()}
+    assert outcomes == {True, False}, outcomes
+
+
 def test_lang_temperature_matches_numpy(spark):
     """corpus_lang_temperature vs an independent numpy computation of
     q_l = p_l^alpha / sum p_l^alpha from the operator's own per-lang
