@@ -214,6 +214,14 @@ _REGRADE = {
     "streaming_checkpoint_restart": 13,
     "streaming_restart_windowed_totals": 13,
     "streaming_merge_latest_state": 9,
+    # round 14: _ivfpq_probe's query side factored into
+    # _ivfpq_probe_for (now also serving streaming_ann_index_serve's
+    # per-micro-batch probe) — identical dataflow for the batch
+    # callers (the N_QUERIES slice is passed in), re-verified
+    # hash-green at all 4 corpora this round, fingerprints moved:
+    "ann_topk_ivfpq": 11,
+    "ann_topk_ivfpq_persisted": 11,
+    "ann_topk_ivfpq_tombstoned": 12,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
@@ -239,6 +247,7 @@ _HEAVY = {
     "streaming_checkpoint_restart",
     "streaming_restart_windowed_totals",
     "streaming_ann_index_maintenance",
+    "streaming_ann_index_serve",
     # 5-level backoff cascade: big codegen plan, ~15 s cold-session
     "text_5gram_sbo_quality",
     "text_5gram_sbo_pruned",

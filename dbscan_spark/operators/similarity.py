@@ -625,6 +625,29 @@ def _ivfpq_probe(
     the 4 probed cells, then exact top-32 re-rank. Takes the index
     pieces explicitly so it runs identically over a freshly trained or
     a parquet-persisted index."""
+    return _ivfpq_probe_for(
+        spark,
+        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v", "nv"),
+        cent,
+        books,
+        corpus,
+    )
+
+
+def _ivfpq_probe_for(
+    spark: SparkSession,
+    qdf: DataFrame,
+    cent: "np.ndarray",
+    books: "np.ndarray",
+    corpus: DataFrame,
+) -> DataFrame:
+    """:func:`_ivfpq_probe` parameterized on the QUERY table (vec_id,
+    v, nv) — factored in r14 so the streaming serving path
+    (streaming_queries.streaming_ann_index_serve) can probe each
+    arriving micro-batch of query vectors with the identical op chain;
+    the batch probes pass the first-N_QUERIES slice. The query side is
+    driver-collected (bounded by construction: N_QUERIES batch-side,
+    micro-batch-sized streaming-side) into the ADC lookup tables."""
     C = np.asarray(cent)
     bks = np.asarray(books)
     bsq = (bks * bks).sum(-1)  # (M, K)
@@ -632,11 +655,7 @@ def _ivfpq_probe(
     # query side: 10 vectors collected; per (query, probed cell) the ADC
     # tables — <q, book> residual LUT, the <q, cent> scalar, the
     # <cent, book> cross table and |cent|² — all precomputed in numpy
-    qrows = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "v", "nv")
-        .collect()
-    )
+    qrows = qdf.select("vec_id", "v", "nv").collect()
     qids = np.array([int(r["vec_id"]) for r in qrows])
     Q = np.stack([r["v"] for r in qrows])
     qn = np.array([r["nv"] for r in qrows])
@@ -668,7 +687,7 @@ def _ivfpq_probe(
         return pd.Series(np.floor(x * 1e9 + 0.5) / 1e9)
 
     nearestk = _nearest_cells_udf(cent, _IVF_PROBES)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    q = qdf.select(
         F.col("vec_id").alias("query_id"),
         F.explode(nearestk(F.col("v"))).alias("cell"),
     )
@@ -690,7 +709,7 @@ def _ivfpq_probe(
     cand = scored.withColumn("arnk", F.row_number().over(wa)).filter(
         F.col("arnk") <= _PQ_RERANK
     )
-    qside = e.filter(F.col("vec_id") < N_QUERIES).select(
+    qside = qdf.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nv").alias("nq"),

@@ -853,9 +853,136 @@ def streaming_ann_index_maintenance(
     )
 
 
+def streaming_ann_index_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ANN SERVING — the third leg of the vector-store
+    lifecycle triptych (build: ann_topk_ivfpq_persisted / ingest:
+    :func:`streaming_ann_index_maintenance` / serve: this): QUERY
+    vectors arrive as a stream and each micro-batch probes the
+    PERSISTED IVFPQ index — the stream-static pattern where the
+    static side is the index assignments + primary vector store —
+    through the identical ADC-scoring + exact-re-rank op chain the
+    batch probes run (:func:`similarity._ivfpq_probe_for`, factored
+    for exactly this). The drill spans a checkpoint restart: the
+    first half of the query set (even vec_id) is served, the query
+    stops, the second half arrives, and the re-started query must
+    resume offsets and serve only the new arrivals. Each batch's
+    top-k lands idempotently in its own ``bid`` partition (the
+    maintenance query's exactly-once-downstream discipline).
+
+    Per-query top-k is batch-local by construction (a query's rows
+    never span batches), so the union over batches equals the batch
+    probe over all queries — the hash gate is
+    ann_topk_ivfpq_persisted's EXACT recursive-CTE train-replay
+    oracle, imported verbatim. Scale shape: the per-batch probe is
+    the broadcast-query ADC plan of the batch path (query side is
+    micro-batch-bounded); the index side stays a distributed scan,
+    persisted across batches."""
+    import glob
+    import shutil
+
+    from dbscan_spark.operators.similarity import (
+        _embeddings_with_norms,
+        _ivfpq_probe_for,
+        N_QUERIES,
+        ivfpq_index_dir,
+        read_ivfpq_index,
+    )
+
+    scratch = _scratch_dir("dbscan_spark_annserve_")
+    data_dir = os.path.join(scratch, "in")
+    ckpt = os.path.join(scratch, "ckpt")
+    out = os.path.join(scratch, "out")
+    os.makedirs(data_dir)
+    os.makedirs(out)
+
+    path = ivfpq_index_dir(spark, sf_dir)
+    cent, books, assigns = read_ivfpq_index(spark, path)
+    e = _embeddings_with_norms(spark, sf_dir)
+    # the static side of every micro-batch's stream-static probe:
+    # index codes joined to the primary store, persisted across
+    # batches (a serving deployment keeps this hot)
+    corpus = (
+        assigns.join(e, "vec_id")
+        .select("vec_id", "v", "nv", "cell", "codes")
+        .persist()
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "v", "nv"
+    )
+
+    def _arrive_half(parity: int) -> int:
+        half = queries.filter(
+            F.pmod(F.col("vec_id"), F.lit(2)) == parity
+        )
+        tmp = data_dir + f".tmp{parity}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(data_dir, f"half{parity}.parquet"))
+        shutil.rmtree(tmp)
+        return half.count()
+
+    def _phase(n_expected: int) -> None:
+        src = spark.readStream.schema(
+            "vec_id long, v array<double>, nv double"
+        ).parquet(data_dir)
+
+        def _write(batch_df: DataFrame, batch_id: int) -> None:
+            res = _ivfpq_probe_for(
+                spark, batch_df, cent, books, corpus
+            )
+            res.write.mode("overwrite").parquet(
+                os.path.join(out, f"bid={batch_id}")
+            )
+
+        q = (
+            src.writeStream.foreachBatch(_write)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = time.time() + 300
+            got = None
+            while time.time() < deadline:
+                try:
+                    got = (
+                        spark.read.parquet(out)
+                        .select("query_id")
+                        .distinct()
+                        .count()
+                    )
+                except Exception:
+                    got = None
+                if q.exception() is not None:
+                    raise q.exception()
+                if got == n_expected:
+                    break
+                time.sleep(0.25)
+            else:
+                raise TimeoutError(
+                    f"ANN serve phase answered {got} of "
+                    f"{n_expected} queries in 300s"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    n0 = _arrive_half(0)
+    _phase(n0)
+    n1 = _arrive_half(1)
+    _phase(n0 + n1)
+    res = spark.read.parquet(out).select(
+        "query_id", "neighbor_id", "cos_sim", "rnk"
+    )
+    corpus.unpersist()
+    return res
+
+
 QUERIES = {
     "streaming_pysource_events": streaming_pysource_events,
     "streaming_ann_index_maintenance": streaming_ann_index_maintenance,
+    "streaming_ann_index_serve": streaming_ann_index_serve,
     "streaming_checkpoint_restart": streaming_checkpoint_restart,
     "streaming_restart_windowed_totals": streaming_restart_windowed_totals,
     "streaming_outer_join_clicks": streaming_outer_join_clicks,
@@ -1040,4 +1167,10 @@ from dbscan_spark.operators.similarity import (  # noqa: E402
 
 ORACLE["streaming_ann_index_maintenance"] = _SIM_ORACLE[
     "ann_index_add_batch"
+]
+# serve drill == the persisted batch probe over all queries (per-query
+# top-k is batch-local, so the union over micro-batches is the batch
+# result) — same verbatim-import single-source rule as above
+ORACLE["streaming_ann_index_serve"] = _SIM_ORACLE[
+    "ann_topk_ivfpq_persisted"
 ]

@@ -783,3 +783,24 @@ def test_streaming_ann_maintenance_matches_batch_add(spark):
     assert len(got) == len({r["vec_id"] for r in got})  # no dupes
     parities = {r["vec_id"] % 2 for r in got}
     assert parities == {0, 1}, "restart did not split the ingest"
+
+
+def test_streaming_ann_serve_matches_batch_probe(spark):
+    """streaming_ann_index_serve == ann_topk_ivfpq_persisted row-for-
+    row (the Spark-vs-Spark twin of the shared oracle): serving the
+    query set in two micro-batch halves across a checkpoint restart
+    must produce exactly the batch probe's per-query top-k — same
+    neighbors, same 4dp cosines, same ranks; both query parities
+    present so the restart genuinely splits the serving."""
+    from dbscan_spark.operators.similarity import ann_topk_ivfpq_persisted
+    from dbscan_spark.operators.streaming_queries import (
+        streaming_ann_index_serve,
+    )
+
+    got = streaming_ann_index_serve(spark, SF_TINY).collect()
+    want = ann_topk_ivfpq_persisted(spark, SF_TINY).collect()
+    key = lambda r: (  # noqa: E731
+        r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"]
+    )
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert {r["query_id"] % 2 for r in got} == {0, 1}
