@@ -222,6 +222,12 @@ _REGRADE = {
     "ann_topk_ivfpq": 11,
     "ann_topk_ivfpq_persisted": 11,
     "ann_topk_ivfpq_tombstoned": 12,
+    # round 14: datasource.register() now also registers the
+    # manifest_sink writer (pysink_supplier_roundtrip) — the reader
+    # classes and row generator are byte-unchanged, but the module
+    # closure moved; re-verified hash-green at all 4 corpora:
+    "pysource_synthetic_events": 11,
+    "streaming_pysource_events": 11,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -132,6 +134,113 @@ class SyntheticEventsDataSource(DataSource):
         return _SyntheticEventsStreamReader(self.options)
 
 
+class _PartCommit(WriterCommitMessage):
+    """Per-task commit message: the task's staged part file + row
+    count. Instances are pickled executor→driver by the API."""
+
+    def __init__(self, staged: str, n_rows: int):
+        self.staged = staged
+        self.n_rows = n_rows
+
+
+class _ManifestSinkWriter(DataSourceWriter):
+    """Executor half of the sink: each task streams its partition's
+    rows into ONE staged JSON-lines part file under ``path/_tmp`` and
+    returns its commit message; nothing is visible to readers until
+    the driver's ``commit``. JSON-lines because Python's ``json``
+    emits shortest-round-trip doubles, so the written text parses
+    back to the bit-identical value — the roundtrip is hash-gatable."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp, exist_ok=True)
+        staged = os.path.join(tmp, f"part-{uuid.uuid4().hex}.json")
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(staged, n)
+
+    def commit(self, messages):
+        # driver-side two-phase finalize: promote every staged part
+        # with an atomic rename, then write the manifest LAST — a
+        # reader keying on the manifest can never observe a partial
+        # write (the _INDEX_COMPLETE marker discipline; an
+        # object-store deployment swaps rename+manifest for the
+        # store's multipart commit — the same single swap point)
+        import json
+        import os
+
+        parts = []
+        for m in messages:
+            dst = os.path.join(self.path, os.path.basename(m.staged))
+            os.replace(m.staged, dst)
+            parts.append(
+                {"file": os.path.basename(dst), "n_rows": m.n_rows}
+            )
+        manifest = os.path.join(self.path, "_MANIFEST")
+        with open(manifest + ".tmp", "w") as fh:
+            json.dump({"parts": parts}, fh)
+        os.replace(manifest + ".tmp", manifest)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+        shutil.rmtree(
+            os.path.join(self.path, "_tmp"), ignore_errors=True
+        )
+
+
+class ManifestSinkDataSource(DataSource):
+    """``df.write.format("manifest_sink").option("path", dir)`` — the
+    WRITER half of the Python DataSource surface (the batch/stream
+    readers above are the read half): a from-scratch sink with the
+    real two-phase commit protocol — tasks stage part files and
+    return commit messages; ONLY the driver's commit promotes them
+    and publishes the manifest, so failed/speculative task attempts
+    leave staged orphans that never become visible. Local-mode note:
+    tasks and driver share one filesystem here; the commit seam is
+    documented above."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_sink"
+
+    def schema(self) -> str:  # pragma: no cover — sinks declare none
+        return "ignored string"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _ManifestSinkWriter(self.options)
+
+
+def read_manifest_sink(spark, path: str, schema):
+    """Read back ONLY the manifest-committed part files (readers key
+    on the manifest, never on directory listings — staged or orphaned
+    files are invisible by construction)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as fh:
+        manifest = json.load(fh)
+    files = [
+        os.path.join(path, p["file"]) for p in manifest["parts"]
+    ]
+    return spark.read.schema(schema).json(files)
+
+
 def register(spark) -> None:
-    """Idempotently register the source with the session."""
+    """Idempotently register the source + sink with the session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(ManifestSinkDataSource)

@@ -3408,6 +3408,38 @@ def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pysink_supplier_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A from-scratch Python DataSource WRITER (PySpark 4
+    ``DataSourceWriter``) under the hash gate — the SINK half of the
+    connector surface whose read half pysource_synthetic_events
+    grades: write supplier through ``format("manifest_sink")``
+    (dbscan_spark/datasource.py — tasks stage JSON-lines part files
+    and return commit messages; only the driver's two-phase ``commit``
+    promotes them and publishes the manifest), then read back
+    EXACTLY the manifest-committed parts and return the rows. The
+    hash gate proves the full protocol: a lost partition, an
+    uncommitted staged file, or a double-committed speculative
+    attempt all change the row multiset; JSON shortest-round-trip
+    doubles make the values bit-exact. Scale shape: each task streams
+    its partition once (no driver row traffic); commit is
+    metadata-sized (one message per task)."""
+    import tempfile
+
+    from dbscan_spark.datasource import read_manifest_sink, register
+
+    register(spark)
+    s = _t(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="dbscan_spark_pysink_")
+    s.write.format("manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    return read_manifest_sink(spark, path, s.schema).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
 def pysource_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A from-scratch Python DataSource (PySpark 4 connector API) under
     the hash gate: register ``format("synthetic_events")``
@@ -4806,6 +4838,7 @@ QUERIES = {
     "basket_part_affinity": basket_part_affinity,
     "orc_roundtrip_supplier": orc_roundtrip_supplier,
     "pysource_synthetic_events": pysource_synthetic_events,
+    "pysink_supplier_roundtrip": pysink_supplier_roundtrip,
     "events_seasonality_profile": events_seasonality_profile,
     "events_ab_welch_t": events_ab_welch_t,
     "stats_return_rate_wilson": stats_return_rate_wilson,
@@ -5348,6 +5381,9 @@ ORACLE = {
                                    + (1.96 * 1.96) / (4.0 * n_lines * n_lines))
                        / (1 + (1.96 * 1.96) / n_lines), 6) + 0.0 AS ci_hi
         FROM counts
+    """,
+    "pysink_supplier_roundtrip": """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
     """,
     "pysource_synthetic_events": """
         WITH g AS (SELECT unnest(range(0, 50000)) AS i),

@@ -316,3 +316,44 @@ def test_clear_modal_dim_cache_invalidates_rewritten_corpus(
     assert embeddings_modal_dim(spark, str(tmp_path)) == 8
     # path-scoped: clearing one dir leaves others untouched
     clear_modal_dim_cache(None)
+
+
+def test_manifest_sink_two_phase_commit(spark, tmp_path):
+    """The Python DataSource WRITER (manifest_sink): (a) the committed
+    roundtrip equals the source table value-for-value; (b) readers key
+    on the manifest, so an orphaned staged file and a stray
+    non-manifest part in the directory are both INVISIBLE; (c) the
+    staging dir holds no leftovers after a successful commit."""
+    import json
+    import os
+
+    from dbscan_spark.datasource import read_manifest_sink, register
+    from dbscan_spark.io import load_table
+
+    register(spark)
+    sup = load_table(spark, SF_TINY, "supplier")
+    path = str(tmp_path / "sink")
+    sup.write.format("manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    # (c) nothing left staged
+    assert os.listdir(os.path.join(path, "_tmp")) == []
+    # (b) plant an orphan staged file + a stray committed-looking part
+    with open(os.path.join(path, "_tmp", "part-orphan.json"), "w") as fh:
+        fh.write('{"s_suppkey": 999999}\n')
+    with open(os.path.join(path, "part-stray.json"), "w") as fh:
+        fh.write(
+            '{"s_suppkey": 888888, "s_name": "x", "s_nationkey": 0,'
+            ' "s_acctbal": 1.0}\n'
+        )
+    back = read_manifest_sink(spark, path, sup.schema)
+    key = lambda r: (  # noqa: E731
+        r["s_suppkey"], r["s_name"], r["s_nationkey"], r["s_acctbal"]
+    )
+    assert sorted(map(key, back.collect())) == sorted(
+        map(key, sup.collect())
+    )
+    # (a+b) manifest row counts reconcile to the table exactly
+    with open(os.path.join(path, "_MANIFEST")) as fh:
+        manifest = json.load(fh)
+    assert sum(p["n_rows"] for p in manifest["parts"]) == sup.count()
