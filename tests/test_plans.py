@@ -318,6 +318,11 @@ _REVIEWED_NESTED_LOOPS = {
     "text_5gram_kn_quality",
     "text_5gram_kn_pruned",
     "corpus_ccnet_buckets_kn5",
+    # composes corpus_ccnet_buckets_kn5 — every BNLJ in its plan is
+    # that query's inherited 1-row totals broadcast cross (verified:
+    # all 28 nodes are Cross joins whose broadcast side is a scalar
+    # aggregate of LM totals; LID + classifier stages join by HASH)
+    "corpus_ccnet_pipeline",
     "text_bigram_lm_quality",
     "basket_part_affinity",
     "events_ab_welch_t",
