@@ -1354,10 +1354,70 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation harness: recall@5 of each approximate
+    index family (IVF cell-probing, PQ ADC, IVFPQ residual) against the
+    exact brute-force ground truth — one row per (method, query_id).
+
+    This is the measurement loop a production ANN deployment runs
+    continuously: ground truth from the exact scan over a FIXED query
+    panel (bounded — never the corpus × corpus scan), approximate
+    results from the candidate-pruned paths, recall as the overlap of
+    the two deterministic top-5 sets. Every input here is already
+    deterministic (4dp-rounded cosines, vec_id tie-breaks, fixed-seed
+    quantizer training), so recall itself is exact-oracle-gated rather
+    than a statistical pin — the CI recall floors in tests become a
+    driver-checked value.
+
+    100 TB: the brute-force leg is the one deliberately-exact piece,
+    bounded by the 10-query panel broadcast (reviewed BNLJ shape); the
+    approximate legs are the production cell-pruned plans unchanged;
+    the join of the two top-5 sets and the 3×10 method grid are
+    trivially small."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    methods = (
+        ("ivf", ann_topk_ivf),
+        ("pq", ann_topk_pq),
+        ("ivfpq", ann_topk_ivfpq),
+    )
+    ap = None
+    for m, fn in methods:
+        part = fn(spark, sf_dir).select(
+            F.lit(m).alias("method"), "query_id", "neighbor_id"
+        )
+        ap = part if ap is None else ap.unionByName(part)
+    hits = (
+        ap.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # 3×10 grid as an exploded literal array over the query panel —
+    # a pure projection, not a cross join (no CartesianProduct node)
+    grid = (
+        bf.select("query_id")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[F.lit(m) for m, _ in methods])
+            ).alias("method"),
+            "query_id",
+        )
+    )
+    return grid.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n"), F.lit(0)) / float(TOP_K), 4
+        ).alias("recall_at_5"),
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_hard_negatives": ann_hard_negatives,
     "ann_topk_filtered": ann_topk_filtered,
+    "ann_recall_eval": ann_recall_eval,
     "knn_label_predict": knn_label_predict,
     "similarity_range_search": similarity_range_search,
     "ann_topk_lsh": ann_topk_lsh,
@@ -2209,3 +2269,35 @@ ORACLE["embedding_quantize_int8"] = _re.sub(
     rf"\1 {_EMB_DIM_ONLY}",
     ORACLE["embedding_quantize_int8"],
 )
+
+# ann_recall_eval: COMPOSED from the already-corpus-substituted method
+# oracles above — each proven replay is embedded verbatim as a
+# subquery (DuckDB allows nested WITH [RECURSIVE] inside FROM), so the
+# recall oracle cannot drift from the per-method oracles it grades.
+ORACLE["ann_recall_eval"] = f"""
+    WITH bf AS MATERIALIZED (
+        SELECT query_id, neighbor_id
+        FROM ({ORACLE["ann_topk_bruteforce"]})),
+    ap AS MATERIALIZED (
+        SELECT 'ivf' AS method, query_id, neighbor_id
+        FROM ({ORACLE["ann_topk_ivf"]})
+        UNION ALL
+        SELECT 'pq' AS method, query_id, neighbor_id
+        FROM ({ORACLE["ann_topk_pq"]})
+        UNION ALL
+        SELECT 'ivfpq' AS method, query_id, neighbor_id
+        FROM ({ORACLE["ann_topk_ivfpq"]})),
+    hits AS (
+        SELECT a.method, a.query_id, count(*) AS n
+        FROM ap a JOIN bf b
+          ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        GROUP BY a.method, a.query_id),
+    qs AS (SELECT DISTINCT query_id FROM bf),
+    ms(method) AS (VALUES ('ivf'), ('pq'), ('ivfpq'))
+    SELECT ms.method, qs.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n, 0) / {TOP_K}.0, 4) AS recall_at_5
+    FROM ms CROSS JOIN qs
+    LEFT JOIN hits h ON h.method = ms.method AND h.query_id = qs.query_id
+    ORDER BY ms.method, qs.query_id
+"""

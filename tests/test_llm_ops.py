@@ -605,6 +605,34 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ann_recall_eval_matches_set_overlap(spark):
+    """The graded recall harness must equal the set-overlap recall
+    computed here independently per method, cover the full 3×10
+    (method, query) grid, and rank ivfpq >= pq on corpus average
+    (residual quantization refines the coarse cells)."""
+    rows = similarity.ann_recall_eval(spark, SF_TINY).collect()
+    assert len(rows) == 30
+    got = {(r["method"], r["query_id"]): (r["n_hits"], r["recall_at_5"]) for r in rows}
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_bruteforce(spark, SF_TINY).collect()
+    }
+    for method, fn in (
+        ("ivf", similarity.ann_topk_ivf),
+        ("pq", similarity.ann_topk_pq),
+        ("ivfpq", similarity.ann_topk_ivfpq),
+    ):
+        ap = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(spark, SF_TINY).collect()
+        }
+        for q in {q for q, _ in bf}:
+            n = len({p for p in ap & bf if p[0] == q})
+            assert got[(method, q)] == (n, round(n / 5.0, 4)), (method, q)
+    mean = lambda m: sum(v[1] for (mm, _), v in got.items() if mm == m) / 10
+    assert mean("ivfpq") >= mean("pq")
+
+
 def _doc_rasters(spark):
     """doc_id -> the zero-padded (h, 16, 3) raster each multimodal query
     decodes (the reference computation, built directly in numpy)."""

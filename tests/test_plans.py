@@ -339,6 +339,10 @@ _REVIEWED_NESTED_LOOPS = {
     # N_QUERIES=10 query rows; the non-equi condition is only the
     # self-pair exclusion
     "ann_hard_negatives",
+    # composes bruteforce + ivf + pq + ivfpq: every BNLJ is an
+    # inherited reviewed shape (10-query-panel broadcast); the 3×10
+    # method grid is an exploded literal array, not a join
+    "ann_recall_eval",
     "ann_topk_pq",
     # identical reviewed shape to ann_topk_pq (shared _pq_search body):
     # the broadcast side is the N_QUERIES=10 query rows; only the
