@@ -3496,7 +3496,75 @@ def _c4_clean_pages(d: DataFrame) -> DataFrame:
     )
 
 
+_PACK_SEQ_LEN = 2048
+_PACK_BUCKET = 1024  # doc_ids per prefix-sum bucket
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step every LLM training
+    pipeline runs last: documents are laid out in one virtual token
+    stream (doc order = doc_id, one EOS token appended per doc) and cut
+    into fixed 2048-token training sequences; each doc gets its stream
+    offset and the range of sequence ids it lands in (a doc longer than
+    the remainder of its sequence spans into the next ones).
+
+    100 TB: the offset is a prefix sum over the whole corpus, and the
+    naive formulation — one window over global doc_id order — sorts the
+    corpus into a single partition. This is the textbook two-level
+    distributed scan instead: (1) per-bucket token totals on
+    floor(doc_id / 1024), a narrow partial-agg shuffle; (2) exclusive
+    running total over the BUCKET-SUMS table only (~N_docs/1024 rows —
+    the one unpartitioned window runs over that small table, never the
+    corpus); (3) broadcast the bucket base offsets back and finish with
+    a within-bucket cumsum window PARTITIONED by bucket. Bucket ids are
+    monotone in doc_id, so (bucket, doc_id-within-bucket) order equals
+    global order and the result is identical to the oracle's global
+    window. Every corpus-sized operation here is bucket-local."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)) + 1)
+        .cast("long")
+        .alias("n_tokens"),  # +1 = the per-doc EOS separator
+        F.floor(F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bkt"),
+    )
+    bucket_sums = t.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_toks"))
+    w_buckets = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = bucket_sums.select(
+        "bkt",
+        F.coalesce(F.sum("bkt_toks").over(w_buckets), F.lit(0))
+        .cast("long")
+        .alias("bkt_base"),
+    )
+    w_in_bucket = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.col("bkt_base") + F.coalesce(
+        F.sum("n_tokens").over(w_in_bucket), F.lit(0)
+    )
+    seq_first = F.floor(off / _PACK_SEQ_LEN)
+    seq_last = F.floor((off + F.col("n_tokens") - 1) / _PACK_SEQ_LEN)
+    return (
+        t.join(F.broadcast(base), "bkt")
+        .select(
+            "doc_id",
+            "n_tokens",
+            off.cast("long").alias("tok_offset"),
+            seq_first.cast("long").alias("seq_first"),
+            seq_last.cast("long").alias("seq_last"),
+            (seq_last - seq_first + 1).cast("long").alias("n_seqs"),
+        )
+    )
+
+
 QUERIES = {
+    "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_gopher_rules": corpus_gopher_rules,
     "corpus_gopher_repetition": corpus_gopher_repetition,
     "corpus_c4_filters": corpus_c4_filters,
@@ -4335,6 +4403,36 @@ def _gopher_rep_oracle() -> str:
 
 
 ORACLE = {
+    # corpus_pack_sequences: the oracle uses the straightforward global
+    # window the Spark side deliberately avoids — same result, since
+    # bucket ids are monotone in doc_id. Token expression = the proven
+    # text_token_stats twin, +1 EOS per doc, null text → 0 tokens.
+    "corpus_pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(coalesce(len(string_split(trim(regexp_replace(
+                          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                          ' +', ' ', 'g')), ' ')), 0) + 1 AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+                   AS tok_offset
+          FROM t)
+        SELECT doc_id, n_tokens, tok_offset,
+               CAST(floor(tok_offset / {_PACK_SEQ_LEN}) AS BIGINT)
+                 AS seq_first,
+               CAST(floor((tok_offset + n_tokens - 1) / {_PACK_SEQ_LEN})
+                    AS BIGINT) AS seq_last,
+               CAST(floor((tok_offset + n_tokens - 1) / {_PACK_SEQ_LEN})
+                    - floor(tok_offset / {_PACK_SEQ_LEN}) + 1 AS BIGINT)
+                 AS n_seqs
+        FROM c
+    """,
     "corpus_c4_filters": """
         WITH base AS (
           SELECT doc_id, text,

@@ -633,6 +633,29 @@ def test_ann_recall_eval_matches_set_overlap(spark):
     assert mean("ivfpq") >= mean("pq")
 
 
+def test_pack_sequences_contiguous_stream(spark):
+    """Packing invariants: doc offsets tile the virtual token stream
+    exactly (offset_0 = 0, offset_{i+1} = offset_i + n_tokens_i in
+    doc_id order), sequence ids match the offset arithmetic, and the
+    two-level bucket prefix-sum equals a directly computed running
+    total."""
+    from dbscan_spark.operators import text as text_ops
+
+    rows = sorted(
+        text_ops.corpus_pack_sequences(spark, SF_TINY).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows and rows[0]["tok_offset"] == 0
+    run = 0
+    for r in rows:
+        assert r["tok_offset"] == run, r["doc_id"]
+        assert r["n_tokens"] >= 1  # EOS guarantees every doc occupies space
+        assert r["seq_first"] == r["tok_offset"] // 2048
+        assert r["seq_last"] == (r["tok_offset"] + r["n_tokens"] - 1) // 2048
+        assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1 >= 1
+        run += r["n_tokens"]
+
+
 def _doc_rasters(spark):
     """doc_id -> the zero-padded (h, 16, 3) raster each multimodal query
     decodes (the reference computation, built directly in numpy)."""
