@@ -254,6 +254,7 @@ _HEAVY = {
     "streaming_restart_windowed_totals",
     "streaming_ann_index_maintenance",
     "streaming_ann_index_serve",
+    "streaming_corpus_quality_gate",
     # 5-level backoff cascade: big codegen plan, ~15 s cold-session
     "text_5gram_sbo_quality",
     "text_5gram_sbo_pruned",

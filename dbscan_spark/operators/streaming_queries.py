@@ -979,10 +979,202 @@ def streaming_ann_index_serve(
     return res
 
 
+def streaming_corpus_quality_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING corpus quality filtering with checkpoint-restart —
+    the continuous-crawl deployment of the fastText-style classifier
+    (CCNet scores each new CommonCrawl snapshot as it lands, Wenzek
+    et al. 2020 §4.4): the classifier trains ONCE batch-side
+    (:func:`text._qcls_train` — the frozen-model discipline of
+    :func:`streaming_ann_index_maintenance`'s codebooks), then
+    documents ARRIVE as a stream and each micro-batch is scored under
+    the frozen weights. The drill spans a checkpoint restart with
+    arrivals across it: the even-doc_id half streams, the query
+    stops, the odd half lands, and the re-started query must resume
+    the file-source offset log and score only the new arrivals. Each
+    batch's scores land idempotently in their own ``bid`` partition
+    (the exactly-once-downstream discipline shared by the ANN drills).
+
+    Per-doc scoring is doc-local by construction (hashed-bigram
+    features L1-normalize within the document; the margin joins only
+    the broadcast frozen weight table), so the union over
+    micro-batches equals the batch filter over the full corpus — the
+    hash gate is text_quality_classifier_scores' EXACT GD-replay
+    oracle, imported verbatim: a re-read doubles phase-1 docs, a lost
+    offset log re-scores them, and only exactly-once resume under the
+    frozen weights reproduces the batch scores.
+
+    Scale shape: training cost is the batch query's (bounded weight
+    vector driver-side); each micro-batch is one batch-bounded
+    feature explode + a broadcast weight join + a doc-keyed
+    aggregate — no streaming state at all, so restart cost is pure
+    offset-log metadata."""
+    import glob
+    import shutil
+
+    from dbscan_spark.functions import shingles, tokens
+    from dbscan_spark.io import load_table
+    from dbscan_spark.operators.text import (
+        _DSIR_HEX_CHARS,
+        _qcls_train,
+    )
+
+    scratch = _scratch_dir("dbscan_spark_qgate_")
+    data_dir = os.path.join(scratch, "in")
+    ckpt = os.path.join(scratch, "ckpt")
+    out = os.path.join(scratch, "out")
+    os.makedirs(data_dir)
+    os.makedirs(out)
+
+    fx, w, bias = _qcls_train(spark, sf_dir)
+    fx.unpersist()
+    wdf = spark.createDataFrame(
+        [(b, wv) for b, wv in sorted(w.items())],
+        "bucket long, wv double",
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+    )
+
+    def _score(batch_df: DataFrame) -> DataFrame:
+        # the scoring chain of text._qcls_scored, applied to one
+        # micro-batch under the FROZEN weights; any drift from the
+        # batch implementation is caught by the shared exact oracle
+        d = (
+            batch_df.filter(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.col("lang").eqNullSafe(F.lit("en")).alias("y"),
+                tokens(F.col("text")).alias("_toks"),
+            )
+        )
+        feats = d.select(
+            "doc_id",
+            "y",
+            F.explode(shingles(F.col("_toks"), 2)).alias("g"),
+        ).select(
+            "doc_id",
+            "y",
+            F.conv(
+                F.substring(F.md5(F.col("g")), 1, _DSIR_HEX_CHARS),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        qb = feats.groupBy("doc_id", "y", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        nd = qb.groupBy("doc_id").agg(F.sum("cnt").alias("n_d"))
+        fxb = qb.join(nd, "doc_id").select(
+            "doc_id",
+            "y",
+            "bucket",
+            (F.col("cnt") / F.col("n_d")).alias("x"),
+            "n_d",
+        )
+        mq = F.floor(
+            (F.lit(bias) + F.col("s")) * 10000 + F.lit(0.5)
+        ) / 10000
+        score = (
+            F.floor(
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("mq"))))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        )
+        return (
+            fxb.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("doc_id", "y")
+            .agg(
+                F.sum(
+                    F.col("x") * F.coalesce(F.col("wv"), F.lit(0.0))
+                ).alias("s"),
+                F.max("n_d").alias("n_feats"),
+            )
+            .select(
+                "doc_id",
+                F.col("y").alias("is_target"),
+                F.col("n_feats").cast("long").alias("n_feats"),
+                mq.alias("mq"),
+            )
+            .select(
+                "doc_id", "is_target", "n_feats", score.alias("score")
+            )
+        )
+
+    def _arrive_half(parity: int) -> int:
+        half = docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(2)) == parity
+        )
+        tmp = data_dir + f".tmp{parity}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(data_dir, f"half{parity}.parquet"))
+        shutil.rmtree(tmp)
+        # drain target: docs this half that carry >=1 bigram feature
+        # (the <2-token drop rule of the batch scores query)
+        return half.filter(
+            F.col("text").isNotNull()
+            & (F.size(shingles(tokens(F.col("text")), 2)) > 0)
+        ).count()
+
+    def _phase(n_expected: int) -> None:
+        src = spark.readStream.schema(
+            "doc_id long, lang string, text string"
+        ).parquet(data_dir)
+
+        def _write(batch_df: DataFrame, batch_id: int) -> None:
+            _score(batch_df).write.mode("overwrite").parquet(
+                os.path.join(out, f"bid={batch_id}")
+            )
+
+        q = (
+            src.writeStream.foreachBatch(_write)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = time.time() + 300
+            got = None
+            while time.time() < deadline:
+                try:
+                    got = spark.read.parquet(out).count()
+                except Exception:
+                    got = None  # store mid-overwrite or still empty
+                if q.exception() is not None:
+                    raise q.exception()  # fail fast with the root cause
+                if got == n_expected:
+                    break
+                time.sleep(0.25)
+            else:
+                raise TimeoutError(
+                    f"quality gate scored {got} of "
+                    f"{n_expected} docs in 300s"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    n0 = _arrive_half(0)
+    _phase(n0)
+    n1 = _arrive_half(1)
+    _phase(n0 + n1)
+    return spark.read.parquet(out).select(
+        "doc_id", "is_target", "n_feats", "score"
+    )
+
+
 QUERIES = {
     "streaming_pysource_events": streaming_pysource_events,
     "streaming_ann_index_maintenance": streaming_ann_index_maintenance,
     "streaming_ann_index_serve": streaming_ann_index_serve,
+    "streaming_corpus_quality_gate": streaming_corpus_quality_gate,
     "streaming_checkpoint_restart": streaming_checkpoint_restart,
     "streaming_restart_windowed_totals": streaming_restart_windowed_totals,
     "streaming_outer_join_clicks": streaming_outer_join_clicks,
@@ -1173,4 +1365,15 @@ ORACLE["streaming_ann_index_maintenance"] = _SIM_ORACLE[
 # result) — same verbatim-import single-source rule as above
 ORACLE["streaming_ann_index_serve"] = _SIM_ORACLE[
     "ann_topk_ivfpq_persisted"
+]
+# quality-gate drill == the batch classifier filter over the full
+# corpus (per-doc scoring is doc-local under the frozen weights, so
+# the union over micro-batches is the batch result) — same
+# verbatim-import single-source rule as the ANN drills above
+from dbscan_spark.operators.text import (  # noqa: E402
+    ORACLE as _TEXT_ORACLE,
+)
+
+ORACLE["streaming_corpus_quality_gate"] = _TEXT_ORACLE[
+    "text_quality_classifier_scores"
 ]

@@ -804,3 +804,26 @@ def test_streaming_ann_serve_matches_batch_probe(spark):
     )
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert {r["query_id"] % 2 for r in got} == {0, 1}
+
+
+def test_streaming_quality_gate_matches_batch_scores(spark):
+    """streaming_corpus_quality_gate == text_quality_classifier_scores
+    row-for-row (the Spark-vs-Spark twin of the shared GD-replay
+    oracle): scoring the corpus in two micro-batch halves across a
+    checkpoint restart under the FROZEN weights must produce exactly
+    the batch filter's per-doc scores — no phase-1 doc re-scored after
+    the restart (no dupes), none lost; both doc parities present so
+    the restart genuinely splits the stream."""
+    from dbscan_spark.operators.streaming_queries import (
+        streaming_corpus_quality_gate,
+    )
+    from dbscan_spark.operators.text import text_quality_classifier_scores
+
+    got = streaming_corpus_quality_gate(spark, SF_TINY).collect()
+    want = text_quality_classifier_scores(spark, SF_TINY).collect()
+    key = lambda r: (  # noqa: E731
+        r["doc_id"], r["is_target"], r["n_feats"], r["score"]
+    )
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == len({r["doc_id"] for r in got})  # no dupes
+    assert {r["doc_id"] % 2 for r in got} == {0, 1}
