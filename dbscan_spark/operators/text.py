@@ -3497,7 +3497,6 @@ def _c4_clean_pages(d: DataFrame) -> DataFrame:
 
 
 _PACK_SEQ_LEN = 2048
-_PACK_BUCKET = 1024  # doc_ids per prefix-sum bucket
 
 
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3510,17 +3509,14 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the offset is a prefix sum over the whole corpus, and the
     naive formulation — one window over global doc_id order — sorts the
-    corpus into a single partition. This is the textbook two-level
-    distributed scan instead: (1) per-bucket token totals on
-    floor(doc_id / 1024), a narrow partial-agg shuffle; (2) exclusive
-    running total over the BUCKET-SUMS table only (~N_docs/1024 rows —
-    the one unpartitioned window runs over that small table, never the
-    corpus); (3) broadcast the bucket base offsets back and finish with
-    a within-bucket cumsum window PARTITIONED by bucket. Bucket ids are
-    monotone in doc_id, so (bucket, doc_id-within-bucket) order equals
-    global order and the result is identical to the oracle's global
-    window. Every corpus-sized operation here is bucket-local."""
-    from pyspark.sql.window import Window
+    corpus into a single partition. The running total therefore goes
+    through :func:`functions.ranking.global_order_stats`, the repo's
+    partitioned exact-global-cumulative primitive (approx-percentile
+    bucket cuts → bucket-partitioned running-sum windows → triangular
+    broadcast of per-bucket totals): every corpus-sized window is
+    bucket-partitioned, and the sums are exact integers so bucket-order
+    addition is bit-identical to the oracle's single global window."""
+    from dbscan_spark.functions.ranking import global_order_stats
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -3528,38 +3524,23 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)) + 1)
         .cast("long")
         .alias("n_tokens"),  # +1 = the per-doc EOS separator
-        F.floor(F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bkt"),
     )
-    bucket_sums = t.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_toks"))
-    w_buckets = Window.orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, -1
+    g = global_order_stats(
+        t,
+        order_by=[F.col("doc_id")],
+        bucket_on=F.col("doc_id"),
+        running_sums={"run_toks": F.col("n_tokens")},
     )
-    base = bucket_sums.select(
-        "bkt",
-        F.coalesce(F.sum("bkt_toks").over(w_buckets), F.lit(0))
-        .cast("long")
-        .alias("bkt_base"),
-    )
-    w_in_bucket = (
-        Window.partitionBy("bkt")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = F.col("bkt_base") + F.coalesce(
-        F.sum("n_tokens").over(w_in_bucket), F.lit(0)
-    )
+    off = F.col("run_toks") - F.col("n_tokens")  # exclusive prefix
     seq_first = F.floor(off / _PACK_SEQ_LEN)
     seq_last = F.floor((off + F.col("n_tokens") - 1) / _PACK_SEQ_LEN)
-    return (
-        t.join(F.broadcast(base), "bkt")
-        .select(
-            "doc_id",
-            "n_tokens",
-            off.cast("long").alias("tok_offset"),
-            seq_first.cast("long").alias("seq_first"),
-            seq_last.cast("long").alias("seq_last"),
-            (seq_last - seq_first + 1).cast("long").alias("n_seqs"),
-        )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        off.cast("long").alias("tok_offset"),
+        seq_first.cast("long").alias("seq_first"),
+        seq_last.cast("long").alias("seq_last"),
+        (seq_last - seq_first + 1).cast("long").alias("n_seqs"),
     )
 
 

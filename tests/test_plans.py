@@ -291,6 +291,10 @@ _REVIEWED_NESTED_LOOPS = {
     "agg_share_of_total",
     "quality_expectations_orders",
     "text_vocab_growth",
+    # global_order_stats shapes only: the 1-row percentile-cuts
+    # broadcast crossJoined onto the corpus and the triangular
+    # broadcast join of the #buckets-sized per-bucket totals table
+    "corpus_pack_sequences",
     "text_bm25_search",
     "text_lm_quality",
     # 1-row (N, V) totals broadcast crossJoined onto the scored event
