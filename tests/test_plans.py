@@ -591,9 +591,14 @@ def test_contamination_corpus_side_never_shuffles_shingles(spark):
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
     # exchanges: probe-side distinct (partial+final pair = 1 exchange),
-    # final per-doc count (1), orderBy sort (1) — anything more means the
-    # corpus shingle table got shuffled
-    assert tree.count("Exchange") <= 4, tree
+    # final per-doc count (1), orderBy sort (1), plus the r14 conditional
+    # round-robin rebalance of the PRE-shingle corpus rows
+    # (io.rebalance_scan — fires only on under-split local scans, and
+    # moves narrow (doc_id, text) rows, never the exploded shingles)
+    assert tree.count("Exchange") <= 5, tree
+    # the rebalance must be the round-robin kind, before the explode —
+    # any hash/range exchange of the exploded stream is still a bug
+    assert "hashpartitioning(s#" not in tree, tree
 
 
 def test_funnel_never_cartesian(spark):
