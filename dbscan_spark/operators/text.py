@@ -531,18 +531,26 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the df floor keeps the long tail of hapax tokens out of the output.
     At 100 TB this is the canonical build: the token shuffle is the only
     exchange, partial-aggregated map-side, and hot tokens (stopwords)
-    are exactly the rows the df floor targets for separate handling."""
+    are exactly the rows the df floor targets for separate handling.
+
+    r14: the (doc_id, token) ``distinct()`` + ``groupBy(token)`` pair
+    (two exchanges, postings shipped twice) collapsed into ONE
+    ``collect_set`` aggregation on the token key — within-doc dedup
+    happens inside the set merge, df is the set size, and the sorted
+    slice-20 postings are identical by construction (0.93 s → 0.68 s
+    at sf0.1, plan: 2 data exchanges → 1)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .filter(F.length("token") > 0)
-        .distinct()
         .groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
+        .agg(F.collect_set("doc_id").alias("_docs"))
+        .select(
+            "token",
+            F.size("_docs").cast("long").alias("df"),
             F.array_join(
                 F.transform(
-                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                    F.slice(F.sort_array("_docs"), 1, 20),
                     lambda x: x.cast("string"),
                 ),
                 ",",
