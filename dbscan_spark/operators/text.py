@@ -1949,12 +1949,26 @@ def _kn5_scored(
     cnt: dict[int, DataFrame] = {
         1: ev.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     }
+    # The k-gram count tables and the assembled per-order LM tables
+    # below are MATERIALIZED (eager localCheckpoint), not merely
+    # persisted (r14, guide §3.3): each count table is referenced by
+    # 3-4 downstream stats/LM branches, and embedding the aggregation
+    # subtree at every reference blew the optimized plan up to ~1.4 MB
+    # of text — eager per-operation DataFrame analysis alone took ~10 s
+    # per call at sf0.01, and the duplicated subtrees re-executed (no
+    # ReusedExchange fires across the branches). Truncating at the
+    # model tables is also the production shape: a KenLM-style build
+    # materializes counts and the assembled model once — they ARE the
+    # LM. Interleaved 3-rep A/B at sf0.01, fresh process per run:
+    # cold 25.8-26.4 s -> 15.5-18.6 s, second call 15.8-36.8 s ->
+    # 7.2-13.8 s for corpus_ccnet_buckets_kn5.
     for k in range(2, 6):
         keys = [f"g{j}" for j in range(k - 1, 0, -1)] + ["w"]
         cnt[k] = (
             ev.filter(F.col(f"g{k - 1}").isNotNull())
             .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias(f"c{k}"))
+            .localCheckpoint()
         )
     ctx = {k: [f"g{j}" for j in range(k - 1, 0, -1)] for k in range(2, 6)}
     s5 = cnt[5].groupBy(*ctx[5]).agg(
@@ -2014,19 +2028,22 @@ def _kn5_scored(
             )
         return out.join(n1w, ["w"], "left").crossJoin(F.broadcast(tot))
     # LM assembly on n-gram-vocabulary-sized tables: pₖ per distinct
-    # k-gram, so each event stream joins its LM exactly once
+    # k-gram, so each event stream joins its LM exactly once;
+    # materialized per the count-table rationale above (the event-side
+    # plan then joins four LogicalRDD leaves instead of four
+    # nine-table join chains)
     lm5 = _chain(cnt[5].join(s5, ctx[5]), 4).select(
         *ctx[5], "w", "c5", "duv5", "mfo5", p5.alias("p")
-    )
+    ).localCheckpoint()
     lm4 = _chain(cnt[4].select(*ctx[4], "w"), 4).select(
         *ctx[4], "w", p4.alias("p")
-    )
+    ).localCheckpoint()
     lm3 = _chain(cnt[3].select(*ctx[3], "w"), 3).select(
         *ctx[3], "w", p3.alias("p")
-    )
+    ).localCheckpoint()
     lm2 = _chain(cnt[2].select("g1", "w"), 2).select(
         "g1", "w", p2.alias("p")
-    )
+    ).localCheckpoint()
 
     e5 = ev.filter(F.col("i") >= 5)
     if prune_min is None:
