@@ -2316,6 +2316,14 @@ def _qcls_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     nd = qb.groupBy("doc_id").agg(F.sum("cnt").alias("n_d"))
+    # materialized (eager localCheckpoint), not persisted (r14): the
+    # design matrix is referenced by every GD round plus the final
+    # scoring join, and each reference re-embedded (and re-analyzed)
+    # the whole feature-build subtree in the round's plan — the KN5
+    # plan-truncation rationale, applied to the training artifact a
+    # batch trainer materializes anyway. Callers' unpersist() becomes
+    # a no-op; the checkpoint blocks are doc_id-keyed feature rows
+    # and are freed by the ContextCleaner when the DF is dropped.
     return (
         qb.join(nd, "doc_id")
         .select(
@@ -2326,7 +2334,7 @@ def _qcls_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_d",
         )
         .repartition("doc_id")
-        .persist()
+        .localCheckpoint()
     )
 
 
@@ -2336,7 +2344,44 @@ def _qcls_train(spark: SparkSession, sf_dir: str):
     are the post-``_QCLS_ROUNDS`` 4dp-grid values. Every arithmetic
     step mirrors the recursive-CTE oracle's op chain (margin → 4dp →
     sigmoid → 4dp → float gradient sums → 4dp weight update), so
-    summation-order and libm noise are absorbed each round."""
+    summation-order and libm noise are absorbed each round.
+
+    Loop-scoped config (r14, the supplier_pagerank / _min_label_cc
+    precedent): the five GD rounds are a FIXED-shape iteration over a
+    doc-keyed state table — shuffle width is sized to that state
+    (floor 8) instead of the session default, and AQE's per-exchange
+    stage barriers are dropped inside the loop (they exist to re-plan
+    unknown sizes; round 2 onward the sizes are known). Restored in
+    the ``finally``. The 4dp gradient quantization each round is what
+    already makes the result partition-order-independent (the same
+    property the cross-engine oracle replay relies on)."""
+    import math
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    n_hint = load_table(spark, sf_dir, "documents").count()
+    loop_shuffle = min(
+        int(saved["spark.sql.shuffle.partitions"]),
+        max(8, n_hint // 65536 + 1),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fx, w, bias = _qcls_gd_rounds(spark, sf_dir)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return fx, w, bias
+
+
+def _qcls_gd_rounds(spark: SparkSession, sf_dir: str):
+    """The GD rounds proper (see :func:`_qcls_train` for the contract
+    and the loop-scoped config that wraps this)."""
     import math
 
     fx = _qcls_features(spark, sf_dir)
@@ -2386,18 +2431,31 @@ def _qcls_train(spark: SparkSession, sf_dir: str):
             )
             .persist()
         )
-        gb = (
+        # weight gradients and the bias gradient ride ONE action (r14):
+        # the bias row is tagged bucket=-1 (md5-derived buckets are
+        # non-negative), both aggregate expressions are unchanged, and
+        # the union halves the per-round driver round-trips (2 jobs ->
+        # 1 job x 5 rounds)
+        rows = (
             fx.join(per_doc, "doc_id")
             .groupBy("bucket")
             .agg(F.sum(F.col("e") * F.col("x")).alias("g"))
+            .unionByName(
+                per_doc.agg(F.sum("e").alias("g")).select(
+                    F.lit(-1).cast("long").alias("bucket"), "g"
+                )
+            )
             .collect()
         )
-        g0 = per_doc.agg(F.sum("e").alias("g")).collect()[0]["g"]
         per_doc.unpersist()
-        for r in gb:
-            w[r["bucket"]] = q4(
-                w[r["bucket"]] - _QCLS_LR * (r["g"] / n_docs)
-            )
+        g0 = None
+        for r in rows:
+            if r["bucket"] == -1:
+                g0 = r["g"]
+            else:
+                w[r["bucket"]] = q4(
+                    w[r["bucket"]] - _QCLS_LR * (r["g"] / n_docs)
+                )
         bias = q4(bias - _QCLS_LR * (g0 / n_docs))
     return fx, w, bias
 
