@@ -228,6 +228,36 @@ _REGRADE = {
     # closure moved; re-verified hash-green at all 4 corpora:
     "pysource_synthetic_events": 11,
     "streaming_pysource_events": 11,
+    # round 14 OPTIMIZATION pass (this round's perf work; every entry
+    # re-verified value-identical vs its DuckDB oracle at sf0.001 AND
+    # sf0.01 via tools/driver_sim.py before commit — see
+    # OPTIMIZATION_r14.md for the A/B evidence):
+    #
+    # _doc_shingle_hashes now projects to (doc_id, text) and
+    # rebalances the under-split scan (io.rebalance_scan) — closure
+    # moved for every shingle consumer:
+    "dedup_ngram_jaccard": 10,
+    "dedup_containment": 13,
+    "dedup_minhash_lsh": 13,
+    "dedup_cluster_cc": 13,
+    "dedup_semantic_keep_best": 13,
+    "corpus_split_leakage": 13,
+    # single-pass _lang_counts fold (was five filter() passes) +
+    # shared stopword signal in corpus_clean_pipeline:
+    "corpus_clean_pipeline": 11,
+    "text_language_id": 10,
+    "text_language_confusion": 10,
+    "text_quality_score": 10,
+    # corpus-side rebalance before the shingle chain:
+    "text_contamination_check": 11,
+    # df derived from the tf aggregate (distinct exchange dropped):
+    "text_tfidf_top_terms": 11,
+    # distinct+groupBy collapsed into one collect_set aggregation:
+    "text_inverted_index": 11,
+    # events JSON mirror now written at session parallelism (multi-file
+    # landing zone; rows identical, layout changed):
+    "json_source_events": 9,
+    "json_corrupt_tolerant_read": 10,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
