@@ -283,6 +283,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # core count the session ran at (r14): the driver re-runs the
+        # bench at a lower $SPARK_GRAFT_CPUS to measure scaling, so an
+        # archived capture must say which width produced it — without
+        # this an 8-core capture is indistinguishable from a 32-core
+        # one on disk.
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "steal_ticks": steal1 - steal0,
         "cpu_ticks": total1 - total0,
         "query_steal_ticks": query_steal,
