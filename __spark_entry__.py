@@ -186,78 +186,13 @@ _PRIORITY = [
 # code; it falls back into the normal stalest-first rotation
 # automatically once a newer grade lands.
 _REGRADE = {
-    # (The 5 r13 bumps — dedup_embedding_lsh, the trigram-SBO pair,
-    # and the dedup_cluster_cc pair — were ALL re-graded hash-green in
-    # CORRECTNESS_r13 and pruned at round-14 open; manifest
-    # re-baselined via tools/query_hashes.py --write.)
-    #
-    # round 14 (VERDICT r13 #4): multimodal_phash_neardup's banded
-    # join reworked to run over DISTINCT hashes (hot-bucket collapse,
-    # semantics-preserving — identical-hash pairs from an equality
-    # expansion, cross-hash pairs from the verified hash-pair table);
-    # clusters/keep_best compose the pair graph. All three re-verified
-    # hash-green at sf0.001/0.01/0.1 + adversarial this round, but the
-    # closure fingerprints moved:
-    "multimodal_phash_neardup": 13,
-    "multimodal_phash_clusters": 13,
-    "multimodal_phash_keep_best": 13,
-    # round 14 (ADVICE r13): _embedding_lsh_pairs' final distinct now
-    # keys on the PAIR (groupBy + max) instead of (pair, cos) —
-    # value-identical under the deterministic per-bucket kernel,
-    # re-verified hash-green at all 4 corpora this round:
-    "dedup_embedding_lsh": 13,
-    # round 14 (ADVICE r13): streaming scratch dirs gained atexit
-    # cleanup, the events-half scratch write dir is removed after the
-    # part copy, and the restart drain loops fail fast on
-    # q.exception() — no dataflow change, but the closures moved;
-    # re-verified hash-green at all 4 corpora this round:
-    "streaming_checkpoint_restart": 13,
-    "streaming_restart_windowed_totals": 13,
-    "streaming_merge_latest_state": 9,
-    # round 14: _ivfpq_probe's query side factored into
-    # _ivfpq_probe_for (now also serving streaming_ann_index_serve's
-    # per-micro-batch probe) — identical dataflow for the batch
-    # callers (the N_QUERIES slice is passed in), re-verified
-    # hash-green at all 4 corpora this round, fingerprints moved:
-    "ann_topk_ivfpq": 11,
-    "ann_topk_ivfpq_persisted": 11,
-    "ann_topk_ivfpq_tombstoned": 12,
-    # round 14: datasource.register() now also registers the
-    # manifest_sink writer (pysink_supplier_roundtrip) — the reader
-    # classes and row generator are byte-unchanged, but the module
-    # closure moved; re-verified hash-green at all 4 corpora:
-    "pysource_synthetic_events": 11,
-    "streaming_pysource_events": 11,
-    # round 14 OPTIMIZATION pass (this round's perf work; every entry
-    # re-verified value-identical vs its DuckDB oracle at sf0.001 AND
-    # sf0.01 via tools/driver_sim.py before commit — see
-    # OPTIMIZATION_r14.md for the A/B evidence):
-    #
-    # _doc_shingle_hashes now projects to (doc_id, text) and
-    # rebalances the under-split scan (io.rebalance_scan) — closure
-    # moved for every shingle consumer:
-    "dedup_ngram_jaccard": 10,
-    "dedup_containment": 13,
-    "dedup_minhash_lsh": 13,
-    "dedup_cluster_cc": 13,
-    "dedup_semantic_keep_best": 13,
-    "corpus_split_leakage": 13,
-    # single-pass _lang_counts fold (was five filter() passes) +
-    # shared stopword signal in corpus_clean_pipeline:
-    "corpus_clean_pipeline": 11,
-    "text_language_id": 10,
-    "text_language_confusion": 10,
-    "text_quality_score": 10,
-    # corpus-side rebalance before the shingle chain:
-    "text_contamination_check": 11,
-    # df derived from the tf aggregate (distinct exchange dropped):
-    "text_tfidf_top_terms": 11,
-    # distinct+groupBy collapsed into one collect_set aggregation:
-    "text_inverted_index": 11,
-    # events JSON mirror now written at session parallelism (multi-file
-    # landing zone; rows identical, layout changed):
-    "json_source_events": 9,
-    "json_corrupt_tolerant_read": 10,
+    # (All 27 round-14 bumps — the multimodal phash trio, the r14
+    # optimization-pass cohort (shingle consumers, vote-fold family,
+    # tfidf/inverted_index/contamination, json mirror pair), the
+    # streaming-restart family, and the IVF-PQ trio — were ALL
+    # re-graded clean in CORRECTNESS_r14 (50/50) and pruned at
+    # round-15 open; manifest re-baselined via
+    # tools/query_hashes.py --write.)
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
