@@ -193,6 +193,14 @@ _REGRADE = {
     # re-graded clean in CORRECTNESS_r14 (50/50) and pruned at
     # round-15 open; manifest re-baselined via
     # tools/query_hashes.py --write.)
+    #
+    # round 15 (VERDICT r14 #1): the standalone language vote restored
+    # to the five-filter formulation (_lang_counts_filters) — the r14
+    # single-pass fold was slower where the expression runs once per
+    # row; value-identical (collect-compared at sf0.1) and re-verified
+    # vs the DuckDB oracle at sf0.001 + sf0.01 before commit:
+    "text_language_id": 14,
+    "text_language_confusion": 14,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

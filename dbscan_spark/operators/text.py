@@ -126,12 +126,40 @@ def _vote_from_counts(cnts):
     return F.array_min(F.array(*per_lang))
 
 
+def _lang_counts_filters(toks):
+    """Per-language stopword-hit counts as FIVE independent
+    ``size(filter(...))`` passes over the token column — the standalone
+    formulation. Same 25 comparisons per token as the ``_lang_counts``
+    fold, but each pass keeps a scalar count instead of re-building a
+    5-int array per token step, which is cheaper when the expression
+    runs ONCE per row (r15 A/B at sf0.1, warm, steal-bracketed: 0.79 s
+    min vs the fold's 0.94 s, filters faster in 8/9 pairings). The fold
+    stays the right shape where a pushed-down gate INLINES the counts —
+    there one token-array reference beats five (corpus_clean_pipeline,
+    which measured faster with the fold in r14 and again here)."""
+    out = []
+    for lg in _VOTE_LANGS:
+        words = F.array(*[F.lit(w) for l, w in STOPWORDS if l == lg])
+        out.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+        )
+    return out
+
+
 def _lang_vote(toks):
     """Zero-shuffle language argmax: struct(neg_hits, lang) minimum over
     per-language stopword-hit counts — one narrow projection, no
     explode, no join, no aggregate (see text_language_id for the scale
-    rationale); counts come from the single-pass fold above."""
-    return _vote_from_counts(_lang_counts(toks))
+    rationale); counts come from the five-filter passes above (the
+    single-row-reference shape — see _lang_counts_filters)."""
+    cnts = _lang_counts_filters(toks)
+    per_lang = [
+        F.struct(
+            (-cnts[i]).alias("neg"), F.lit(_VOTE_LANGS[i]).alias("lang")
+        )
+        for i in range(len(_VOTE_LANGS))
+    ]
+    return F.array_min(F.array(*per_lang))
 
 
 def _quality_score(text_col, toks, stop_hits=None):
