@@ -201,6 +201,21 @@ _REGRADE = {
     # vs the DuckDB oracle at sf0.001 + sf0.01 before commit:
     "text_language_id": 14,
     "text_language_confusion": 14,
+    # round 15 (VERDICT r14 #2): MinHash signatures computed row-locally
+    # over the per-key shingle-hash arrays (_sig_from_hash_arrays) —
+    # explode + 64-slot hash-aggregate dropped for both the document-
+    # and paragraph-level pipelines; signatures bit-identical
+    # (collect-compared), every consumer re-verified vs the DuckDB
+    # oracle at sf0.001 + sf0.01 before commit:
+    "dedup_minhash_lsh": 14,
+    "dedup_cluster_cc": 14,
+    "dedup_keep_best": 14,
+    "corpus_split_leakage": 14,
+    "dedup_semantic_keep_best": 14,
+    "corpus_paragraph_neardup": 14,
+    "corpus_paragraph_clean": 14,
+    "corpus_paragraph_dedup": 14,
+    "corpus_published_clean": 14,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

@@ -248,32 +248,45 @@ _MINHASH_PERMS = 64
 _LSH_BANDS = 32  # 32 bands × 2 rows: P(catch | j=0.8) ≈ 1 - (1-0.64)^32 ≈ 1
 
 
-def minhash_signatures(
-    spark: SparkSession, sf_dir: str, shingle_df: DataFrame | None = None
-) -> DataFrame:
-    """(doc_id, sig: array<long>[64]) — min over permuted shingle hashes.
+def _sig_from_hash_arrays(hashes_df: DataFrame, key: str) -> DataFrame:
+    """(key, sig: array<long>[64]) — min over permuted shingle hashes,
+    computed ROW-LOCALLY over the compact per-key hash arrays.
 
-    All JVM-side: permutation j of shingle s is ``xxhash64(s, j)`` (seeded
-    rehash — ANSI-safe, no modular arithmetic), minimum taken per doc with
-    one hash-aggregate per permutation over the exploded shingle table.
-    Explode + HashAggregate is deliberately chosen over an
-    array_min/transform projection: higher-order array functions are
-    CodegenFallback (interpreted per row), while this shape stays inside
-    whole-stage codegen with map-side partial mins, so the shuffle carries
-    only #docs x 64 longs.
-    """
-    if shingle_df is None:
-        shingle_df = _shingle_table(spark, sf_dir)
-    per_doc = shingle_df.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"m{j}")
-            for j in range(_MINHASH_PERMS)
-        ]
+    Permutation j of shingle hash s is ``xxhash64(s, j)`` (seeded rehash
+    — ANSI-safe, no modular arithmetic). Every key's shingles already
+    sit in ONE array row, so the per-permutation minimum needs no
+    explode and no aggregate: 64 ``array_min(transform(...))``
+    projections, zero exchanges. r15 A/B at sf0.1 (warm,
+    steal-bracketed, identical non-cached input both sides): the old
+    explode → 64-slot hash-aggregate shape ran 3.7–5.4 s vs 2.1–2.6 s
+    for this projection — the HOFs are interpreted (CodegenFallback),
+    but the explode materialized 52× the rows and the 64-buffer
+    aggregate paid a shuffle + stage barrier the row-local form never
+    needs. Signatures are bit-identical (collect-compared)."""
+    return hashes_df.select(
+        key,
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("hs"), lambda s: F.xxhash64(s, F.lit(j)))
+                )
+                for j in range(_MINHASH_PERMS)
+            ]
+        ).alias("sig"),
     )
-    return per_doc.select(
-        "doc_id",
-        F.array(*[F.col(f"m{j}") for j in range(_MINHASH_PERMS)]).alias("sig"),
-    )
+
+
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, hashes_df: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, sig: array<long>[64]) — min over permuted shingle hashes
+    of the document's distinct shingle-hash array (see
+    :func:`_sig_from_hash_arrays` for the zero-exchange shape).
+    ``hashes_df`` lets a caller that already built (and persisted) the
+    per-doc hash arrays share them."""
+    if hashes_df is None:
+        hashes_df = _doc_shingle_hashes(spark, sf_dir)
+    return _sig_from_hash_arrays(hashes_df, "doc_id")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,8 +304,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     as an exact oracle).
     """
     hs = _doc_shingle_hashes(spark, sf_dir).persist()
-    sh = hs.select("doc_id", F.explode("hs").alias("s"))
-    sigs = minhash_signatures(spark, sf_dir, shingle_df=sh)
+    sigs = minhash_signatures(spark, sf_dir, hashes_df=hs)
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -1005,12 +1017,7 @@ def _units_and_pairs_from(paras: DataFrame):
         .filter(F.size("hs") > 0)
         .persist()
     )
-    sigs = hs.select("ph", F.explode("hs").alias("s")).groupBy("ph").agg(
-        *[
-            F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"m{j}")
-            for j in range(_MINHASH_PERMS)
-        ]
-    )
+    sigs = _sig_from_hash_arrays(hs, "ph")
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     bands = sigs.select(
         "ph",
@@ -1021,7 +1028,7 @@ def _units_and_pairs_from(paras: DataFrame):
                         F.lit(i).alias("band"),
                         F.xxhash64(
                             *[
-                                F.col(f"m{i * rows_per_band + r}")
+                                F.col("sig")[i * rows_per_band + r]
                                 for r in range(rows_per_band)
                             ]
                         ).alias("bh"),
