@@ -201,6 +201,16 @@ _REGRADE = {
     # vs the DuckDB oracle at sf0.001 + sf0.01 before commit:
     "text_language_id": 14,
     "text_language_confusion": 14,
+    # corpus_ccnet_pipeline inherits _lang_vote (its LM-perplexity
+    # language gate) — value-identical, oracle re-verified at
+    # sf0.001 + sf0.01:
+    "corpus_ccnet_pipeline": 14,
+    # round 15 (VERDICT r14 #2, json mirror): the events JSON mirror is
+    # written at the source's natural split structure again (the r14
+    # 32-file rebalance reverted) — rows identical, layout changed;
+    # both consumers re-verified at sf0.001 + sf0.01:
+    "json_source_events": 14,
+    "json_corrupt_tolerant_read": 14,
     # round 15 (VERDICT r14 #2): MinHash signatures computed row-locally
     # over the per-key shingle-hash arrays (_sig_from_hash_arrays) —
     # explode + 64-slot hash-aggregate dropped for both the document-
