@@ -1990,13 +1990,44 @@ def _kn5_scored(
     # LM. Interleaved 3-rep A/B at sf0.01, fresh process per run:
     # cold 25.8-26.4 s -> 15.5-18.6 s, second call 15.8-36.8 s ->
     # 7.2-13.8 s for corpus_ccnet_buckets_kn5.
+    #
+    # r15 (guide §2.1 one-scan rule, VERDICT r14 #4): the four k-gram
+    # count aggregations collapsed into ONE GROUPING SETS pass over the
+    # event stream — one scan + one aggregate job + one checkpoint
+    # instead of four of each. Per-set membership replaces the old
+    # per-level pre-filter: within set k every group with a non-null
+    # g_{k-1} key has all keys non-null (a null g_{k-1} implies null
+    # g_{k} for all further-back positions), so the post-agg key filter
+    # drops exactly the rows the old filter did — tables verified
+    # bit-identical (xor-of-row-hashes + counts + sums) at sf0.01.
+    # A/B (count-table phase, same persisted ev): 3.6-4.3 s four-pass
+    # -> 2.1-2.8 s one-pass.
+    _GS_KEYS = ["g4", "g3", "g2", "g1", "w"]
+    gs_union = (
+        ev.groupingSets(
+            [
+                [f"g{j}" for j in range(k - 1, 0, -1)] + ["w"]
+                for k in range(5, 1, -1)
+            ],
+            *_GS_KEYS,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.grouping_id(*_GS_KEYS).alias("gid"),
+        )
+        .localCheckpoint()
+    )
+    # grouping_id bit per column in _GS_KEYS order (MSB = g4): set for
+    # every column NOT in the grouping set
+    _GS_GID = {5: 0, 4: 16, 3: 24, 2: 28}
     for k in range(2, 6):
         keys = [f"g{j}" for j in range(k - 1, 0, -1)] + ["w"]
         cnt[k] = (
-            ev.filter(F.col(f"g{k - 1}").isNotNull())
-            .groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias(f"c{k}"))
-            .localCheckpoint()
+            gs_union.filter(
+                (F.col("gid") == _GS_GID[k])
+                & F.col(f"g{k - 1}").isNotNull()
+            )
+            .select(*keys, F.col("c").alias(f"c{k}"))
         )
     ctx = {k: [f"g{j}" for j in range(k - 1, 0, -1)] for k in range(2, 6)}
     s5 = cnt[5].groupBy(*ctx[5]).agg(
