@@ -235,6 +235,27 @@ _REGRADE = {
     "text_5gram_kn_quality": 14,
     "text_5gram_kn_pruned": 14,
     "corpus_ccnet_buckets_kn5": 14,
+    # round 15 (VERDICT r14 #6): the deterministic quantizer driver
+    # sample is collected once and shared within composing queries
+    # (_driver_sample); ann_recall_eval shares one corpus projection +
+    # one coarse-quantizer build across its three index families, the
+    # IVFPQ train half and the add-batch/compaction/streaming paths
+    # collect their sample once instead of twice. Artifacts are
+    # bit-identical (pure functions of the same sample); all 12
+    # affected queries re-verified vs the DuckDB oracle at
+    # sf0.001 + sf0.01, recall pins green:
+    "ann_topk_ivf": 14,
+    "ann_topk_pq": 14,
+    "ann_topk_pq_deep": 14,
+    "ann_topk_ivfpq": 14,
+    "ann_topk_ivfpq_persisted": 14,
+    "ann_topk_ivfpq_tombstoned": 14,
+    "ann_index_add_batch": 14,
+    "ann_index_compaction_stats": 14,
+    "ann_index_rebuild_compacted": 14,
+    "ann_recall_eval": 14,
+    "streaming_ann_index_serve": 14,
+    "streaming_ann_index_maintenance": 14,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the

@@ -753,6 +753,7 @@ def streaming_ann_index_maintenance(
 
     from dbscan_spark.operators.similarity import (
         _PQ_M,
+        _driver_sample,
         _embeddings_with_norms,
         _ivf_centroids,
         _ivfpq_residual_books,
@@ -772,8 +773,9 @@ def streaming_ann_index_maintenance(
         F.md5(F.col("vec_id").cast("string")), 1, 1
     ).isin("e", "f")
     existing = e.filter(~inc_pred)
-    cent = _ivf_centroids(existing)
-    books = _ivfpq_residual_books(existing, cent)
+    _smp = _driver_sample(existing)
+    cent = _ivf_centroids(existing, sample=_smp)
+    books = _ivfpq_residual_books(existing, cent, sample=_smp)
     nearest1 = _nearest_cells_udf(cent, 1)
     encode_residual = _residual_encode_udf(cent, books)
     incoming = e.filter(inc_pred).select("vec_id", "v")
