@@ -114,15 +114,6 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) distinct pairs — the exploded form of
-    :func:`_doc_shingle_hashes` (distinctness is per-doc, which is exactly
-    the global (doc_id, s) distinctness, so no shuffle is needed)."""
-    return _doc_shingle_hashes(spark, sf_dir).select(
-        "doc_id", F.explode("hs").alias("s")
-    )
-
-
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-BASELINE ONLY — deliberately quadratic (shingle self-join);
     at corpus scale use :func:`dedup_minhash_lsh`, the banded scale path
