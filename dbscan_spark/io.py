@@ -80,7 +80,14 @@ def rebalance_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     Only used on operator paths whose graded output is provably
     partitioning-independent (integer counts / hashes / correctly-
     rounded ratios of exact integers) — never on double-sum aggregates,
-    where partial-merge order could perturb last-bit values."""
+    where partial-merge order could perturb last-bit values.
+
+    PRECONDITION: ``df`` must be an exchange-free scan/filter/project
+    tree. The partition-count probe goes through ``df.rdd``, which
+    forces physical planning — on a plan that already contains an
+    exchange, AQE could materialize upstream query stages just to
+    answer the probe. Every current call site passes a bare projected
+    scan; keep it that way."""
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)

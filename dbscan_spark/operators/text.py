@@ -2383,6 +2383,12 @@ def _qcls_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch trainer materializes anyway. Callers' unpersist() becomes
     # a no-op; the checkpoint blocks are doc_id-keyed feature rows
     # and are freed by the ContextCleaner when the DF is dropped.
+    # PRODUCTION CAVEAT (r15 advisor): localCheckpoint blocks are not
+    # recoverable under executor loss / dynamic allocation — on a
+    # cluster, point spark.checkpoint.dir at reliable storage and use
+    # .checkpoint() here (same plan truncation, recoverable blocks);
+    # local[] masters have no executor loss, so the cheap form holds
+    # in this harness. Applies equally to the _kn5_scored tables.
     return (
         qb.join(nd, "doc_id")
         .select(
@@ -2423,9 +2429,13 @@ def _qcls_train(spark: SparkSession, sf_dir: str):
             "spark.sql.adaptive.enabled",
         )
     }
+    try:
+        session_shuffle = int(saved["spark.sql.shuffle.partitions"])
+    except ValueError:  # e.g. "auto" under some vendor runtimes
+        session_shuffle = spark.sparkContext.defaultParallelism
     n_hint = load_table(spark, sf_dir, "documents").count()
     loop_shuffle = min(
-        int(saved["spark.sql.shuffle.partitions"]),
+        session_shuffle,
         max(8, n_hint // 65536 + 1),
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle))

@@ -590,15 +590,24 @@ def test_contamination_corpus_side_never_shuffles_shingles(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
-    # exchanges: probe-side distinct (partial+final pair = 1 exchange),
-    # final per-doc count (1), orderBy sort (1), plus the r14 conditional
-    # round-robin rebalance of the PRE-shingle corpus rows
-    # (io.rebalance_scan — fires only on under-split local scans, and
-    # moves narrow (doc_id, text) rows, never the exploded shingles)
-    assert tree.count("Exchange") <= 5, tree
+    # Data exchanges: probe-side distinct (1), final per-doc count (1),
+    # orderBy sort (1), plus AT MOST one r14 conditional round-robin
+    # rebalance of the PRE-shingle corpus rows (io.rebalance_scan —
+    # fires only on under-split local scans, and moves narrow
+    # (doc_id, text) rows, never the exploded shingles). The budget
+    # tracks whether the rebalance actually fired, so a regression
+    # that sneaks in an extra non-rebalance exchange fails even in
+    # configurations where the rebalance is a no-op. Partitioning
+    # kinds live in the formatted plan's DETAILS section (below the
+    # tree), so they are counted on the full plan text; the broadcast
+    # of the tiny probe is not a data shuffle and is excluded.
+    rr = plan.count("RoundRobinPartitioning")
+    assert rr <= 1, plan
+    data_exchanges = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert data_exchanges <= 3 + rr, tree
     # the rebalance must be the round-robin kind, before the explode —
     # any hash/range exchange of the exploded stream is still a bug
-    assert "hashpartitioning(s#" not in tree, tree
+    assert "hashpartitioning(s#" not in plan, plan
 
 
 def test_funnel_never_cartesian(spark):

@@ -46,27 +46,36 @@ def main() -> None:
     )
     os.makedirs(outdir, exist_ok=True)
     failed = []
-    for name in names:
-        if name not in qs:
-            failed.append((name, "not registered"))
-            continue
-        try:
-            df = qs[name](spark, args.sf)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            failed.append((name, repr(exc)[:200]))
-            continue
-        path = os.path.join(outdir, f"{name}_{args.tag}.txt")
-        with open(path, "w") as fh:
-            fh.write(plan)
-        print(f"wrote {path} ({len(plan)} chars)")
-        spark.catalog.clearCache()
+    try:
+        for name in names:
+            if name not in qs:
+                failed.append((name, "not registered"))
+                continue
+            try:
+                df = qs[name](spark, args.sf)
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                failed.append((name, repr(exc)[:200]))
+                continue
+            path = os.path.join(outdir, f"{name}_{args.tag}.txt")
+            with open(path, "w") as fh:
+                fh.write(plan)
+            print(f"wrote {path} ({len(plan)} chars)")
+            spark.catalog.clearCache()
+            # clearCache() does not free localCheckpoint blocks; the
+            # KN5/classifier queries materialize checkpoints at
+            # CONSTRUCTION time, so drop them between captures or a
+            # multi-query loop accumulates storage until the stop().
+            jsc = spark.sparkContext._jsc
+            for rdd_id in list(jsc.getPersistentRDDs().keySet()):
+                jsc.sc().unpersistRDD(rdd_id, True)
+    finally:
+        spark.stop()
     if failed:
         print("FAILED:", failed)
         sys.exit(1)
-    spark.stop()
 
 
 if __name__ == "__main__":
