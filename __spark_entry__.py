@@ -256,6 +256,16 @@ _REGRADE = {
     "ann_recall_eval": 14,
     "streaming_ann_index_serve": 14,
     "streaming_ann_index_maintenance": 14,
+    # round 15 (r14 advisor brief, low #2): _qcls_train now parses the
+    # saved shuffle-partitions conf defensively (ValueError →
+    # defaultParallelism) — value-identical on any numeric conf (this
+    # harness always is); all four classifier consumers re-verified vs
+    # the DuckDB oracle at sf0.001 + sf0.01 before commit
+    # (corpus_ccnet_pipeline bump above already covers the fifth):
+    "text_quality_classifier_train": 14,
+    "text_quality_classifier_scores": 14,
+    "corpus_quality_classifier_buckets": 14,
+    "streaming_corpus_quality_gate": 14,
 }
 
 # _HEAVY — multi-second queries at sf0.01 (iterative ML loops, the
